@@ -1,0 +1,606 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{Exact, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.graftx.RollingHash.rolling_hash
+import graft.multimodal.Multimodal
+import graft.operators.ReferenceOps
+import graft.similarity.Similarity
+
+/** The declared query surface: one entry per operator from SURVEY.md §2 plus
+  * the north-star training-data-pipeline operators, each with (where SQL can
+  * express it) a DuckDB oracle that is value-identical by construction:
+  * exact decimal arithmetic cast to double at the end, deterministic ORDER BY
+  * with unique tie-breaks, explicit casts so schemas line up.
+  *
+  * Where the oracle SQL encodes nontrivial logic (language-ID argmax, LSH
+  * bucket bits), the SQL is GENERATED from the same constants the Spark
+  * implementation uses, so the two sides cannot drift.
+  */
+object QueryCatalog {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ helpers
+
+  private def monthSid(c: Column): Column = ReferenceOps.monthSid(c)
+
+  private val monthSidSql = "CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT)"
+
+  /** revenue term: exact decimal price * (1 - discount), summed, as double */
+  private def revenueSum = Exact.sumDisc(col("l_extendedprice"), col("l_discount"))
+  private val revenueSumSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
+
+  // ------------------------------------------------------------ reference ops
+
+  private val qPartitionDiscovery: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val status = o.select(monthSid(col("o_orderdate")).as("month_sid"))
+      .filter(col("month_sid") < 199800).distinct()
+    ReferenceOps.discoverPendingPartitions(o, monthSid(col("o_orderdate")), status, 2)
+      .orderBy("month_sid")
+  }
+
+  private val partitionDiscoverySql =
+    s"""WITH discovered AS (
+       |  SELECT month_sid, row_number() OVER (ORDER BY month_sid DESC) AS rn
+       |  FROM (SELECT DISTINCT $monthSidSql AS month_sid FROM orders) c
+       |), status AS (
+       |  SELECT DISTINCT $monthSidSql AS month_sid FROM orders
+       |  WHERE $monthSidSql < 199800
+       |)
+       |SELECT d.month_sid FROM discovered d
+       |WHERE d.rn > 2
+       |  AND NOT EXISTS (SELECT 1 FROM status s WHERE s.month_sid = d.month_sid)
+       |ORDER BY d.month_sid""".stripMargin
+
+  private val qOldestPending: Q = (s, dir) =>
+    ReferenceOps.oldestPending(qPartitionDiscovery(s, dir))
+
+  private val qPartitionRowcount: Q = (s, dir) =>
+    ReferenceOps.partitionRowCount(Tables.orders(s, dir), monthSid(col("o_orderdate")), 199801L)
+
+  private val qDistinctPartitions: Q = (s, dir) =>
+    ReferenceOps.distinctPartitions(Tables.orders(s, dir), monthSid(col("o_orderdate")))
+      .orderBy("month_sid")
+
+  private val qBucketHistogram: Q = (s, dir) =>
+    ReferenceOps.bucketHistogram(Tables.orders(s, dir), col("o_orderkey"), 8)
+      .orderBy("bucket")
+
+  private val qSchemaDdl: Q = (s, dir) =>
+    ReferenceOps.concatProjection(Tables.nation(s, dir), Tables.region(s, dir))
+      .orderBy("n_nationkey")
+
+  private val qCustomersWithoutOrders: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+  }
+
+  private val qSegmentWithOrders: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qLatestOrderPerCustomer: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  // ------------------------------------------------------------ analytics
+
+  private val qPricingSummary: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.sumExact(col("l_quantity")).as("sum_qty"),
+        Exact.sumExact(col("l_extendedprice")).as("sum_base_price"),
+        revenueSum.as("sum_disc_price"),
+        Exact.avgExact(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       |  $revenueSumSql AS sum_disc_price,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val qTopOrders: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenueSum.as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private val topOrdersSql =
+    s"""SELECT o_orderkey, $revenueSumSql AS revenue, o_orderdate, o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  private val qRegionRevenue: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    l.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(revenueSum.as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val regionRevenueSql =
+    s"""SELECT r_name, n_name, $revenueSumSql AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  private val qRollupOrders: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .rollup(col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  private val rollupOrdersSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderstatus)
+      |ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  private val qRunningRevenue: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 5)
+      .withColumn("running",
+        sum(Exact.dec(col("l_extendedprice"))).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val runningRevenueSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM lineitem WHERE l_suppkey <= 5
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  private val qOrderGaps: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val orderGapsSql =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+      |  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+      |FROM orders WHERE o_custkey <= 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  private val qSetOps: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    f.intersect(open).except(urgent).orderBy("o_custkey")
+  }
+
+  private val setOpsSql =
+    """SELECT o_custkey FROM (
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |   INTERSECT
+      |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |) t ORDER BY o_custkey""".stripMargin
+
+  private val qMonthlyOrders: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(monthSid(col("o_orderdate")).as("month_sid"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Exact.sumExact(col("o_totalprice")).as("total"),
+        Exact.avgExact(col("o_totalprice")).as("avg_price"))
+      .orderBy("month_sid")
+
+  private val monthlyOrdersSql =
+    s"""SELECT $monthSidSql AS month_sid, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ text analysis
+
+  private val qTokenStats: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+      TextFunctions.regexTokenCount(col("text")).as("n_subword"))
+      .orderBy("doc_id")
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopListSql = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val qTextQuality: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.avgTokenLength(col("text")).as("avg_token_len"),
+      TextFunctions.typeTokenRatio(col("text")).as("ttr"),
+      TextFunctions.qualityLabel(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private val textQualitySql =
+    s"""SELECT doc_id, n_tokens, stop_ratio, avg_token_len, ttr,
+       |  CASE WHEN n_tokens < 5 THEN 'too_short'
+       |       WHEN ttr < 0.3 THEN 'repetitive'
+       |       WHEN stop_ratio > 0.5 THEN 'boilerplate'
+       |       ELSE 'ok' END AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stopListSql, t))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       |    (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) - 1 AS DOUBLE))
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+       |  FROM documents
+       |) t ORDER BY doc_id""".stripMargin
+
+  private val qLangId: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("pred_lang"))
+      .withColumn("hit", (col("pred_lang") === col("lang")).cast("boolean"))
+      .orderBy("doc_id")
+
+  /** lang-ID oracle generated from the SAME marker lists as the Spark impl. */
+  private val langIdSql: String = {
+    val markers = TextFunctions.LangMarkers
+    val scoreDefs = markers.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), t -> list_contains($lst, t))) AS s_$lang"
+    }.mkString(",\n    ")
+    val cases = markers.zipWithIndex.map { case ((lang, _), i) =>
+      val earlier = markers.take(i).map { case (l2, _) => s"s_$lang > s_$l2" }
+      val later = markers.drop(i + 1).map { case (l2, _) => s"s_$lang >= s_$l2" }
+      val conds = (earlier ++ later :+ s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n       ", "\n       ", "")
+    s"""SELECT doc_id, lang,
+       |  CASE$cases
+       |  ELSE 'unk' END AS pred_lang,
+       |  (CASE$cases
+       |  ELSE 'unk' END = lang) AS hit
+       |FROM (
+       |  SELECT doc_id, lang, text,
+       |    $scoreDefs
+       |  FROM documents
+       |) t ORDER BY doc_id""".stripMargin
+  }
+
+  private val qExactDedup: Q = (s, dir) =>
+    Dedup.exact(Tables.documents(s, dir)).orderBy("canonical_id")
+
+  private val exactDedupSql =
+    """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+
+  private val qNgramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
+      .orderBy("doc_a", "doc_b")
+
+  private val ngramJaccardSql =
+    """WITH k AS (
+      |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+      |FROM k a JOIN k b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      |WHERE a.doc_id < b.doc_id
+      |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val qDocFingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val qMinhashNearDups: Q = (s, dir) =>
+    Dedup.minHashNearDups(Tables.documents(s, dir), threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  private val qSimhashNearDups: Q = (s, dir) =>
+    Dedup.simHashNearDups(Tables.documents(s, dir), maxHamming = 6)
+      .orderBy("doc_a", "doc_b")
+
+  // ------------------------------------------------------------ embeddings
+
+  /** DuckDB dot product mirroring VectorFunctions.dot's exact fold order:
+    * left-to-right double accumulation over float-widened elements.
+    */
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val qCosineTopk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  private val cosineTopkSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qvec", "cvec")} AS cos
+       |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rk FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** LSH bucket oracle generated from the same hyperplane constants. */
+  private val lshBucketSqlFor: String => String = { v =>
+    val bits = (0 until VectorFunctions.LshBits).map { h =>
+      val proj = s"list_sum(list_transform(generate_series(1, len($v)), " +
+        s"i -> CAST($v[i] AS DOUBLE) * CAST(((i-1)*31 + ${h * 17}) % 7 - 3 AS DOUBLE)))"
+      s"(CASE WHEN $proj >= 0.0 THEN ${1L << h} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  private val qEmbeddingNearDups: Q = (s, dir) =>
+    Similarity.cosineNearDups(Tables.embeddings(s, dir), threshold = 0.2)
+      .orderBy("vec_a", "vec_b")
+
+  private val embeddingNearDupsSql =
+    s"""WITH k AS (
+       |  SELECT vec_id, embedding, ${lshBucketSqlFor("embedding")} AS bucket FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${cosSql("a.embedding", "b.embedding")} AS cos
+       |FROM k a JOIN k b ON a.bucket = b.bucket
+       |WHERE a.vec_id < b.vec_id
+       |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.2
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  private val qAnnLsh: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  private val qMultimodalMeta: Q = (s, dir) =>
+    Multimodal.payloadMeta(Multimodal.withPayload(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
+  private val multimodalMetaSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS sha
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val qMultimodalFeatures: Q = (s, dir) =>
+    Multimodal.extractFeatures(Multimodal.withPayload(Tables.documents(s, dir)))
+      .toDF().orderBy("docId")
+
+  // ------------------------------------------------------------ events
+
+  private val qEventsHourly: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  private val eventsHourlySql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val qSessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tms").asc, col("event_id").asc)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"), col("value"))
+      .withColumn("new_s",
+        when(col("tms") - lag(col("tms"), 1).over(byUser) > 1800000L || lag(col("tms"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(cum).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tms")).as("start_ms"),
+        max(col("tms")).as("end_ms"),
+        Exact.sumExact(col("value")).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val sessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, tms, value,
+      |    CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+      |           OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |), sess AS (
+      |  SELECT user_id, event_id, tms, value,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(MIN(tms) AS BIGINT) AS start_ms, CAST(MAX(tms) AS BIGINT) AS end_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  private val qEventsJson: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("value")).as("total_value"))
+      .orderBy("k_mod")
+
+  private val eventsJsonSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "q_partition_discovery" -> qPartitionDiscovery,
+    "q_oldest_pending" -> qOldestPending,
+    "q_partition_rowcount" -> qPartitionRowcount,
+    "q_distinct_partitions" -> qDistinctPartitions,
+    "q_bucket_histogram" -> qBucketHistogram,
+    "q_schema_ddl" -> qSchemaDdl,
+    "q_customers_without_orders" -> qCustomersWithoutOrders,
+    "q_segment_with_orders" -> qSegmentWithOrders,
+    "q_latest_order_per_customer" -> qLatestOrderPerCustomer,
+    "q1_pricing_summary" -> qPricingSummary,
+    "q3_top_orders" -> qTopOrders,
+    "q5_region_revenue" -> qRegionRevenue,
+    "q_rollup_orders" -> qRollupOrders,
+    "q_running_revenue" -> qRunningRevenue,
+    "q_order_gaps" -> qOrderGaps,
+    "q_set_ops" -> qSetOps,
+    "q_monthly_orders" -> qMonthlyOrders,
+    "q_token_stats" -> qTokenStats,
+    "q_text_quality" -> qTextQuality,
+    "q_lang_id" -> qLangId,
+    "q_exact_dedup" -> qExactDedup,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_doc_fingerprint" -> qDocFingerprint,
+    "q_minhash_neardups" -> qMinhashNearDups,
+    "q_simhash_neardups" -> qSimhashNearDups,
+    "q_cosine_topk" -> qCosineTopk,
+    "q_embedding_neardups" -> qEmbeddingNearDups,
+    "q_ann_lsh" -> qAnnLsh,
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_events_hourly" -> qEventsHourly,
+    "q_sessionize" -> qSessionize,
+    "q_events_json" -> qEventsJson)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_partition_discovery" -> partitionDiscoverySql,
+    "q_oldest_pending" -> (partitionDiscoverySql.replace("ORDER BY d.month_sid", "ORDER BY d.month_sid LIMIT 1")),
+    "q_partition_rowcount" ->
+      s"SELECT COUNT(*) AS cnt FROM orders WHERE $monthSidSql = 199801",
+    "q_distinct_partitions" ->
+      s"SELECT DISTINCT $monthSidSql AS month_sid FROM orders ORDER BY month_sid",
+    "q_bucket_histogram" ->
+      "SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1",
+    "q_schema_ddl" ->
+      "SELECT n_nationkey, n_name || ' ' || r_name AS ddl FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "q_customers_without_orders" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_segment_with_orders" ->
+      "SELECT c_mktsegment, COUNT(*) AS n FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q1_pricing_summary" -> pricingSummarySql,
+    "q3_top_orders" -> topOrdersSql,
+    "q5_region_revenue" -> regionRevenueSql,
+    "q_rollup_orders" -> rollupOrdersSql,
+    "q_running_revenue" -> runningRevenueSql,
+    "q_order_gaps" -> orderGapsSql,
+    "q_set_ops" -> setOpsSql,
+    "q_monthly_orders" -> monthlyOrdersSql,
+    "q_token_stats" -> tokenStatsSql,
+    "q_text_quality" -> textQualitySql,
+    "q_lang_id" -> langIdSql,
+    "q_exact_dedup" -> exactDedupSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_cosine_topk" -> cosineTopkSql,
+    "q_embedding_neardups" -> embeddingNearDupsSql,
+    "q_multimodal_meta" -> multimodalMetaSql,
+    "q_events_hourly" -> eventsHourlySql,
+    "q_sessionize" -> sessionizeSql,
+    "q_events_json" -> eventsJsonSql)
+    // q_doc_fingerprint, q_minhash_neardups, q_simhash_neardups, q_ann_lsh,
+    // q_multimodal_features: custom-hash / stub-codec operators with no
+    // SQL-expressible oracle → driver records rows-only checks.
+}

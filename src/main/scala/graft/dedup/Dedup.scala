@@ -1,0 +1,157 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.graftx.RollingHash.rolling_hash
+
+/** Document deduplication at training-data-pipeline scale.
+  *
+  * Every variant here is shuffle-bounded by design:
+  *  - exact: one hash-aggregate on the text (or its 64-bit fingerprint —
+  *    group on 8 bytes, not multi-KB strings).
+  *  - MinHash/LSH and SimHash: candidate generation via equality joins on
+  *    band/bucket keys (hash-partitioned, no O(n²) cross join); exact
+  *    verification only within candidate pairs.
+  * The reference has no dedup beyond `SELECT DISTINCT` on partition values
+  * (`/root/reference/sqoop_table.py:145`); these are north-star additions.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min doc_id) representative per identical text.
+    * A single hash-aggregate; at 100 TB group on `rolling_hash(text)` instead
+    * of the raw string to keep shuffle rows small (collision check optional).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+  /** Exact dedup keyed by 64-bit fingerprint — the shuffle carries (long,
+    * long) pairs only, never document bodies.
+    */
+  def exactByFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), rolling_hash(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** MinHash signature of the word-shingle set: numHashes independent
+    * min-hashes via seeded xxhash64. Pure built-ins (higher-order functions),
+    * codegen'd, map-only.
+    */
+  def minHashSignature(text: Column, shingleLen: Int, numHashes: Int): Column = {
+    val shingles = TextFunctions.wordShingles(text, shingleLen)
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`, hash each
+    * band → (doc_id, band_idx, band_hash). Docs sharing any band hash are
+    * candidate near-dups. Equality join on (band_idx, band_hash) shuffles by
+    * hash — fully parallel, skew-bounded by band-hash cardinality.
+    */
+  def minHashBands(docs: DataFrame, shingleLen: Int = 3, numHashes: Int = 24,
+      rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    docs
+      .select(col("doc_id"),
+        minHashSignature(col("text"), shingleLen, numHashes).as("sig"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate pairs from LSH banding (doc_a < doc_b, distinct). */
+  def minHashCandidates(docs: DataFrame, shingleLen: Int = 3, numHashes: Int = 24,
+      rowsPerBand: Int = 4): DataFrame = {
+    val bands = minHashBands(docs, shingleLen, numHashes, rowsPerBand)
+    val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** MinHash near-dup pairs, verified with exact token-set Jaccard ≥ threshold.
+    * Verification joins text back only for candidate pairs (tiny vs n²).
+    */
+  def minHashNearDups(docs: DataFrame, threshold: Double, shingleLen: Int = 3,
+      numHashes: Int = 24, rowsPerBand: Int = 4): DataFrame = {
+    val cand = minHashCandidates(docs, shingleLen, numHashes, rowsPerBand)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("jaccard", TextFunctions.tokenJaccard(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word shingles: per bit, sum +1/-1 votes of each
+    * shingle's xxhash64 bit; bit set iff the vote is positive. Pure
+    * higher-order built-ins (map-only, codegen'd).
+    */
+  def simHash(text: Column, shingleLen: Int = 2): Column = {
+    val hashes = transform(TextFunctions.wordShingles(text, shingleLen), s => xxhash64(s))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hashes, lit(0),
+          (v, h) => v + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === lit(1L),
+            lit(1)).otherwise(lit(-1)))
+        acc + when(vote > lit(0), call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+      })
+  }
+
+  /** SimHash near-dup pairs: block by the 4 16-bit quarters of the simhash
+    * (two docs within Hamming distance 3 share at least one exact quarter —
+    * pigeonhole), join per block, verify Hamming ≤ maxHamming via
+    * `bit_count(xor)`.
+    */
+  def simHashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      shingleLen: Int = 2): DataFrame = {
+    val withSig = docs.select(col("doc_id"), simHash(col("text"), shingleLen).as("sig"))
+    val blocked = withSig.select(col("doc_id"), col("sig"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        q => call_function("shiftright", col("sig"), q * lit(16)).bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qhash")
+    val a = blocked.select(col("q"), col("qhash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("q"), col("qhash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q", "qhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(maxHamming))
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Blocked n-gram Jaccard near-dup pairs: block on (lang, length bucket) to
+    * bound the quadratic comparison to within-block pairs, then exact
+    * token-set Jaccard. At 100 TB the block key keeps each join partition
+    * small; skewed blocks can be salted.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      lenBucket: Int = 100): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"), col("text"), col("lang"),
+      floor(col("n_chars") / lit(lenBucket)).as("len_bucket"))
+    val a = keyed.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = keyed.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_b"), col("text").as("text_b"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", TextFunctions.tokenJaccard(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,22 @@
+package graft.etl
+
+/** Per-table job configuration — same keys as the reference's YAMLs
+  * (`/root/reference/agg_geo_lucid_daily.yaml:1-12`,
+  * `/root/reference/advertiser_dim.yaml`). `primaryId = ""` selects
+  * full-snapshot mode (the `advertiser_dim` path, `sqoop_table.py:141-143`);
+  * otherwise incremental partition-by-partition copy.
+  */
+final case class JobConfig(
+    tableName: String,
+    numMappers: Int = 8,             // NUM_MAPPERS   (agg_geo_lucid_daily.yaml:3)
+    primaryId: String = "month_sid", // PRIMARY_ID    (agg_geo_lucid_daily.yaml:4)
+    hiveDb: String = "legacy_tables",   // HIVE_DB
+    dwDb: String = "legacy_tables",     // DW_DB
+    compression: String = "snappy",     // SQOOP_COMPRESSION (agg_geo_lucid_daily.yaml:8)
+    outputFileFormat: String = "orc",   // OUTPUT_FILE_FORMAT (at-rest format)
+    skipLatestMonths: Int = 0,       // SKIP_LATEST_MONTHS (agg_geo_lucid_daily.yaml:10)
+    orcStripeSize: Long = 268435456L, // ORC_STRIPE_SIZE (agg_geo_lucid_daily.yaml:11)
+    orcIndexStride: Int = 500000) {  // ORC_INDEX_STRIDE (agg_geo_lucid_daily.yaml:12)
+
+  def isFullSnapshot: Boolean = primaryId.isEmpty
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions (`embeddings.embedding: array<float>`).
+  *
+  * Pure `functions._` compositions (higher-order functions are codegen'd), so
+  * a brute-force similarity pass is a single map stage — no UDF serialization,
+  * no Python. Floats are widened to double BEFORE any arithmetic and the fold
+  * is strictly left-to-right, which makes the result bit-deterministic and
+  * reproducible across engines (the DuckDB oracle mirrors the same fold).
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Left-to-right exact-order dot product in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Number of sign-hash bits for [[lshBucket]]. 2^8 = 256 buckets. */
+  val LshBits = 8
+
+  /** Deterministic random-hyperplane LSH bucket id in [0, 2^LshBits).
+    *
+    * Hyperplane `h`'s weight for dimension `d` is `((d*31 + h*17) % 7) - 3`
+    * — a fixed pseudo-random ±small-int pattern that needs no PRNG state, so
+    * the same bucket function is expressible in plain SQL for the oracle and
+    * is stable across runs/retries (unlike `rand()`-seeded planes).
+    *
+    * At 100 TB this turns the O(n²) similarity self-join into a per-bucket
+    * join: hash-partition by bucket, compare only within buckets.
+    */
+  def lshBucket(vec: Column): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until LshBits).map { h =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x * (((d * lit(31) + lit(h * 17)) % lit(7)) - lit(3)).cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= lit(0.0), lit(1L << h)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

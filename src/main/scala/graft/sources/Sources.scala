@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers covering the reference's ingest surface (SURVEY §2.1).
+  *
+  * S1 — parallel JDBC extract: the reference builds a whole staging-table +
+  * sequence-modulo + boundary-query apparatus (`sqoop_table.py:75-104`,
+  * `sqoop_json.py:31`) solely to give Sqoop a uniform integer split key.
+  * Spark's JDBC partitioned read IS that contract natively
+  * (`partitionColumn/lowerBound/upperBound/numPartitions` → per-executor
+  * `WHERE key >= l AND key < u` stripes), so none of the apparatus survives.
+  */
+object Sources {
+
+  /** S1: N-way parallel JDBC read, one stripe per executor task. */
+  def jdbcPartitioned(
+      spark: SparkSession, url: String, table: String, splitBy: String,
+      lower: Long, upper: Long, numPartitions: Int,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", splitBy)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  /** S2: full-table JDBC read (the `PRIMARY_ID=""` dim path, `sqoop_table.py:100`). */
+  def jdbcFull(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  /** S7: delimited-text source — the reference's Hive external text table
+    * (`sqoop_pyhive.py:28-40`: FIELDS TERMINATED BY ',' LINES '\n').
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ","): DataFrame =
+    spark.read
+      .option("delimiter", delimiter)
+      .option("header", "false")
+      .schema(schema) // explicit schema: no inference pass over 100 TB
+      .csv(path)
+
+  /** S9: columnar read-back (the Vertica-external-table-over-ORC role,
+    * `sqoop_table.py:158-165`).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table.
+  *
+  * The reference is batch-only; its incremental drain loop
+  * (`/root/reference/sqoop_etl.py:77-83`: process pending units until none
+  * remain, durable status) is exactly `Trigger.AvailableNow` + checkpointing
+  * — the checkpoint directory plays `sqoop_etl_status`. Watermarked windows
+  * and typed session state are the north-star streaming additions.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionUpdate(userId: Long, sessionStart: Timestamp,
+      nEvents: Long, totalValue: Double, closed: Boolean)
+
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Streaming source over the events parquet (schema pinned — no inference). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(s"$sfDir/events.parquet")
+
+  /** Tumbling-window counts/sums with a 30-minute watermark. State is bounded
+    * by (watermark horizon × event-type cardinality) — safe at any input
+    * rate; late rows beyond the watermark are dropped, not buffered.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Custom session state via mapGroupsWithState: a session closes after 30
+    * minutes of user inactivity (event-time timeout keyed by watermark).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.withWatermark("ts", "30 minutes").as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, new Timestamp(s.start), s.n, s.total, closed = true)
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val prev = state.getOption
+            val s0 = prev.getOrElse(SessionState(evs.head.ts.getTime, 0L, 0L, 0.0))
+            val s = evs.foldLeft(s0)((s, e) =>
+              s.copy(last = e.ts.getTime, n = s.n + 1, total = s.total + e.value))
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + 30 * 60 * 1000L)
+            SessionUpdate(userId, new Timestamp(s.start), s.n, s.total, closed = false)
+          }
+      }
+  }
+
+  /** Drain-then-stop run, the reference's loop semantics: AvailableNow
+    * processes everything present, checkpoints, stops.
+    */
+  def runAvailableNow(spark: SparkSession, sfDir: String, outDir: String,
+      checkpoint: String): Unit = {
+    val q = hourlyAgg(readEvents(spark, sfDir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
