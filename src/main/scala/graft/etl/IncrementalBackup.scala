@@ -40,14 +40,15 @@ final class IncrementalBackup(
     */
   def discover(source: DataFrame): Seq[Long] = {
     import spark.implicits._
+    val tbl = cfg.tableName // local copy: keeps closures free of `this`
     val recorded = status.read()
-      .filter(_.tableName == cfg.tableName)
+      .filter(s => s.tableName == tbl)
       .map(_.primaryPartitionValue).toDF("month_sid")
     val pendingNew =
       if (cfg.isFullSnapshot) {
         // advertiser_dim path (`sqoop_table.py:141-143`): one synthetic unit
         // with NULL-ish partition value, guarded by not-exists on table name.
-        if (status.read().filter(_.tableName == cfg.tableName).isEmpty) Seq(0L) else Seq.empty
+        if (status.read().filter(s => s.tableName == tbl).isEmpty) Seq(0L) else Seq.empty
       } else {
         ReferenceOps
           .discoverPendingPartitions(source, pidCol(source), recorded, cfg.skipLatestMonths)

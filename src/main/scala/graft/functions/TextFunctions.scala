@@ -126,4 +126,14 @@ object TextFunctions {
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
   }
+
+  /** Jaccard over word n-gram shingle sets — the same unit the MinHash
+    * sketch approximates (order-sensitive, unlike [[tokenJaccard]]).
+    */
+  def shingleJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = wordShingles(a, n)
+    val sb = wordShingles(b, n)
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
 }

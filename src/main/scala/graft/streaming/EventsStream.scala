@@ -24,11 +24,22 @@ object EventsStream {
 
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
-  /** Streaming source over the events parquet (schema pinned — no inference). */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
-      .parquet(s"$sfDir/events.parquet")
+  /** Streaming source over the events parquet (schema pinned — no inference).
+    * Handles the TIMESTAMP(NANOS) storage the same way as
+    * [[graft.Tables.events]]: nanos read as long, floor-converted to µs.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // glob (not bare file path): FileStreamSource requires its basePath to be
+    // a directory; the glob also matches events.parquet/part-* layouts
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
 
   /** Tumbling-window counts/sums with a 30-minute watermark. State is bounded
     * by (watermark horizon × event-type cardinality) — safe at any input

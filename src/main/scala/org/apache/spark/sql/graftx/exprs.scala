@@ -6,8 +6,9 @@ package org.apache.spark.sql.graftx
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Column <-> catalyst Expression bridge for Spark 4.x, where `Column` is
@@ -63,4 +64,160 @@ object RollingHash {
   }
 
   def rolling_hash(c: Column): Column = Bridge.toColumn(RollingHash(Bridge.toExpr(c)))
+}
+
+/** Shared native hashing/shingling kernels for the sketch expressions below.
+  * One pass over the UTF-8 bytes, no per-shingle string allocation — the
+  * difference between this and the higher-order-function formulation is
+  * ~100× on the documents table (measured at sf0.01: SimHash via nested
+  * `aggregate`/`transform` = 42 s; this = sub-second).
+  */
+object SketchKernels {
+
+  /** FNV-1a 64 over a byte range, splitmix-finalized, seedable. */
+  def hashRange(b: Array[Byte], from: Int, until: Int, seed: Long): Long = {
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (b(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^= h >>> 31
+    h
+  }
+
+  /** Token start/end offsets for single-space-delimited text.
+    * Returns flat array [s0,e0,s1,e1,...].
+    */
+  def tokenOffsets(b: Array[Byte]): Array[Int] = {
+    var n = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') n += 1; i += 1 }
+    val out = new Array[Int](n * 2)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        out(t * 2) = start; out(t * 2 + 1) = i
+        t += 1; start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature over word shingles of length `n`, `k` hashes via
+    * Kirsch–Mitzenmacher double hashing (h_i = h1 + i·h2): O(shingle bytes)
+    * hashing + O(k·shingles) arithmetic.
+    */
+  def minHashSig(s: UTF8String, n: Int, k: Int): Array[Long] = {
+    val b = s.getBytes
+    val offs = tokenOffsets(b)
+    val nTok = offs.length / 2
+    val nShingles = math.max(nTok - n + 1, 1)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < nShingles) {
+      val from = offs(i * 2)
+      val lastTok = math.min(i + n - 1, nTok - 1)
+      val until = offs(lastTok * 2 + 1)
+      val h1 = hashRange(b, from, until, 0L)
+      val h2 = hashRange(b, from, until, 0x9e3779b97f4a7c15L) | 1L
+      var j = 0
+      var h = h1
+      while (j < k) {
+        if (h < mins(j)) mins(j) = h
+        h += h2
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** 64-bit SimHash over word shingles of length `n`. */
+  def simHash(s: UTF8String, n: Int): Long = {
+    val b = s.getBytes
+    val offs = tokenOffsets(b)
+    val nTok = offs.length / 2
+    val nShingles = math.max(nTok - n + 1, 1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < nShingles) {
+      val from = offs(i * 2)
+      val lastTok = math.min(i + n - 1, nTok - 1)
+      val until = offs(lastTok * 2 + 1)
+      val h = hashRange(b, from, until, 0L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  def minHashSigData(s: UTF8String, n: Int, k: Int): ArrayData =
+    new GenericArrayData(minHashSig(s, n, k))
+}
+
+/** MinHash signature as a native expression: `array<long>` of `numHashes`
+  * min-hashes over word shingles. Codegen emits a single static call.
+  */
+case class MinHashSigExpr(child: Expression, shingleLen: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minHashSigData(input.asInstanceOf[UTF8String], shingleLen, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftx.SketchKernels.minHashSigData($c, $shingleLen, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 64-bit SimHash as a native expression. */
+case class SimHashExpr(child: Expression, shingleLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simHash(input.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftx.SketchKernels.simHash($c, $shingleLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object Sketches {
+  def minhash_sig(c: Column, shingleLen: Int, numHashes: Int): Column =
+    Bridge.toColumn(MinHashSigExpr(Bridge.toExpr(c), shingleLen, numHashes))
+
+  def simhash64(c: Column, shingleLen: Int): Column =
+    Bridge.toColumn(SimHashExpr(Bridge.toExpr(c), shingleLen))
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+
+/** Dedup operators: exactness, MinHash recall vs exact Jaccard, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsWithDups = {
+    val base = Tables.documents(spark, sf).limit(50)
+    // clone 5 docs with tiny edits → guaranteed near-dups
+    val clones = base.limit(5)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" extra")))
+    base.unionByName(clones)
+  }
+
+  test("exact dedup collapses identical texts to the min doc_id") {
+    val dup = Tables.documents(spark, sf).limit(10)
+      .unionByName(Tables.documents(spark, sf).limit(10)
+        .withColumn("doc_id", col("doc_id") + 1000L))
+    val out = Dedup.exact(dup).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(1) == 2L)) // every text has 2 copies
+    assert(out.forall(_.getLong(0) < 1000L)) // canonical = original id
+  }
+
+  test("exactByFingerprint agrees with exact dedup on group count") {
+    val docs = Tables.documents(spark, sf)
+    assert(Dedup.exactByFingerprint(docs).count() == Dedup.exact(docs).count())
+  }
+
+  test("minhash finds planted near-duplicates") {
+    val found = Dedup.minHashNearDups(docsWithDups, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // each planted clone pairs with its source (id, id+100000)
+    (0 until 5).foreach { i =>
+      assert(found.exists { case (a, b) => b == a + 100000L },
+        s"planted dup missing: $found")
+    }
+  }
+
+  test("minhash candidates are a superset of high-jaccard pairs (LSH recall)") {
+    // shingleLen=1 makes the sketch unit = token sets, so exact tokenJaccard
+    // is the ground truth for recall
+    val docs = docsWithDups
+    val cand = Dedup.minHashCandidates(docs, shingleLen = 1).as[(Long, Long)]
+      .collect().toSet
+    val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val exact = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", TextFunctions.tokenJaccard(col("text_a"), col("text_b")))
+      .filter(col("j") >= 0.95)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand), s"missed: ${exact -- cand}")
+  }
+
+  test("simhash of identical text is identical; near-dup pairs found") {
+    val out = Dedup.simHashNearDups(docsWithDups, maxHamming = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out.exists { case (a, b) => b == a + 100000L }, s"got: $out")
+  }
+
+  test("ngram jaccard finds the planted clones at high threshold") {
+    // planted clones share all tokens except the appended one
+    val docs = docsWithDups.withColumn("n_chars", length(col("text")))
+    val found = Dedup.ngramJaccardPairs(docs, threshold = 0.8, lenBucket = 10000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(found.exists { case (a, b) => b == a + 100000L }, s"got: $found")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.graftx.{RollingHash, SketchKernels}
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts match a reference computation") {
+    val r = Seq(("a b c", 3), ("one", 1), ("x y", 2)).toDF("text", "want")
+      .select(TextFunctions.tokenCount(col("text")).as("got"), col("want"))
+      .as[(Long, Int)].collect()
+    assert(r.forall { case (got, want) => got == want })
+  }
+
+  test("word shingles of n=2 over 3 tokens gives 2 shingles") {
+    val s = Seq("a b c").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(s == Seq("a b", "b c"))
+  }
+
+  test("token jaccard: identical=1, disjoint=0") {
+    val r = Seq(("a b c", "a b c"), ("a b", "x y")).toDF("ta", "tb")
+      .select(TextFunctions.tokenJaccard(col("ta"), col("tb")).as("j"))
+      .as[Double].collect()
+    assert(r(0) == 1.0 && r(1) == 0.0)
+  }
+
+  test("langId picks the marker-majority language deterministically") {
+    val r = Seq("the the fast table", "scan join join group", "zzz qqq")
+      .toDF("text").select(TextFunctions.langId(col("text")).as("l"))
+      .as[String].collect()
+    assert(r(0) == "en" && r(1) == "zh" && r(2) == "unk")
+  }
+
+  test("rolling hash expression equals the kernel (codegen path = eval path)") {
+    val texts = Tables.documents(spark, sf).limit(20)
+    val viaExpr = texts.select(col("doc_id"),
+      org.apache.spark.sql.graftx.RollingHash.rolling_hash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val viaKernel = texts.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> RollingHash.hashBytes(t.getBytes("UTF-8")) }.toMap
+    assert(viaExpr == viaKernel)
+  }
+
+  test("minhash signature kernel: identical text → identical sig; length = k") {
+    val s1 = SketchKernels.minHashSig(UTF8String.fromString("a b c d e"), 3, 16)
+    val s2 = SketchKernels.minHashSig(UTF8String.fromString("a b c d e"), 3, 16)
+    assert(s1.sameElements(s2) && s1.length == 16)
+    val s3 = SketchKernels.minHashSig(UTF8String.fromString("totally different words here"), 3, 16)
+    assert(!s1.sameElements(s3))
+  }
+
+  test("simhash kernel: small edit → small hamming distance") {
+    val a = SketchKernels.simHash(UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again"), 2)
+    val b = SketchKernels.simHash(UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again more"), 2)
+    val c = SketchKernels.simHash(UTF8String.fromString("completely unrelated text about database query planning internals"), 2)
+    assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
+  }
+}
