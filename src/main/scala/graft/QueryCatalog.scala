@@ -263,6 +263,196 @@ object QueryCatalog {
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ analytics (extended ops)
+
+  private val qCubeOrders: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val cubeOrdersSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS — exercised through the SQL entry point (`spark.sql`),
+    * the DataFrame API has no grouping-sets builder.
+    */
+  private val qGroupingSets: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT st, yr, COUNT(*) AS n FROM (
+        |  SELECT o_orderstatus AS st, CAST(year(o_orderdate) AS BIGINT) AS yr
+        |  FROM orders_gs) t
+        |GROUP BY GROUPING SETS ((st, yr), (st), (yr), ())
+        |ORDER BY st NULLS FIRST, yr NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT st, yr, COUNT(*) AS n FROM (
+      |  SELECT o_orderstatus AS st, CAST(year(o_orderdate) AS BIGINT) AS yr
+      |  FROM orders) t
+      |GROUP BY GROUPING SETS ((st, yr), (st), (yr), ())
+      |ORDER BY st NULLS FIRST, yr NULLS FIRST""".stripMargin
+
+  private val qStringFuncs: Q = (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      substring(col("p_name"), 1, 8).as("prefix"),
+      regexp_replace(col("p_brand"), lit("Brand#"), lit("B-")).as("brand2"),
+      length(col("p_type")).cast("long").as("type_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+      levenshtein(substring(col("p_name"), 1, 5), col("p_brand")).cast("long").as("lev"))
+      .orderBy("p_partkey")
+
+  private val stringFuncsSql =
+    """SELECT p_partkey,
+      |  upper(p_name) AS uname,
+      |  substr(p_name, 1, 8) AS prefix,
+      |  replace(p_brand, 'Brand#', 'B-') AS brand2,
+      |  CAST(length(p_type) AS BIGINT) AS type_len,
+      |  concat_ws('|', p_brand, p_type) AS tag,
+      |  CAST(levenshtein(substr(p_name, 1, 5), p_brand) AS BIGINT) AS lev
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  private val qDateFuncs: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        datediff(lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")), col("o_orderdate"))
+          .cast("long").as("days_to_99"))
+      .orderBy("o_orderkey")
+
+  private val dateFuncsSql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+      |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00') AS BIGINT) AS days_to_99
+      |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
+  private val qCaseNull: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 100000, "big")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("small").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending")).as("st"))
+      .orderBy("o_orderkey")
+
+  private val caseNullSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 100000 THEN 'big'
+      |       WHEN o_totalprice > 50000 THEN 'mid'
+      |       ELSE 'small' END AS band,
+      |  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS st
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
+  private val qInSubquery: Q = (s, dir) => {
+    val nat = Tables.nation(s, dir)
+      .filter(col("n_regionkey") === 1).select(col("n_nationkey"))
+    Tables.customer(s, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  private val inSubquerySql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val qUnionAll: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val recent = l.filter(col("l_shipdate") >= cut)
+      .select(lit("recent").as("flag"), col("l_extendedprice").as("v"))
+    val old = l.filter(col("l_shipdate") < cut)
+      .select(lit("old").as("flag"), col("l_extendedprice").as("v"))
+    recent.unionAll(old)
+      .groupBy(col("flag"))
+      .agg(Exact.sumExact(col("v")).as("total"), count(lit(1)).as("n"))
+      .orderBy("flag")
+  }
+
+  private val unionAllSql =
+    """SELECT flag, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total, COUNT(*) AS n
+      |FROM (
+      |  SELECT 'recent' AS flag, l_extendedprice AS v FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT 'old', l_extendedprice FROM lineitem
+      |  WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) t GROUP BY flag ORDER BY flag""".stripMargin
+
+  private val qConditionalAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long").as("n_highdisc"),
+        sum(when(col("l_tax") > 0.04, 1).otherwise(0)).cast("long").as("n_hightax"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy("l_returnflag")
+
+  private val conditionalAggSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_highdisc,
+      |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_hightax,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val qNtile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"))
+      .orderBy("o_orderkey")
+  }
+
+  private val ntileSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pr
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val qFirstLast: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val firstLastSql =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_ok,
+      |  last_value(o_orderkey) OVER w AS last_ok
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ text analysis
 
   private val qTokenStats: Q = (s, dir) =>
@@ -544,6 +734,16 @@ object QueryCatalog {
     "q_order_gaps" -> qOrderGaps,
     "q_set_ops" -> qSetOps,
     "q_monthly_orders" -> qMonthlyOrders,
+    "q_cube_orders" -> qCubeOrders,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_string_funcs" -> qStringFuncs,
+    "q_date_funcs" -> qDateFuncs,
+    "q_case_null" -> qCaseNull,
+    "q_in_subquery" -> qInSubquery,
+    "q_union_all" -> qUnionAll,
+    "q_conditional_agg" -> qConditionalAgg,
+    "q_ntile" -> qNtile,
+    "q_first_last" -> qFirstLast,
     "q_token_stats" -> qTokenStats,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
@@ -589,6 +789,16 @@ object QueryCatalog {
     "q_order_gaps" -> orderGapsSql,
     "q_set_ops" -> setOpsSql,
     "q_monthly_orders" -> monthlyOrdersSql,
+    "q_cube_orders" -> cubeOrdersSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_string_funcs" -> stringFuncsSql,
+    "q_date_funcs" -> dateFuncsSql,
+    "q_case_null" -> caseNullSql,
+    "q_in_subquery" -> inSubquerySql,
+    "q_union_all" -> unionAllSql,
+    "q_conditional_agg" -> conditionalAggSql,
+    "q_ntile" -> ntileSql,
+    "q_first_last" -> firstLastSql,
     "q_token_stats" -> tokenStatsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,

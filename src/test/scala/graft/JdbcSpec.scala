@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** S1/S2 against a real JDBC database (embedded Derby, ships with Spark):
+  * the reference's whole staging-table + sequence-modulo + Sqoop apparatus
+  * (`sqoop_table.py:75-104`) reduces to one partitioned `spark.read.jdbc`.
+  */
+class JdbcSpec extends SparkSpec {
+
+  private lazy val url: String = {
+    val dir = Files.createTempDirectory("graft-derby").toString
+    val u = s"jdbc:derby:$dir/db;create=true"
+    val conn = DriverManager.getConnection(u)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE warehouse_t (id BIGINT NOT NULL, month_sid BIGINT, amount DECIMAL(12,2), name VARCHAR(64))")
+    val ps = conn.prepareStatement("INSERT INTO warehouse_t VALUES (?, ?, ?, ?)")
+    (0 until 1000).foreach { i =>
+      ps.setLong(1, i.toLong)
+      ps.setLong(2, 199500L + (i % 12))
+      ps.setBigDecimal(3, new java.math.BigDecimal(s"$i.25"))
+      ps.setString(4, s"row-$i")
+      ps.addBatch()
+    }
+    ps.executeBatch()
+    conn.commit()
+    conn.close()
+    u
+  }
+
+  test("S1: partitioned JDBC read produces numPartitions splits covering all rows") {
+    val df = Sources.jdbcPartitioned(spark, url, "warehouse_t", "id", 0L, 1000L, 8)
+    assert(df.rdd.getNumPartitions == 8) // the NUM_MAPPERS contract
+    assert(df.count() == 1000)
+    // stripes are disjoint + exhaustive: ids unique
+    assert(df.select(countDistinct(col("id"))).head().getLong(0) == 1000)
+  }
+
+  test("S2: full-table JDBC read with pushed filter") {
+    val df = Sources.jdbcFull(spark, url, "warehouse_t")
+      .filter(col("month_sid") === 199501L)
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement()
+      .executeQuery("SELECT COUNT(*) FROM warehouse_t WHERE month_sid = 199501")
+    rs.next()
+    assert(df.count() == rs.getLong(1))
+    conn.close()
+  }
+
+  test("decimal fidelity round-trips the JDBC hop (SURVEY §7 hard part)") {
+    val df = Sources.jdbcFull(spark, url, "warehouse_t")
+    val total = df.agg(sum(col("amount"))).head().getDecimal(0)
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement().executeQuery("SELECT SUM(amount) FROM warehouse_t")
+    rs.next()
+    assert(total.compareTo(rs.getBigDecimal(1)) == 0)
+    conn.close()
+  }
+
+  test("JDBC write-back (the Vertica-external-table read-back role, S9)") {
+    val src = Tables.nation(spark, sf)
+    src.write.mode("overwrite")
+      .jdbc(url, "nation_copy", new java.util.Properties())
+    val back = Sources.jdbcFull(spark, url, "nation_copy")
+    assert(back.count() == src.count())
+    assert(back.select(sum(col("n_nationkey"))).head().getLong(0) ==
+      src.select(sum(col("n_nationkey"))).head().getLong(0))
+  }
+}
