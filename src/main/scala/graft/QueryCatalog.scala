@@ -701,6 +701,33 @@ object QueryCatalog {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** As-of join: each event matched to the user's most recent purchase at or
+    * before it. Times are pre-quantized to epoch-ms BIGINT so both engines
+    * compare identical integers; the right side is pre-aggregated to one row
+    * per (user, ms) for tie determinism.
+    */
+  private val qAsofPurchase: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tms"))
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"))
+      .groupBy(col("user_id"), col("tms"))
+      .agg(max(col("event_id")).as("p_id"))
+    operators.AsofJoin(ev, purchases, key = "user_id", time = "tms", rightCols = Seq("p_id"))
+      .withColumnRenamed("asof_p_id", "p_id")
+      .orderBy("event_id")
+  }
+
+  private val asofPurchaseSql =
+    """SELECT l.event_id, l.user_id, l.tms, r.p_id
+      |FROM (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events) l
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, epoch_ms(ts) AS tms, max(event_id) AS p_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+      |ON l.user_id = r.user_id AND l.tms >= r.tms
+      |ORDER BY l.event_id""".stripMargin
+
   private val qEventsJson: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
@@ -759,6 +786,7 @@ object QueryCatalog {
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
+    "q_asof_purchase" -> qAsofPurchase,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -809,6 +837,7 @@ object QueryCatalog {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_sessionize" -> sessionizeSql,
+    "q_asof_purchase" -> asofPurchaseSql,
     "q_events_json" -> eventsJsonSql)
     // q_doc_fingerprint, q_minhash_neardups, q_simhash_neardups, q_ann_lsh,
     // q_multimodal_features: custom-hash / stub-codec operators with no

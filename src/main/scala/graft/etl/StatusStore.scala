@@ -79,6 +79,12 @@ final class StatusStore(spark: SparkSession, path: String) {
   def append(rows: Seq[BackupStatus]): Unit =
     write(read().union(spark.createDataset(rows)))
 
+  /** M3: `delete from … where key=?` (`sqoop_table.py:68-73`) as
+    * filter-and-rewrite (anti-join semantics on the tiny status set).
+    */
+  def delete(table: String, pid: Long): Unit =
+    write(read().filter(s => !(s.tableName == table && s.primaryPartitionValue == pid)))
+
   /** P5 predicate: pending units for a table (`sqoop_table.py:41`,`:107`). */
   def pending(table: String): Dataset[BackupStatus] =
     read().filter(s => s.tableName == table && !s.isComplete)

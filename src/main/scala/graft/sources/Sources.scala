@@ -51,4 +51,14 @@ object Sources {
     * `sqoop_table.py:158-165`).
     */
   def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  /** A4: split-bound discovery — the reference's boundary query
+    * `select min(rowId), <n> as max` (`sqoop_json.py:31`) generalized to
+    * real min/max of the split column, feeding [[jdbcPartitioned]].
+    */
+  def boundsOf(df: DataFrame, column: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{max, min}
+    val row = df.agg(min(column), max(column)).head()
+    (row.getLong(0), row.getLong(1))
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{EtlRunner, JobConfig}
+import graft.operators.{AsofJoin, CatalogOps, JobLock, SaltedJoin}
+import graft.sources.Sources
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join picks the most recent right row at or before each left time") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 150L), (2L, 99L, 990L))
+      .toDF("k", "t", "rv")
+    val out = AsofJoin(left, right, "k", "t", Seq("rv"))
+      .select("lv", "asof_rv").as[(String, Option[Long])].collect().toMap
+    assert(out("a").contains(100L)) // equal time: right visible
+    assert(out("b").contains(150L)) // latest at-or-before 20 is 15
+    assert(out("c").isEmpty)        // nothing at-or-before 5
+    assert(out("d").isEmpty)        // right row is after left time
+  }
+
+  test("salted join equals the plain join result") {
+    val big = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val small = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = big.join(small, "o_custkey")
+    val salted = SaltedJoin(big, small, "o_custkey", tieBreak = "o_orderkey", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("catalog ops: ddl, columns, external table, drop, files") {
+    val tmp = Files.createTempDirectory("graft-cat").toString
+    val nation = Tables.nation(spark, sf)
+    assert(CatalogOps.columns(nation) == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(CatalogOps.ddl(nation).contains("n_nationkey INT"))
+    nation.write.mode("overwrite").parquet(s"$tmp/nat")
+    assert(!CatalogOps.tableExists(spark, "nat_ext"))
+    CatalogOps.createExternalTable(spark, "nat_ext", s"$tmp/nat", "parquet")
+    assert(CatalogOps.tableExists(spark, "nat_ext"))
+    assert(spark.table("nat_ext").count() == nation.count())
+    CatalogOps.dropTable(spark, "nat_ext")
+    assert(!CatalogOps.tableExists(spark, "nat_ext"))
+    assert(CatalogOps.dropFiles(spark, s"$tmp/nat"))
+    assert(!new java.io.File(s"$tmp/nat").exists())
+  }
+
+  test("job lock: second acquire fails until released") {
+    val tmp = Files.createTempDirectory("graft-lock").toString
+    val l1 = new JobLock(spark, s"$tmp/t.lock")
+    val l2 = new JobLock(spark, s"$tmp/t.lock")
+    assert(l1.acquire())
+    assert(!l2.acquire())
+    l1.release()
+    assert(l2.acquire())
+    l2.release()
+  }
+
+  test("EtlRunner drives a fact + dim config sequence like run_sqoop_job.sh") {
+    val tmp = Files.createTempDirectory("graft-runner").toString
+    val out = EtlRunner.runAll(spark, tmp, Seq(
+      JobConfig(tableName = "orders", numMappers = 2) -> Tables.orders(spark, sf),
+      JobConfig(tableName = "nation", primaryId = "") -> Tables.nation(spark, sf)))
+    assert(out("orders").exists(_.nonEmpty))
+    assert(out("nation").contains(Seq(0L)))
+    assert(spark.read.orc(s"$tmp/data/orders").count() ==
+      Tables.orders(spark, sf).count())
+  }
+
+  test("boundsOf reports min/max for split planning (A4)") {
+    val (lo, hi) = Sources.boundsOf(Tables.orders(spark, sf), "o_orderkey")
+    assert(lo >= 0 && hi > lo)
+  }
+
+  test("status delete removes exactly the targeted unit (M3)") {
+    val tmp = Files.createTempDirectory("graft-del").toString
+    val store = new graft.etl.StatusStore(spark, s"$tmp/status")
+    val t = new java.sql.Timestamp(0L)
+    store.append(Seq(
+      graft.etl.BackupStatus("t", "db", t, None, "m", 1L, isComplete = false, 1),
+      graft.etl.BackupStatus("t", "db", t, None, "m", 2L, isComplete = false, 1)))
+    store.delete("t", 1L)
+    assert(store.read().collect().map(_.primaryPartitionValue).toSeq == Seq(2L))
+  }
+}
