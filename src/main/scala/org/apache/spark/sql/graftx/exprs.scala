@@ -5,7 +5,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
@@ -214,7 +214,53 @@ case class SimHashExpr(child: Expression, shingleLen: Int)
   override def prettyName: String = "simhash64"
 }
 
+/** Intersection size of two SORTED long arrays via linear merge — no hash
+  * set per call, no boxing. Used for Jaccard over pre-hashed token sets:
+  * the generic `array_intersect` builds a hash set per row pair, which
+  * dominates blocked pair-join dedup cost.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.merge(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftx.SortedIntersectSize.merge($a.toLongArray(), $b.toLongArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_size"
+}
+
+object SortedIntersectSize {
+  /** Both inputs must be sorted ascending (duplicates allowed on neither). */
+  def merge(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+}
+
 object Sketches {
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    Bridge.toColumn(SortedIntersectSize(Bridge.toExpr(a), Bridge.toExpr(b)))
+
   def minhash_sig(c: Column, shingleLen: Int, numHashes: Int): Column =
     Bridge.toColumn(MinHashSigExpr(Bridge.toExpr(c), shingleLen, numHashes))
 
