@@ -37,6 +37,18 @@ object Multimodal {
       val feats = Array.tabulate(8)(i => (((h >> (i * 7)) & 0xff).toFloat) / 255f)
       (w, ht, feats)
     }
+
+    /** STUB resample: real impl would decode → scale → re-encode. The fake
+      * derives a (w*h)-proportional deterministic byte payload.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = math.max(1, math.min(w * h / 64, 4096))
+      Array.tabulate(n)(i => bytes(i % math.max(bytes.length, 1)))
+    }
+
+    /** STUB demux: treats every 256-byte block as one "frame". */
+    def frames(bytes: Array[Byte]): Iterator[Array[Byte]] =
+      bytes.grouped(256)
   }
 
   /** Attach a binary payload column to any table (testdata has none, so the
@@ -74,4 +86,45 @@ object Multimodal {
       col("doc_id"),
       octet_length(col("payload")).cast("long").as("byte_len"),
       sha2(col("payload"), 256).as("sha"))
+
+  /** Resized media record: same batch plumbing as [[extractFeatures]]; the
+    * pixel resample inside `FakeCodec.resize` is the stub.
+    */
+  final case class ResizedMedia(docId: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Resize every payload to (w, h). Batch per partition; output schema is
+    * fixed and typed so a downstream writer can bucket by (width, height).
+    */
+  def resize(withBinary: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    val enc = Encoders.product[ResizedMedia]
+    withBinary.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = FakeCodec.resize(r.getAs[Array[Byte]](1), w, h)
+          ResizedMedia(r.getLong(0), w, h, bytes)
+        }
+      }(enc)
+  }
+
+  /** One frame record per sampled frame of a (fake) video payload. */
+  final case class Frame(docId: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** Frame sampling: every `stride`-th frame, exploded to one row per frame
+    * — `flatMap` per partition, so a 2-hour video becomes rows without ever
+    * materializing all frames in memory at once.
+    */
+  def sampleFrames(withBinary: DataFrame, stride: Int): Dataset[Frame] = {
+    val enc = Encoders.product[Frame]
+    withBinary.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          FakeCodec.frames(bytes).zipWithIndex.collect {
+            case (f, i) if i % stride == 0 => Frame(id, i, f)
+          }
+        }
+      }(enc)
+  }
 }

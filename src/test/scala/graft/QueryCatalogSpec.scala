@@ -21,6 +21,33 @@ class QueryCatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("multimodal resize + frame sampling keep row/frame accounting") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(10)
+    val withBin = Multimodal.withPayload(docs)
+    val resized = Multimodal.resize(withBin, 64, 64).collect()
+    assert(resized.length == 10 && resized.forall(r => r.width == 64 && r.payload.nonEmpty))
+    val frames = Multimodal.sampleFrames(withBin, stride = 2)
+    val perDoc = frames.groupBy("docId").count().collect()
+    assert(perDoc.length == 10)
+    // every 2nd 256-byte block: ceil(ceil(len/256)/2) frames per doc
+    val lens = withBin.select(col("doc_id"), octet_length(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    perDoc.foreach { r =>
+      val blocks = (lens(r.getLong(0)) + 255) / 256
+      assert(r.getLong(1) == (blocks + 1) / 2)
+    }
+  }
+
+  test("char shingles produce all length-n substrings distinctly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val s = Seq("abcd").toDF("t")
+      .select(graft.functions.TextFunctions.charShingles(col("t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(s == Seq("abc", "bcd"))
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val docs = Tables.documents(spark, sf).limit(20)
     val a = Multimodal.extractFeatures(Multimodal.withPayload(docs)).collect()
