@@ -453,6 +453,19 @@ object QueryCatalog {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Approximate distinct counts (HLL++) next to exact — sketch aggregates
+    * are the 100 TB answer to COUNT(DISTINCT) over high-cardinality keys.
+    * No oracle: DuckDB's approx sketch differs; accuracy is asserted in
+    * `QueryCatalogSpec` (±5% of exact).
+    */
+  private val qApproxDistinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ text analysis
 
   private val qTokenStats: Q = (s, dir) =>
@@ -769,6 +782,7 @@ object QueryCatalog {
     "q_in_subquery" -> qInSubquery,
     "q_union_all" -> qUnionAll,
     "q_conditional_agg" -> qConditionalAgg,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_ntile" -> qNtile,
     "q_first_last" -> qFirstLast,
     "q_token_stats" -> qTokenStats,

@@ -79,6 +79,15 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup: drop events with a duplicate `event_id` arriving
+    * within the watermark horizon — state is bounded by (horizon × arrival
+    * rate), the streaming analogue of `Dedup.exact`.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drain-then-stop run, the reference's loop semantics: AvailableNow
     * processes everything present, checkpoints, stops.
     */

@@ -17,6 +17,25 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct is within 5% of exact") {
+    QueryCatalog.queries("q_approx_distinct")(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("graft expressions are callable from pure SQL after registration") {
+    import org.apache.spark.sql.graftx.GraftFunctions
+    GraftFunctions.registerAll(spark)
+    Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_sql")
+    val out = spark.sql(
+      """SELECT doc_id, rolling_hash(text) AS fp, simhash64(text) AS sh,
+        |  size(minhash_sig(text)) AS k
+        |FROM docs_sql""".stripMargin).collect()
+    assert(out.length == 5 && out.forall(_.getInt(3) == 24))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
