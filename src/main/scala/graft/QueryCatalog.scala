@@ -466,6 +466,75 @@ object QueryCatalog {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  /** Left-outer aggregate: customers kept with zero orders (COUNT of a
+    * right-side column, not COUNT(*), so unmatched rows count 0).
+    */
+  private val qOuterJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        Exact.sumExact(coalesce(col("o_totalprice"), lit(0.0))).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  private val outerJoinSql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Exact interpolated percentiles (median / p90) — both engines implement
+    * the linear-interpolation definition, so doubles match bit-for-bit.
+    */
+  private val qPercentiles: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("o_orderstatus")
+
+  private val percentilesSql =
+    """SELECT o_orderstatus,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median,
+      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Sliding windows (1 h window, 30 min slide) via explicit epoch-ms window
+    * math — symmetric in both engines (each event lands in exactly 2
+    * windows). The Structured-Streaming `window()` equivalent is exercised
+    * in `StreamingSpec`; this batch twin is the oracle-checkable one.
+    */
+  private val qEventsSliding: Q = (s, dir) => {
+    val slide = 1800000L
+    val win = 3600000L
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), unix_millis(col("ts")).as("tms"))
+      .withColumn("win_start",
+        explode(array(
+          (col("tms") - pmod(col("tms"), lit(slide))).as("w0"),
+          (col("tms") - pmod(col("tms"), lit(slide)) - lit(slide)))))
+      .filter(col("tms") < col("win_start") + lit(win) && col("tms") >= col("win_start"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("value")).as("total_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  private val eventsSlidingSql =
+    """SELECT win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT event_type, value, tms,
+      |    unnest([tms - (tms % 1800000), tms - (tms % 1800000) - 1800000]) AS win_start
+      |  FROM (SELECT event_type, value, epoch_ms(ts) AS tms FROM events) e
+      |) w
+      |WHERE tms < win_start + 3600000 AND tms >= win_start
+      |GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   // ------------------------------------------------------------ text analysis
 
   private val qTokenStats: Q = (s, dir) =>
@@ -783,6 +852,9 @@ object QueryCatalog {
     "q_union_all" -> qUnionAll,
     "q_conditional_agg" -> qConditionalAgg,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_outer_join" -> qOuterJoin,
+    "q_percentiles" -> qPercentiles,
+    "q_events_sliding" -> qEventsSliding,
     "q_ntile" -> qNtile,
     "q_first_last" -> qFirstLast,
     "q_token_stats" -> qTokenStats,
@@ -841,6 +913,9 @@ object QueryCatalog {
     "q_conditional_agg" -> conditionalAggSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,
+    "q_outer_join" -> outerJoinSql,
+    "q_percentiles" -> percentilesSql,
+    "q_events_sliding" -> eventsSlidingSql,
     "q_token_stats" -> tokenStatsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,

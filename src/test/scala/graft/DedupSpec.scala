@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, MinHashMerge, MinHashMergeOps}
 import graft.functions.TextFunctions
 
 /** Dedup operators: exactness, MinHash recall vs exact Jaccard, SimHash. */
@@ -62,6 +62,32 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.simHashNearDups(docsWithDups, maxHamming = 16)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(out.exists { case (a, b) => b == a + 100000L }, s"got: $out")
+  }
+
+  test("MinHashMerge aggregator: sig(A ∪ B) = min(sigA, sigB); incremental = batch") {
+    import org.apache.spark.sql.functions.udaf
+    val docs = Tables.documents(spark, sf).limit(40)
+    val sigs = docs.select(col("lang"),
+      Dedup.minHashSignature(col("text"), 2, 16).as("sig"))
+    val mergeUdaf = udaf(MinHashMerge)
+    // batch: merge everything per lang
+    val batch = sigs.groupBy("lang").agg(mergeUdaf(col("sig")).as("msig"))
+      .as[(String, Array[Long])].collect().toMap
+    // incremental: merge two halves, then combine
+    val h1 = sigs.limit(20).groupBy("lang").agg(mergeUdaf(col("sig")).as("m"))
+      .as[(String, Array[Long])].collect().toMap
+    val rest = sigs.exceptAll(sigs.limit(20)).groupBy("lang")
+      .agg(mergeUdaf(col("sig")).as("m")).as[(String, Array[Long])].collect().toMap
+    batch.foreach { case (lang, want) =>
+      val a = h1.getOrElse(lang, Array.empty[Long])
+      val b = rest.getOrElse(lang, Array.empty[Long])
+      val got = if (a.isEmpty) b else if (b.isEmpty) a
+        else a.zip(b).map { case (x, y) => math.min(x, y) }
+      assert(got.sameElements(want), s"lang=$lang")
+    }
+    // estimator bounds
+    val any = batch.values.head
+    assert(MinHashMergeOps.estimateJaccard(any, any) == 1.0)
   }
 
   test("ngram jaccard finds the planted clones at high threshold") {
