@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{IncrementalBackup, JobConfig, StatusStore}
+import graft.sources.Bucketing
+
+/** Physical-plan assertions: the shuffle/pruning behavior SCALE.md claims. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bucketed join on the bucket key plans without a shuffle exchange") {
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 4)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "lineitem_b", "o_orderkey", 4)
+    val joined = Bucketing.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+    val p = plan(joined)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$p")
+    assert(joined.count() == Tables.lineitem(spark, sf).count())
+    // contrast: the same join on plain parquet DOES shuffle (or broadcasts)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+
+  test("ETL read-back prunes partitions on the pid filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val cfg = JobConfig(tableName = "orders", numMappers = 2)
+    val job = new IncrementalBackup(spark, cfg,
+      new StatusStore(spark, s"$tmp/status"), s"$tmp/dest")
+    job.run(Tables.orders(spark, sf))
+    val back = job.readBack()
+    val minPid = back.agg(min("pid")).head().get(0).asInstanceOf[Number].longValue()
+    val one = back.filter(col("pid") === minPid)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("pid"),
+      s"expected partition pruning:\n$scan")
+    assert(one.count() > 0 && one.count() < back.count())
+  }
+
+  test("filter + projection reach the parquet scan (pushdown)") {
+    val q = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .select("l_orderkey", "l_quantity")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("order-by-limit plans as top-k (TakeOrderedAndProject), not a global sort") {
+    val q = Tables.orders(spark, sf).orderBy("o_totalprice").limit(1)
+    assert(plan(q).contains("TakeOrderedAndProject"))
+  }
+
+  test("dim joins broadcast (checked on the final adaptive plan)") {
+    val df = QueryCatalog.queries("q5_region_revenue")(spark, sf)
+    df.count() // materialize so AQE finalizes the plan
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+}
