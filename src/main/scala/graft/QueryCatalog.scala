@@ -535,6 +535,64 @@ object QueryCatalog {
       |GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** Grouped collection: per-customer sorted order list, stringified so the
+    * cross-engine compare sees a scalar (array cell formatting differs).
+    */
+  private val qCollectList: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 20)
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",", array_sort(collect_list(col("o_orderkey")))).as("order_ids"))
+      .orderBy("o_custkey")
+
+  private val collectListSql =
+    """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids
+      |FROM orders WHERE o_custkey <= 20
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  private val qRegex: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "[0-9]+", 0).cast("long").as("brand_num"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"))
+      .orderBy("p_partkey")
+
+  private val regexSql =
+    """SELECT p_partkey,
+      |  CAST(regexp_extract(p_brand, '[0-9]+') AS BIGINT) AS brand_num,
+      |  regexp_extract(p_name, '^[a-z]+') AS first_word
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** RANGE frame: trailing-30-day spend per customer (peers at the same day
+    * aggregate together, so the result is tie-insensitive).
+    */
+  private val qRangeFrame: Q = (s, dir) => {
+    val dayNum = datediff(col("o_orderdate"),
+      lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_num"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("day_num", dayNum.cast("long"))
+      .withColumn("trailing_30d",
+        sum(Exact.dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"), col("trailing_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val rangeFrameSql =
+    """SELECT o_custkey, o_orderkey, day_num,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY day_num
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS BIGINT) AS day_num
+      |  FROM orders WHERE o_custkey <= 100) t
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ text analysis
 
   private val qTokenStats: Q = (s, dir) =>
@@ -855,6 +913,9 @@ object QueryCatalog {
     "q_outer_join" -> qOuterJoin,
     "q_percentiles" -> qPercentiles,
     "q_events_sliding" -> qEventsSliding,
+    "q_collect_list" -> qCollectList,
+    "q_regex" -> qRegex,
+    "q_range_frame" -> qRangeFrame,
     "q_ntile" -> qNtile,
     "q_first_last" -> qFirstLast,
     "q_token_stats" -> qTokenStats,
@@ -916,6 +977,9 @@ object QueryCatalog {
     "q_outer_join" -> outerJoinSql,
     "q_percentiles" -> percentilesSql,
     "q_events_sliding" -> eventsSlidingSql,
+    "q_collect_list" -> collectListSql,
+    "q_regex" -> regexSql,
+    "q_range_frame" -> rangeFrameSql,
     "q_token_stats" -> tokenStatsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
