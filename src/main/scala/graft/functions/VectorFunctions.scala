@@ -25,8 +25,18 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double — native single-pass expression
+    * ([[org.apache.spark.sql.graftx.CosineSim]]). Bit-identical to
+    * [[cosineHof]] (same widen-then-fold order); kept as the default because
+    * it traverses each array once instead of six generic evaluator passes.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.VectorExprs.cosine_sim(a, b)
+
+  /** Reference formulation via higher-order built-ins (equality-tested
+    * against [[cosine]]).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */
   def l2Sq(a: Column, b: Column): Column =
@@ -48,7 +58,13 @@ object VectorFunctions {
     * At 100 TB this turns the O(n²) similarity self-join into a per-bucket
     * join: hash-partition by bucket, compare only within buckets.
     */
-  def lshBucket(vec: Column): Column = {
+  def lshBucket(vec: Column): Column =
+    org.apache.spark.sql.graftx.VectorExprs.lsh_bucket(vec, LshBits)
+
+  /** Reference formulation via higher-order built-ins (equality-tested
+    * against [[lshBucket]]).
+    */
+  def lshBucketHof(vec: Column): Column = {
     val v = asDouble(vec)
     val bits = (0 until LshBits).map { h =>
       val proj = aggregate(

@@ -43,6 +43,50 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("native cosine/lshBucket are bit-identical to the HOF formulations") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib") && col("ia") < 10)
+    val diff = pairs.select(
+      VectorFunctions.cosine(col("ea"), col("eb")).as("native"),
+      VectorFunctions.cosineHof(col("ea"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+    val bdiff = emb.select(
+      VectorFunctions.lshBucket(col("embedding")).as("n"),
+      VectorFunctions.lshBucketHof(col("embedding")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bdiff == 0)
+  }
+
+  test("opt-in optimizer rule rewrites naive cosine cross join to LSH equi-join") {
+    import org.apache.spark.sql.graftx.RewriteCosineSelfJoin
+    val emb = Tables.embeddings(spark, sf)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    def naive = a.crossJoin(b)
+      .filter(VectorFunctions.cosine(col("emb_a"), col("emb_b")) >= 0.2 &&
+        col("vec_a") < col("vec_b"))
+    val exact = naive.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+
+    spark.experimental.extraOptimizations ++= Seq(RewriteCosineSelfJoin)
+    spark.conf.set("spark.graft.similarity.rewrite", "true")
+    try {
+      val plan = naive.queryExecution.optimizedPlan.toString
+      assert(plan.contains("lsh_bucket"), s"rewrite did not fire:\n$plan")
+      val rewritten = naive.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(rewritten.subsetOf(exact)) // approximation: only drops pairs
+      assert(rewritten.nonEmpty)
+      // and it agrees with the hand-written blocked operator
+      val manual = Similarity.cosineNearDups(emb, 0.2)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(rewritten == manual)
+    } finally {
+      spark.conf.set("spark.graft.similarity.rewrite", "false")
+    }
+  }
+
   test("lsh bucket is deterministic and within range") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(VectorFunctions.lshBucket(col("embedding")).as("b")).as[Long].collect()
