@@ -14,7 +14,7 @@ object Bench {
     // session init cost (flagship on the smallest SF touches the same
     // read/agg machinery)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = (SparkEntry.queries -- QueryCatalog.benchExcluded).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -263,6 +263,30 @@ object QueryCatalog {
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The WHOLE reference job as a correctness-gated query: run the
+    * incremental partition-by-partition backup (discover → copy oldest-first
+    * → mark complete, tuned ORC output), then aggregate the READ-BACK files
+    * per partition. The oracle aggregates the source directly — they match
+    * iff every partition was copied exactly once and read back losslessly.
+    */
+  private val qEtlBackup: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl-q").toString
+    val cfg = etl.JobConfig(tableName = "orders", numMappers = 4)
+    val job = new etl.IncrementalBackup(
+      s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
+    job.run(Tables.orders(s, dir))
+    job.readBack()
+      .groupBy(col("pid").cast("long").as("month_sid"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("month_sid")
+  }
+
+  private val etlBackupSql =
+    s"""SELECT $monthSidSql AS month_sid, COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ analytics (extended ops)
 
   private val qCubeOrders: Q = (s, dir) =>
@@ -883,7 +907,13 @@ object QueryCatalog {
 
   // ------------------------------------------------------------ registry
 
+  /** Pipelines excluded from Bench timing (they write files in a many-job
+    * loop; Verify still correctness-gates them).
+    */
+  val benchExcluded: Set[String] = Set("q_etl_backup")
+
   val queries: Map[String, Q] = Map(
+    "q_etl_backup" -> qEtlBackup,
     "q_partition_discovery" -> qPartitionDiscovery,
     "q_oldest_pending" -> qOldestPending,
     "q_partition_rowcount" -> qPartitionRowcount,
@@ -937,6 +967,7 @@ object QueryCatalog {
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
+    "q_etl_backup" -> etlBackupSql,
     "q_partition_discovery" -> partitionDiscoverySql,
     "q_oldest_pending" -> (partitionDiscoverySql.replace("ORDER BY d.month_sid", "ORDER BY d.month_sid LIMIT 1")),
     "q_partition_rowcount" ->
