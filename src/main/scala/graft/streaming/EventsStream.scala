@@ -79,6 +79,28 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to the same user's
+    * clicks in the preceding 30 minutes. Both sides watermarked, and the
+    * join condition bounds event-time distance — Spark uses the bound to
+    * expire join state, so state is (watermark + interval) × arrival rate,
+    * not unbounded history.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming exact dedup: drop events with a duplicate `event_id` arriving
     * within the watermark horizon — state is bounded by (horizon × arrival
     * rate), the streaming analogue of `Dedup.exact`.

@@ -8,6 +8,43 @@ import graft.streaming.EventsStream
 
 class StreamingDedupSpec extends SparkSpec {
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    val src = EventsStream.readEvents(spark, sf)
+    val joined = EventsStream.clickAttribution(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ck")
+      .start()
+    q.awaitTermination()
+    val got = spark.table("attr_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch ground truth with identical predicates
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("purchase_ts"))
+    val want = c.join(p,
+      col("user_id") === col("pu") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // append-mode emits pairs whose watermark closed; everything emitted must
+    // be correct, and most of the batch result must be present
+    assert(got.subsetOf(want))
+    assert(got.size >= want.size / 2, s"got ${got.size} of ${want.size}")
+  }
+
   test("streaming dedup within watermark drops re-delivered event ids") {
     val tmp = Files.createTempDirectory("graft-sdedup").toString
     // duplicate the source files: same event_ids delivered twice in one batch
