@@ -617,6 +617,47 @@ object QueryCatalog {
       |  FROM orders WHERE o_custkey <= 100) t
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Correlated scalar subquery — via the SQL entry point; Catalyst
+    * decorrelates it into an aggregate + left outer join (no per-row
+    * re-execution, unlike the reference's per-partition probe loops).
+    */
+  private val qScalarSubquery: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_sq")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT c_custkey,
+        |  CAST((SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |        FROM orders_sq WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order
+        |FROM customer_sq WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val scalarSubquerySql =
+    """SELECT c_custkey,
+      |  CAST((SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |        FROM orders WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order
+      |FROM customer WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Pivot: status columns per order-year. The oracle expresses the same
+    * result as conditional aggregation (engine-portable pivot form).
+    */
+  private val qPivot: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("yr")
+
+  private val pivotSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ text analysis
 
   private val qTokenStats: Q = (s, dir) =>
@@ -946,6 +987,8 @@ object QueryCatalog {
     "q_collect_list" -> qCollectList,
     "q_regex" -> qRegex,
     "q_range_frame" -> qRangeFrame,
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_pivot" -> qPivot,
     "q_ntile" -> qNtile,
     "q_first_last" -> qFirstLast,
     "q_token_stats" -> qTokenStats,
@@ -1011,6 +1054,8 @@ object QueryCatalog {
     "q_collect_list" -> collectListSql,
     "q_regex" -> regexSql,
     "q_range_frame" -> rangeFrameSql,
+    "q_scalar_subquery" -> scalarSubquerySql,
+    "q_pivot" -> pivotSql,
     "q_token_stats" -> tokenStatsSql,
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
