@@ -9,7 +9,7 @@ import graft.functions.{Exact, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.graftx.RollingHash.rolling_hash
 import graft.multimodal.Multimodal
 import graft.operators.ReferenceOps
-import graft.similarity.Similarity
+import graft.similarity.{KMeansIvf, Similarity}
 
 /** The declared query surface: one entry per operator from SURVEY.md §2 plus
   * the north-star training-data-pipeline operators, each with (where SQL can
@@ -776,6 +776,32 @@ object QueryCatalog {
     Dedup.simHashNearDups(Tables.documents(s, dir), maxHamming = 6)
       .orderBy("doc_a", "doc_b")
 
+  /** The composed training-data flow (quality filter → exact dedup →
+    * per-language accounting) gated through the oracle end-to-end.
+    */
+  private val qTrainingPipeline: Q = (s, dir) =>
+    graft.pipeline.TrainingDataPipeline.summary(Tables.documents(s, dir))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+
+  private val trainingPipelineSql =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stopListSql, t))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+       |  FROM documents
+       |), ok AS (
+       |  SELECT * FROM q
+       |  WHERE NOT (n_tokens < 5) AND NOT (ttr < 0.3) AND NOT (stop_ratio > 0.5)
+       |), canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM ok GROUP BY text
+       |)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM ok JOIN canon USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ embeddings
 
   /** DuckDB dot product mirroring VectorFunctions.dot's exact fold order:
@@ -834,6 +860,15 @@ object QueryCatalog {
   private val qAnnLsh: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  /** k-means IVF ANN (deterministic fit: lowest-id init, 3 Lloyd's iters). */
+  private val qAnnIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = KMeansIvf.fit(emb, k = 16, iters = 3)
+    KMeansIvf.search(KMeansIvf.index(emb, centroids),
+      emb.filter(col("vec_id") < 5), centroids, k = 5, nprobe = 4)
       .orderBy("query_id", "rk")
   }
 
@@ -995,6 +1030,7 @@ object QueryCatalog {
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
     "q_exact_dedup" -> qExactDedup,
+    "q_training_pipeline" -> qTrainingPipeline,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_minhash_neardups" -> qMinhashNearDups,
@@ -1002,6 +1038,7 @@ object QueryCatalog {
     "q_cosine_topk" -> qCosineTopk,
     "q_embedding_neardups" -> qEmbeddingNearDups,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
@@ -1060,6 +1097,7 @@ object QueryCatalog {
     "q_text_quality" -> textQualitySql,
     "q_lang_id" -> langIdSql,
     "q_exact_dedup" -> exactDedupSql,
+    "q_training_pipeline" -> trainingPipelineSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_embedding_neardups" -> embeddingNearDupsSql,

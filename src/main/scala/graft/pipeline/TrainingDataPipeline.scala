@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+
+/** The composed training-data preparation flow — what a user of this engine
+  * actually runs over 100 TB of raw documents:
+  *
+  *   quality filter → exact dedup (keep canonical doc) → language routing →
+  *   partitioned columnar output.
+  *
+  * Every stage is a DataFrame transform from the operator library; the whole
+  * flow is one shuffle (the dedup aggregate) plus the write. Output is
+  * partitioned by language so downstream per-language training jobs
+  * partition-prune their scans.
+  */
+object TrainingDataPipeline {
+
+  /** Quality gate: keep docs labeled "ok" by the cheap heuristics. */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docs.filter(TextFunctions.qualityLabel(col("text")) === "ok")
+
+  /** Exact dedup keeping the lowest doc_id per identical text (joins the
+    * canonical ids back to recover full rows; the aggregate carries only
+    * (text-hash, id) pairs at scale via [[Dedup.exactByFingerprint]]).
+    */
+  def dedupKeepCanonical(docs: DataFrame): DataFrame = {
+    val canon = Dedup.exact(docs).select(col("canonical_id").as("doc_id"))
+    docs.join(canon, "doc_id")
+  }
+
+  /** Full flow to a partitioned parquet layout. */
+  def run(docs: DataFrame, outDir: String): Unit =
+    dedupKeepCanonical(qualityFilter(docs))
+      .write.mode("overwrite")
+      .partitionBy("lang")
+      .parquet(outDir)
+
+  /** Per-language accounting of the surviving corpus (the oracle-checkable
+    * summary of the whole flow).
+    */
+  def summary(docs: DataFrame): DataFrame =
+    dedupKeepCanonical(qualityFilter(docs))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      .orderBy("lang")
+}

@@ -106,11 +106,100 @@ object LshBucketExpr {
   }
 }
 
+/** Index of the nearest centroid (squared-L2) for an `array<float>` vector.
+  * Centroids ride along as a plan reference object (broadcast with the
+  * serialized plan — KBs for k≲1000), so assignment is a map-only pass with
+  * no join.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.nearest(input.asInstanceOf[ArrayData].toFloatArray(), centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftx.NearestCentroid.nearest($c.toFloatArray(), $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid"
+}
+
+object NearestCentroid {
+  def distSq(v: Array[Float], c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < v.length && i < c.length) {
+      val x = v(i).toDouble - c(i)
+      d += x * x
+      i += 1
+    }
+    d
+  }
+
+  def nearest(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val d = distSq(v, centroids(j))
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Indices of the `nprobe` nearest centroids, ascending by distance. */
+  def nearestN(v: Array[Float], centroids: Array[Array[Double]], nprobe: Int): Array[Int] =
+    centroids.indices
+      .sortBy(j => distSq(v, centroids(j)))
+      .take(nprobe).toArray
+}
+
+/** The `nprobe` nearest centroid indices as `array<int>` (for query-side
+  * multi-cluster probing).
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      NearestCentroid.nearestN(
+        input.asInstanceOf[ArrayData].toFloatArray(), centroids, nprobe))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"org.apache.spark.sql.graftx.NearestCentroid.nearestN($c.toFloatArray(), $ref, $nprobe))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroids"
+}
+
 object VectorExprs {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.toColumn(CosineSim(Bridge.toExpr(a), Bridge.toExpr(b)))
   def lsh_bucket(c: Column, bits: Int): Column =
     Bridge.toColumn(LshBucketExpr(Bridge.toExpr(c), bits))
+  def nearest_centroid(c: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.toColumn(NearestCentroid(Bridge.toExpr(c), centroids))
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    Bridge.toColumn(NearestCentroids(Bridge.toExpr(c), centroids, nprobe))
 }
 
 /** OPT-IN optimizer rule: rewrite a cosine-threshold filter over a cross/

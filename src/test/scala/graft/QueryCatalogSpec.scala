@@ -67,6 +67,18 @@ class QueryCatalogSpec extends SparkSpec {
     assert(s == Seq("abc", "bcd"))
   }
 
+  test("training pipeline writes a lang-partitioned corpus that prunes on lang") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tdp").toString
+    graft.pipeline.TrainingDataPipeline.run(Tables.documents(spark, sf), tmp)
+    val back = spark.read.parquet(tmp)
+    val one = back.filter(col("lang") === "en")
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val summary = graft.pipeline.TrainingDataPipeline.summary(Tables.documents(spark, sf))
+    val wantEn = summary.filter(col("lang") === "en").head().getLong(1)
+    assert(one.count() == wantEn)
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val docs = Tables.documents(spark, sf).limit(20)
     val a = Multimodal.extractFeatures(Multimodal.withPayload(docs)).collect()

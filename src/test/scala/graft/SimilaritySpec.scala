@@ -87,6 +87,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF: deterministic fit, correct probing, useful recall") {
+    import graft.similarity.KMeansIvf
+    val emb = Tables.embeddings(spark, sf)
+    val cent1 = KMeansIvf.fit(emb, k = 16, iters = 3)
+    val cent2 = KMeansIvf.fit(emb, k = 16, iters = 3)
+    assert(cent1.length == 16)
+    assert(cent1.map(_.toSeq).toSeq == cent2.map(_.toSeq).toSeq) // deterministic
+    val indexed = KMeansIvf.index(emb, cent1)
+    assert(indexed.select("cluster").distinct().count() <= 16)
+    val q = emb.filter(col("vec_id") < 10)
+    val got = KMeansIvf.search(indexed, q, cent1, k = 10, nprobe = 4)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+    val gotSet = got.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bruteSet = brute.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.groupBy("query_id").count().collect().forall(_.getLong(1) <= 10))
+    val recall = (gotSet intersect bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.2, s"recall=$recall") // 4/16 clusters probed on random data
+  }
+
   test("lsh bucket is deterministic and within range") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(VectorFunctions.lshBucket(col("embedding")).as("b")).as[Long].collect()
