@@ -968,6 +968,42 @@ object QueryCatalog {
       |ON l.user_id = r.user_id AND l.tms >= r.tms
       |ORDER BY l.event_id""".stripMargin
 
+  /** Native session windows (30-min gap) — cross-validated against the
+    * manual gaps-and-islands formulation in the oracle (session end =
+    * last event + gap, Spark's `session_window` semantics).
+    */
+  private val qSessionWindow: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), Exact.sumExact(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_ms")
+
+  private val sessionWindowSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, tms, value,
+      |    CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) >= 1800000
+      |           OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |), sess AS (
+      |  SELECT user_id, tms, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(MIN(tms) AS BIGINT) AS start_ms,
+      |  CAST(MAX(tms) + 1800000 AS BIGINT) AS end_ms,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
+
   private val qEventsJson: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
@@ -1043,6 +1079,7 @@ object QueryCatalog {
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
+    "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
     "q_events_json" -> qEventsJson)
 
@@ -1104,6 +1141,7 @@ object QueryCatalog {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_sessionize" -> sessionizeSql,
+    "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,
     "q_events_json" -> eventsJsonSql)
     // q_doc_fingerprint, q_minhash_neardups, q_simhash_neardups, q_ann_lsh,

@@ -92,6 +92,34 @@ final class IncrementalBackup(
     copied
   }
 
+  /** Bulk variant of the drain loop: ONE job writes every pending partition
+    * via `partitionBy(pid)` instead of a job per partition. At 100 TB this
+    * is the first-load / backfill path (the per-partition loop is the
+    * steady-state incremental path — its unit of retry matches the
+    * reference's, `sqoop_etl.py:77-83`). Partition dirs land identically to
+    * [[copyPartition]], so the two modes interoperate and `readBack` is
+    * unchanged.
+    */
+  def runBulk(source: DataFrame): Seq[Long] = {
+    discover(source)
+    val pending = status.pending(cfg.tableName).collect()
+      .map(_.primaryPartitionValue).sorted.toSeq
+    if (pending.nonEmpty) {
+      val withPid = source.withColumn("pid", pidCol(source))
+        .filter(col("pid").isin(pending: _*))
+      withPid
+        .repartition(cfg.numMappers, col("pid"))
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .format(cfg.outputFileFormat)
+        .option("compression", cfg.compression)
+        .save(s"$destRoot/${cfg.tableName}")
+      val t = now()
+      pending.foreach(p => status.markComplete(cfg.tableName, p, t))
+    }
+    pending
+  }
+
   /** Read the backup back (the reference's Vertica external-table read-back,
     * `sqoop_table.py:158-165`).
     */
