@@ -239,6 +239,41 @@ object QueryCatalog {
     f.intersect(open).except(urgent).orderBy("o_custkey")
   }
 
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep multiplicity). */
+  private val qSetOpsAll: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    f.intersectAll(open).exceptAll(urgent)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+  }
+
+  private val setOpsAllSql =
+    """SELECT o_custkey, COUNT(*) AS multiplicity FROM (
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |   INTERSECT ALL
+      |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |) t GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** NOT IN (null-aware anti join) via the SQL surface. */
+  private val qNotIn: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_ni")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_ni")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_ni
+        |WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation_ni WHERE n_regionkey <= 1)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val notInSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+      |ORDER BY c_custkey""".stripMargin
+
   private val setOpsSql =
     """SELECT o_custkey FROM (
       |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -1042,6 +1077,8 @@ object QueryCatalog {
     "q_running_revenue" -> qRunningRevenue,
     "q_order_gaps" -> qOrderGaps,
     "q_set_ops" -> qSetOps,
+    "q_set_ops_all" -> qSetOpsAll,
+    "q_not_in" -> qNotIn,
     "q_monthly_orders" -> qMonthlyOrders,
     "q_cube_orders" -> qCubeOrders,
     "q_grouping_sets" -> qGroupingSets,
@@ -1111,6 +1148,8 @@ object QueryCatalog {
     "q_running_revenue" -> runningRevenueSql,
     "q_order_gaps" -> orderGapsSql,
     "q_set_ops" -> setOpsSql,
+    "q_set_ops_all" -> setOpsAllSql,
+    "q_not_in" -> notInSql,
     "q_monthly_orders" -> monthlyOrdersSql,
     "q_cube_orders" -> cubeOrdersSql,
     "q_grouping_sets" -> groupingSetsSql,
