@@ -798,6 +798,86 @@ object QueryCatalog {
       |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-dup pairs → duplicate GROUPS: connected components over the
+    * Jaccard pair graph; each doc labeled with its cluster's min doc_id
+    * (= the representative an actual dedup would keep).
+    */
+  private val qDedupClusters: Q = (s, dir) => {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
+    graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** CC oracle: the SAME pair query as `ngramJaccardSql`, then transitive
+    * closure via recursive CTE, label = min reachable id (incl. self).
+    */
+  private val dedupClustersSql = {
+    val pairs = ngramJaccardSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairs
+       |),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach(u, v) AS (SELECT u, v FROM edges
+       |                UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus token frequency (top-100): the explode/Generator surface — the
+    * wordcount every text pipeline starts from. Ties broken by token so the
+    * LIMIT cut is deterministic.
+    */
+  private val qWordFreq: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+
+  private val wordFreqSql =
+    """SELECT token, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |WHERE token <> '' GROUP BY token
+      |ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+
+  /** Deterministic hash-based train/validation/test split — the assignment
+    * must be a pure function of the key (not a random sample) so it is stable
+    * across reruns, engines, and cluster sizes. Bucket = first 4 hex chars of
+    * md5(doc_id) mod 100; 80/10/10.
+    */
+  private val qHashSplit: Q = (s, dir) => {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .orderBy("split")
+  }
+
+  /** Oracle for the md5 bucket: DuckDB 1.0 has no base-16 conv(), so the hex
+    * value is rebuilt digit-by-digit — generated here so both sides share the
+    * same 4-hex-char window and modulus.
+    */
+  private val hashSplitSql = {
+    def hexDigit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val bucket = s"((${hexDigit(1)}*4096 + ${hexDigit(2)}*256 + " +
+      s"${hexDigit(3)}*16 + ${hexDigit(4)}) % 100)"
+    s"""SELECT CASE WHEN $bucket < 80 THEN 'train'
+       |            WHEN $bucket < 90 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   private val qDocFingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
@@ -1105,6 +1185,9 @@ object QueryCatalog {
     "q_exact_dedup" -> qExactDedup,
     "q_training_pipeline" -> qTrainingPipeline,
     "q_ngram_jaccard" -> qNgramJaccard,
+    "q_dedup_clusters" -> qDedupClusters,
+    "q_word_freq" -> qWordFreq,
+    "q_hash_split" -> qHashSplit,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -1175,6 +1258,9 @@ object QueryCatalog {
     "q_exact_dedup" -> exactDedupSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_word_freq" -> wordFreqSql,
+    "q_hash_split" -> hashSplitSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_embedding_neardups" -> embeddingNearDupsSql,
     "q_multimodal_meta" -> multimodalMetaSql,

@@ -87,4 +87,36 @@ class OperatorsSpec extends SparkSpec {
     store.delete("t", 1L)
     assert(store.read().collect().map(_.primaryPartitionValue).toSeq == Seq(2L))
   }
+
+  test("connected components labels every node with its component's min id") {
+    // two chains (path graphs — worst case for plain propagation), one
+    // triangle with a duplicate + reversed edge, one isolated pair
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), // chain {1..5}
+      (10L, 11L), (11L, 10L), (11L, 12L), (10L, 12L), // triangle {10,11,12}
+      (20L, 21L), // pair
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L)) // chain {30..35}
+      .toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = (1L to 5L).map(_ -> 1L).toMap ++
+      Seq(10L, 11L, 12L).map(_ -> 10L) ++
+      Seq(20L -> 20L, 21L -> 20L) ++
+      (30L to 35L).map(_ -> 30L)
+    assert(got == want)
+  }
+
+  test("dedup clusters: pair endpoints share a cluster labeled by its min id") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.6)
+    val cc = graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val pairRows = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) => assert(cc(a) == cc(b)) }
+    // every cluster label is a member of its own cluster and is the min
+    cc.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
 }
