@@ -878,6 +878,106 @@ object QueryCatalog {
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  /** Batch band join via `operators.RangeJoin`: purchases paired with the
+    * same user's clicks in the preceding hour — the batch twin of the
+    * stream-stream interval join, but as a bucketed hash join instead of the
+    * broadcast-nested-loop Spark would plan for the raw theta predicate.
+    */
+  private val qRangeJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val counted = graft.operators.RangeJoin(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts", -3600L, 0L)
+      .groupBy("event_id").agg(count(lit(1)).as("prior_clicks"))
+    purchases.select("event_id").join(counted, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("prior_clicks"), lit(0L)).as("prior_clicks"))
+      .orderBy("event_id")
+  }
+
+  private val rangeJoinSql =
+    """SELECT p.event_id, COUNT(c.event_id) AS prior_clicks
+      |FROM events p LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+
+  /** TF-IDF top-3 terms per document. Spark's codegen routes log through
+    * StrictMath (fdlibm), which differs from DuckDB's ln by 1 ulp on some
+    * inputs — so the score is rounded to 6 dp on BOTH sides before ranking
+    * (ulp noise can't cross a 1e-6 boundary; near-ties fall to the token
+    * tie-break identically on both engines).
+    */
+  private val qTfidf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log((col("n_docs") + lit(1)).cast("double") /
+          (col("df") + lit(1)).cast("double")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfSql =
+    """WITH tok AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents) u
+      |  WHERE token <> ''),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |total AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token,
+      |    round(CAST(tf AS DOUBLE) *
+      |      ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN total),
+      |ranked AS (
+      |  SELECT doc_id, token, tfidf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, token) AS BIGINT) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, token, tfidf FROM ranked
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Deterministic per-class downsampling (class rebalancing): cap every
+    * language at 50 docs, chosen by md5 order — a pure function of the key,
+    * so the sample is identical on any engine or cluster size.
+    */
+  private val qStratifiedSample: Q = (s, dir) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT lang, rk, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
+
   private val qDocFingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
@@ -1188,6 +1288,9 @@ object QueryCatalog {
     "q_dedup_clusters" -> qDedupClusters,
     "q_word_freq" -> qWordFreq,
     "q_hash_split" -> qHashSplit,
+    "q_range_join" -> qRangeJoin,
+    "q_tfidf" -> qTfidf,
+    "q_stratified_sample" -> qStratifiedSample,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -1261,6 +1364,9 @@ object QueryCatalog {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_word_freq" -> wordFreqSql,
     "q_hash_split" -> hashSplitSql,
+    "q_range_join" -> rangeJoinSql,
+    "q_tfidf" -> tfidfSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_embedding_neardups" -> embeddingNearDupsSql,
     "q_multimodal_meta" -> multimodalMetaSql,

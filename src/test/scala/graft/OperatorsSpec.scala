@@ -88,6 +88,27 @@ class OperatorsSpec extends SparkSpec {
     assert(store.read().collect().map(_.primaryPartitionValue).toSeq == Seq(2L))
   }
 
+  test("range join equals the naive theta join and plans no nested loop") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val banded = graft.operators.RangeJoin(purchases, clicks, Seq("user_id"),
+      "ts", "click_ts", -3600L, 0L)
+    val naive = purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        clicks("click_ts") >= purchases("ts") - expr("INTERVAL 1 HOUR") &&
+        clicks("click_ts") < purchases("ts"))
+    val got = banded.select("event_id", "click_id").as[(Long, Long)]
+      .collect().toSet
+    val want = naive.select(purchases("event_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == want)
+    assert(!banded.queryExecution.executedPlan.toString.contains("NestedLoop"))
+  }
+
   test("connected components labels every node with its component's min id") {
     // two chains (path graphs — worst case for plain propagation), one
     // triangle with a duplicate + reversed edge, one isolated pair
