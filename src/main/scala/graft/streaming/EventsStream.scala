@@ -53,6 +53,16 @@ object EventsStream {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Stream-static enrichment join: attach dimension attributes to each
+    * streamed event. The static side is planned per micro-batch, so Catalyst
+    * broadcasts it when small (the usual dim-table case) — no stream-side
+    * shuffle and no state store; an updated dim file is picked up on the
+    * next batch. Left join keeps events whose key is missing from the dim.
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Custom session state via mapGroupsWithState: a session closes after 30
     * minutes of user inactivity (event-time timeout keyed by watermark).
     */

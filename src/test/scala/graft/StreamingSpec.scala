@@ -30,6 +30,25 @@ class StreamingSpec extends SparkSpec {
     assert(got > 0 && got <= total)
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val tmp = Files.createTempDirectory("graft-enrich").toString
+    val batch = Tables.events(spark, sf)
+    val dim = batch.groupBy("user_id")
+      .agg(sum("value").as("lifetime_value"))
+    val streamed = EventsStream.enrich(EventsStream.readEvents(spark, sf), dim)
+    val q = streamed.writeStream
+      .outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ck")
+      .start()
+    q.awaitTermination()
+    val out = spark.table("enrich_out")
+    assert(out.count() == batch.count())
+    // every user exists in the dim, so no enrichment may be null
+    assert(out.filter(col("lifetime_value").isNull).isEmpty)
+  }
+
   test("sessionize emits per-user session rows") {
     val tmp = Files.createTempDirectory("graft-sess").toString
     val ds = EventsStream.sessionize(spark, EventsStream.readEvents(spark, sf))
