@@ -978,6 +978,65 @@ object QueryCatalog {
       |  FROM documents) t
       |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
 
+  /** Time-series gap fill: date-spine generation (`sequence` + `explode`),
+    * zero-fill for counts, forward-fill (`last ignoreNulls`) for values.
+    * The global window runs on the day spine — a bounded list (≤ days in
+    * range), same discipline as the partition-list ranking, never fact rows.
+    */
+  private val qGapFill: Q = (s, dir) => {
+    val daily = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1998)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day").cast("timestamp").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        last(col("max_price"), ignoreNulls = true).over(w)
+          .as("filled_max_price"))
+      .orderBy("day")
+  }
+
+  private val gapFillSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+      |    MAX(o_totalprice) AS max_price
+      |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    CAST((SELECT MIN(day) FROM daily) AS TIMESTAMP),
+      |    CAST((SELECT MAX(day) FROM daily) AS TIMESTAMP),
+      |    INTERVAL 1 DAY)) AS DATE) AS day)
+      |SELECT CAST(s.day AS TIMESTAMP) AS day, COALESCE(d.n_orders, 0) AS n_orders,
+      |  last_value(d.max_price IGNORE NULLS) OVER (ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max_price
+      |FROM spine s LEFT JOIN daily d USING (day) ORDER BY day""".stripMargin
+
+  /** UNPIVOT (wide → long), the inverse of `q_pivot`; metric names come from
+    * the source column names on both sides.
+    */
+  private val qUnpivot: Q = (s, dir) => {
+    val agg = Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(Exact.sumExact(col("l_quantity")).as("sum_qty"),
+        Exact.sumExact(col("l_extendedprice")).as("sum_price"))
+    agg.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  private val unpivotSql =
+    """WITH a AS (SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   private val qDocFingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
@@ -1291,6 +1350,8 @@ object QueryCatalog {
     "q_range_join" -> qRangeJoin,
     "q_tfidf" -> qTfidf,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_gap_fill" -> qGapFill,
+    "q_unpivot" -> qUnpivot,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -1367,6 +1428,8 @@ object QueryCatalog {
     "q_range_join" -> rangeJoinSql,
     "q_tfidf" -> tfidfSql,
     "q_stratified_sample" -> stratifiedSampleSql,
+    "q_gap_fill" -> gapFillSql,
+    "q_unpivot" -> unpivotSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_embedding_neardups" -> embeddingNearDupsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
