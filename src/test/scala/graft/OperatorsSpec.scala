@@ -109,6 +109,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!banded.queryExecution.executedPlan.toString.contains("NestedLoop"))
   }
 
+  test("z-order layout tightens per-file ranges on BOTH columns vs linear sort") {
+    val tmp = Files.createTempDirectory("graft-zorder").toString
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    graft.sources.ZOrder.write(li, "l_partkey", "l_suppkey", s"$tmp/z", 12)
+    li.repartitionByRange(12, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+    def avgRange(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(avg("r")).head().getDouble(0)
+    val zSupp = avgRange(s"$tmp/z", "l_suppkey")
+    val linSupp = avgRange(s"$tmp/linear", "l_suppkey")
+    // the linear sort leaves the second column unclustered (near-global
+    // per-file ranges); the Morton curve must clearly beat it on that column
+    assert(zSupp < linSupp * 0.6, s"zSupp=$zSupp linSupp=$linSupp")
+    // and still cluster the first column far better than random placement
+    val global = li.agg(max("l_partkey").cast("double") -
+      min("l_partkey").cast("double")).head().getDouble(0)
+    assert(avgRange(s"$tmp/z", "l_partkey") < global * 0.7)
+  }
+
   test("connected components labels every node with its component's min id") {
     // two chains (path graphs — worst case for plain propagation), one
     // triangle with a duplicate + reversed edge, one isolated pair
