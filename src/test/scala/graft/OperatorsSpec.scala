@@ -109,6 +109,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!banded.queryExecution.executedPlan.toString.contains("NestedLoop"))
   }
 
+  test("compaction merges small files, preserves rows/schema, and is atomic") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val li = Tables.lineitem(spark, sf)
+    li.repartition(40).write.parquet(s"$tmp/t")
+    val before = li.count()
+    val stats = graft.sources.Compaction.compact(spark, s"$tmp/t",
+      targetBytes = 1L * 1024 * 1024)
+    val after = spark.read.parquet(s"$tmp/t")
+    assert(stats.filesBefore == 40)
+    assert(stats.filesAfter < 40)
+    assert(after.count() == before)
+    assert(after.schema == li.schema)
+    // no stray staging dirs left behind
+    val leftovers = new java.io.File(tmp).listFiles().map(_.getName)
+      .filter(_.contains("compact"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("z-order layout tightens per-file ranges on BOTH columns vs linear sort") {
     val tmp = Files.createTempDirectory("graft-zorder").toString
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
