@@ -91,6 +91,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Persistent MinHash band index — the incremental-dedup shape: build the
+    * index over the existing corpus ONCE, then probe each arriving batch
+    * against it without touching (or re-reading) historical text. Two
+    * stores: `path/sigs` (doc_id, signature) and `path/bands` (doc_id, band,
+    * band_hash), the latter written partitioned by `band` so a probe scans
+    * only matching band partitions. `mode=append` makes successive batches
+    * accumulate — call with each new batch after probing it.
+    */
+  def buildBandIndex(docs: DataFrame, path: String, shingleLen: Int = 3,
+      numHashes: Int = 24, rowsPerBand: Int = 4,
+      mode: String = "append"): Unit = {
+    docs.select(col("doc_id"),
+        minHashSignature(col("text"), shingleLen, numHashes).as("sig"))
+      .write.mode(mode).parquet(s"$path/sigs")
+    minHashBands(docs, shingleLen, numHashes, rowsPerBand)
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** Probe a new batch against a [[buildBandIndex]] store: banding join for
+    * candidates, then signature-estimated Jaccard (fraction of agreeing
+    * minhash positions) — no historical text needed, so probe cost is
+    * new-batch bands × matching index partitions. Returns
+    * (new_id, indexed_id, est_jaccard) with est ≥ `minEstJaccard`.
+    */
+  def probeBandIndex(newDocs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      path: String, minEstJaccard: Double, shingleLen: Int = 3,
+      numHashes: Int = 24, rowsPerBand: Int = 4): DataFrame = {
+    val newBands = minHashBands(newDocs, shingleLen, numHashes, rowsPerBand)
+      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("band_hash"), col("doc_id").as("indexed_id"))
+    val cand = newBands.join(idxBands, Seq("band", "band_hash"))
+      .filter(col("new_id") =!= col("indexed_id"))
+      .select("new_id", "indexed_id").distinct()
+    val newSigs = newDocs.select(col("doc_id").as("new_id"),
+      minHashSignature(col("text"), shingleLen, numHashes).as("sig_new"))
+    val idxSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("doc_id").as("indexed_id"), col("sig").as("sig_idx"))
+    cand.join(newSigs, "new_id").join(idxSigs, "indexed_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_new"), col("sig_idx"),
+          (a, b) => a === b), m => m)).cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= lit(minEstJaccard))
+      .select(col("new_id"), col("indexed_id"), col("est_jaccard"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word shingles: per bit, sum +1/-1 votes of each

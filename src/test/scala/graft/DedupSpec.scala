@@ -90,6 +90,36 @@ class DedupSpec extends SparkSpec {
     assert(MinHashMergeOps.estimateJaccard(any, any) == 1.0)
   }
 
+  test("band index: incremental build + probe equals the one-shot pair set") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") < 400)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    // build in two appends to prove incrementality
+    Dedup.buildBandIndex(old.filter(col("doc_id") < 200), s"$tmp/idx")
+    Dedup.buildBandIndex(old.filter(col("doc_id") >= 200), s"$tmp/idx")
+    val probed = Dedup.probeBandIndex(fresh, spark, s"$tmp/idx", 0.5)
+      .select("new_id", "indexed_id")
+      .as[(Long, Long)].collect().toSet
+    // reference: the same banding + sig-estimate computed in one shot
+    val allBands = Dedup.minHashBands(docs)
+    val a = allBands.select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+    val b = allBands.select(col("band"), col("band_hash"), col("doc_id").as("indexed_id"))
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minHashSignature(col("text"), 3, 24).as("sig"))
+    val want = a.join(b, Seq("band", "band_hash"))
+      .filter(col("new_id") >= 400 && col("indexed_id") < 400)
+      .select("new_id", "indexed_id").distinct()
+      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("s1")), "new_id")
+      .join(sigs.select(col("doc_id").as("indexed_id"), col("sig").as("s2")), "indexed_id")
+      .withColumn("est", size(filter(zip_with(col("s1"), col("s2"),
+        (x, y) => x === y), m => m)).cast("double") / lit(24))
+      .filter(col("est") >= 0.5)
+      .select("new_id", "indexed_id").as[(Long, Long)].collect().toSet
+    assert(probed == want)
+    assert(probed.nonEmpty)
+  }
+
   test("ngram jaccard finds the planted clones at high threshold") {
     // planted clones share all tokens except the appended one
     val docs = docsWithDups.withColumn("n_chars", length(col("text")))
