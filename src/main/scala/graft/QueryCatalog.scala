@@ -1037,6 +1037,31 @@ object QueryCatalog {
       |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** Equal-width histogram: bounds from one min/max aggregate (broadcast,
+    * single row), bin assignment as pure deterministic double arithmetic
+    * (identical op order on both engines — no transcendentals), top bin
+    * clamped so x = max lands in the last bucket.
+    */
+  private val qHistogram: Q = (s, dir) => {
+    val bins = 20
+    val stats = Tables.orders(s, dir)
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    Tables.orders(s, dir).crossJoin(broadcast(stats))
+      .withColumn("bin",
+        least(floor((col("o_totalprice") - col("lo")) * lit(bins) /
+          (col("hi") - col("lo"))), lit(bins - 1)).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+  }
+
+  private val histogramSql =
+    """WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |           FROM orders)
+      |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)), 19)
+      |         AS BIGINT) AS bin,
+      |  COUNT(*) AS cnt
+      |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val qDocFingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
@@ -1352,6 +1377,7 @@ object QueryCatalog {
     "q_stratified_sample" -> qStratifiedSample,
     "q_gap_fill" -> qGapFill,
     "q_unpivot" -> qUnpivot,
+    "q_histogram" -> qHistogram,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -1430,6 +1456,7 @@ object QueryCatalog {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_gap_fill" -> gapFillSql,
     "q_unpivot" -> unpivotSql,
+    "q_histogram" -> histogramSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_embedding_neardups" -> embeddingNearDupsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
