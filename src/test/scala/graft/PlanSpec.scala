@@ -59,6 +59,19 @@ class PlanSpec extends SparkSpec {
     assert(plan(q).contains("TakeOrderedAndProject"))
   }
 
+  test("word freq plans map-side partial aggregation under the shuffle") {
+    val p = plan(QueryCatalog.queries("q_word_freq")(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"expected partial aggregate before the exchange:\n$p")
+  }
+
+  test("tfidf broadcasts the one-row total, no shuffled cartesian") {
+    val df = QueryCatalog.queries("q_tfidf")(spark, sf)
+    df.count() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("dim joins broadcast (checked on the final adaptive plan)") {
     val df = QueryCatalog.queries("q5_region_revenue")(spark, sf)
     df.count() // materialize so AQE finalizes the plan
