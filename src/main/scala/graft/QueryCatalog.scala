@@ -514,8 +514,11 @@ object QueryCatalog {
 
   /** Approximate distinct counts (HLL++) next to exact — sketch aggregates
     * are the 100 TB answer to COUNT(DISTINCT) over high-cardinality keys.
-    * No oracle: DuckDB's approx sketch differs; accuracy is asserted in
-    * `QueryCatalogSpec` (±5% of exact).
+    * DuckDB's HLL differs bit-wise, so the sketch value itself can't hash-
+    * match; instead the query EMITS the error-bound check as a boolean next
+    * to the exact count. The oracle recomputes the exact count and expects
+    * `within_tol = TRUE` — if the sketch drifts past ±2% the Spark side
+    * emits FALSE and the driver's hash compare goes red.
     */
   private val qApproxDistinct: Q = (s, dir) =>
     Tables.lineitem(s, dir)
@@ -523,7 +526,17 @@ object QueryCatalog {
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double") <=
+          col("exact_orders").cast("double") * lit(0.02)).as("within_tol"))
       .orderBy("l_returnflag")
+
+  private val approxDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS within_tol
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Left-outer aggregate: customers kept with zero orders (COUNT of a
     * right-side column, not COUNT(*), so unmatched rows count 0).
@@ -1062,10 +1075,38 @@ object QueryCatalog {
       |  COUNT(*) AS cnt
       |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------- unsigned-64 arithmetic helpers for DuckDB oracle SQL.
+  // DuckDB BIGINT arithmetic is checked (overflow errors), so wrapping
+  // 64-bit folds are emulated in HUGEINT mod 2^64; the final value converts
+  // to the signed two's-complement BIGINT Spark produces. Generated here so
+  // the oracle can't drift from the Scala kernels.
+  private val U64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private val I64Min = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
+
+  /** unsigned h in [0,2^64) → signed BIGINT (two's complement). */
+  private def u64ToSigned(h: String): String =
+    s"CAST(CASE WHEN ($h) >= $I64Min THEN ($h) - $U64 ELSE ($h) END AS BIGINT)"
+
+  /** Text is ASCII in the synthetic corpus (asserted in QueryCatalogSpec), so
+    * `ascii(text[i])` enumerates the UTF-8 bytes the Scala kernels hash.
+    */
+  private def byteListSql(text: String): String =
+    s"list_transform(generate_series(1, length($text)), i -> CAST(ascii(($text)[i]) AS HUGEINT))"
+
+  /** `fold(h, b) = h*Base + b  (mod 2^64)` — mirrors RollingHash.hashBytes. */
+  private def rollingFoldSql(text: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteListSql(text)}),
+       |      (h, b) -> (h * ${org.apache.spark.sql.graftx.RollingHash.Base} + b) % $U64)""".stripMargin
+
   private val qDocFingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  private val docFingerprintSql =
+    s"""SELECT doc_id, ${u64ToSigned("h")} AS fp
+       |FROM (SELECT doc_id, ${rollingFoldSql("text")} AS h FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   private val qMinhashNearDups: Q = (s, dir) =>
     Dedup.minHashNearDups(Tables.documents(s, dir), threshold = 0.5)
@@ -1162,6 +1203,27 @@ object QueryCatalog {
       .orderBy("query_id", "rk")
   }
 
+  /** Full oracle: the LSH probe is deterministic (generated hyperplane
+    * constants), so the whole bucket-restricted top-k is SQL-expressible —
+    * same bucket bits, same exact-order cosine, same ranking tie-break.
+    */
+  private val annLshSql =
+    s"""WITH k AS (
+       |  SELECT vec_id, embedding, ${lshBucketSqlFor("embedding")} AS bucket FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec, bucket FROM k WHERE vec_id < 5
+       |), scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("qvec", "c.embedding")} AS cos
+       |  FROM k c JOIN q ON c.bucket = q.bucket
+       |  WHERE query_id <> c.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rk FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** k-means IVF ANN (deterministic fit: lowest-id init, 3 Lloyd's iters). */
   private val qAnnIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
@@ -1183,9 +1245,54 @@ object QueryCatalog {
       |  sha256(text) AS sha
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Feature extraction through the batch-codec path, projected to scalar
+    * columns: the float features come back as their exact source bytes
+    * (`round(f*255)` inverts `b/255f` losslessly) joined to one string, so
+    * the result is hashable and the whole row is reproducible by the oracle,
+    * which re-runs the same FNV-1a fold in HUGEINT mod-2^64 arithmetic.
+    */
   private val qMultimodalFeatures: Q = (s, dir) =>
     Multimodal.extractFeatures(Multimodal.withPayload(Tables.documents(s, dir)))
-      .toDF().orderBy("docId")
+      .toDF()
+      .select(
+        col("docId").as("doc_id"),
+        col("byteLen").as("byte_len"),
+        col("sha"), col("kind"), col("width"), col("height"),
+        concat_ws(",",
+          transform(col("features"),
+            f => round(f.cast("double") * lit(255.0)).cast("int"))).as("feat_bytes"))
+      .orderBy("doc_id")
+
+  /** FNV-1a 64 fold (mirrors Multimodal.FakeCodec.decode): per byte
+    * `h = (h XOR b) * prime (mod 2^64)`. The XOR only touches the low 8 bits
+    * (b < 256), so it's `h - h%256 + xor(h%256, b)` in pure arithmetic.
+    */
+  private def fnvFoldSql(text: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST('${Multimodal.FakeCodec.FnvOffset}' AS HUGEINT), ${byteListSql(text)}),
+       |    (h, b) -> ((h - h % 256 +
+       |        CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |      * ${Multimodal.FakeCodec.FnvPrime}) % $U64)""".stripMargin
+
+  private val multimodalFeaturesSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, text, ${fnvFoldSql("text")} AS h FROM documents
+       |), s AS (
+       |  SELECT doc_id, text, h,
+       |    CASE WHEN h >= $I64Min THEN h - $U64 ELSE h END AS hs
+       |  FROM f
+       |)
+       |SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |  sha256(text) AS sha,
+       |  CASE WHEN length(text) = 0 THEN 'empty'
+       |       WHEN ascii(text[1]) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |  CAST(64 + abs(hs % 193) AS INT) AS width,
+       |  CAST(64 + abs((CASE WHEN hs >= 0 THEN hs // 256
+       |                      ELSE -((-hs + 255) // 256) END) % 193) AS INT) AS height,
+       |  array_to_string(list_transform(generate_series(0, 7),
+       |    i -> CAST((h // CAST(power(2, i*7) AS HUGEINT)) % 256 AS INT)), ',') AS feat_bytes
+       |FROM s ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ events
 
@@ -1432,6 +1539,10 @@ object QueryCatalog {
     "q_in_subquery" -> inSubquerySql,
     "q_union_all" -> unionAllSql,
     "q_conditional_agg" -> conditionalAggSql,
+    "q_approx_distinct" -> approxDistinctSql,
+    "q_doc_fingerprint" -> docFingerprintSql,
+    "q_ann_lsh" -> annLshSql,
+    "q_multimodal_features" -> multimodalFeaturesSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,
     "q_outer_join" -> outerJoinSql,
@@ -1465,7 +1576,4 @@ object QueryCatalog {
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,
     "q_events_json" -> eventsJsonSql)
-    // q_doc_fingerprint, q_minhash_neardups, q_simhash_neardups, q_ann_lsh,
-    // q_multimodal_features: custom-hash / stub-codec operators with no
-    // SQL-expressible oracle → driver records rows-only checks.
 }

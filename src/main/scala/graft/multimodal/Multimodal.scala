@@ -25,13 +25,19 @@ object Multimodal {
     * bytes so tests are reproducible.
     */
   object FakeCodec {
+    /** FNV-1a constants — also used to GENERATE the DuckDB oracle SQL for
+      * `q_multimodal_features` (QueryCatalog), so the sides cannot drift.
+      */
+    final val FnvOffset = 1469598103934665603L
+    final val FnvPrime = 1099511628211L
+
     def kindOf(bytes: Array[Byte]): String =
       if (bytes.isEmpty) "empty"
       else if ((bytes(0) & 1) == 0) "image" else "audio"
 
     /** ??? in spirit — replace with a real decoder. Deterministic stand-in. */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ (b & 0xff)) * 1099511628211L)
+      val h = bytes.foldLeft(FnvOffset)((a, b) => (a ^ (b & 0xff)) * FnvPrime)
       val w = 64 + math.abs(h % 193).toInt
       val ht = 64 + math.abs((h >> 8) % 193).toInt
       val feats = Array.tabulate(8)(i => (((h >> (i * 7)) & 0xff).toFloat) / 255f)
