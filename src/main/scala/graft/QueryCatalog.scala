@@ -1075,23 +1075,13 @@ object QueryCatalog {
       |  COUNT(*) AS cnt
       |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // -------- unsigned-64 arithmetic helpers for DuckDB oracle SQL.
-  // DuckDB BIGINT arithmetic is checked (overflow errors), so wrapping
-  // 64-bit folds are emulated in HUGEINT mod 2^64; the final value converts
-  // to the signed two's-complement BIGINT Spark produces. Generated here so
-  // the oracle can't drift from the Scala kernels.
-  private val U64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
-  private val I64Min = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
-
-  /** unsigned h in [0,2^64) → signed BIGINT (two's complement). */
-  private def u64ToSigned(h: String): String =
-    s"CAST(CASE WHEN ($h) >= $I64Min THEN ($h) - $U64 ELSE ($h) END AS BIGINT)"
-
-  /** Text is ASCII in the synthetic corpus (asserted in QueryCatalogSpec), so
-    * `ascii(text[i])` enumerates the UTF-8 bytes the Scala kernels hash.
-    */
-  private def byteListSql(text: String): String =
-    s"list_transform(generate_series(1, length($text)), i -> CAST(ascii(($text)[i]) AS HUGEINT))"
+  // Unsigned-64 arithmetic helpers for DuckDB oracle SQL live in U64Sql
+  // (shared with SketchOracleSql) — HUGEINT mod-2^64 emulation of the
+  // wrapping folds, generated from the same Scala constants as the kernels.
+  private val U64 = U64Sql.Wrap
+  private val I64Min = U64Sql.SignBit
+  private def u64ToSigned(h: String): String = U64Sql.toBigint(h)
+  private def byteListSql(text: String): String = U64Sql.byteList(text)
 
   /** `fold(h, b) = h*Base + b  (mod 2^64)` — mirrors RollingHash.hashBytes. */
   private def rollingFoldSql(text: String): String =
@@ -1224,14 +1214,39 @@ object QueryCatalog {
        |  FROM scored) t
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
-  /** k-means IVF ANN (deterministic fit: lowest-id init, 3 Lloyd's iters). */
+  /** k-means IVF ANN (deterministic fit: lowest-id init, 3 Lloyd's iters).
+    *
+    * The k-means fit is float-order-sensitive, so the IVF result itself is
+    * not SQL-reproducible; instead the query measures recall@5 against the
+    * exact brute-force top-k IN-ENGINE and emits the bound check as data.
+    * The oracle recomputes the query count and expects `recall_ok = TRUE` —
+    * a broken index drops recall below the bound and the hash compare goes
+    * red. (0.2 mirrors SimilaritySpec: 4/16 clusters probed on near-random
+    * synthetic embeddings; observed recall is far higher.)
+    */
   private val qAnnIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val centroids = KMeansIvf.fit(emb, k = 16, iters = 3)
-    KMeansIvf.search(KMeansIvf.index(emb, centroids),
-      emb.filter(col("vec_id") < 5), centroids, k = 5, nprobe = 4)
-      .orderBy("query_id", "rk")
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = KMeansIvf.search(KMeansIvf.index(emb, centroids),
+      queries, centroids, k = 5, nprobe = 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val nQueries = queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ivf.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    nQueries.crossJoin(broadcast(nExact)).crossJoin(broadcast(nHit))
+      .select(
+        col("n_queries"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double") >= lit(0.2))
+          .as("recall_ok"))
   }
+
+  private val annIvfSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
 
   // ------------------------------------------------------------ multimodal
 
@@ -1543,6 +1558,9 @@ object QueryCatalog {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_lsh" -> annLshSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
+    "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),
+    "q_ann_ivf" -> annIvfSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,
     "q_outer_join" -> outerJoinSql,

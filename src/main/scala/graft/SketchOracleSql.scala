@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.graftx.{RollingHash, SketchKernels}
+
+/** Unsigned-64 arithmetic building blocks for DuckDB oracle SQL.
+  *
+  * DuckDB BIGINT arithmetic is checked (overflow errors), so the wrapping
+  * 64-bit folds the graft sketch kernels use are emulated in HUGEINT mod-2^64
+  * arithmetic; XOR runs on the signed BIGINT two's-complement image (bitwise
+  * identical) and converts back. Everything is generated from the same Scala
+  * constants the kernels use, so the sides cannot drift.
+  */
+object U64Sql {
+  /** 2^64 */
+  val Wrap = "CAST('18446744073709551616' AS HUGEINT)"
+  /** 2^63 */
+  val SignBit = "CAST('9223372036854775808' AS HUGEINT)"
+
+  /** Literal of a Scala Long reinterpreted as unsigned decimal. */
+  def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+
+  /** unsigned h in [0,2^64) → its signed two's-complement value (HUGEINT). */
+  def signedVal(x: String): String =
+    s"(CASE WHEN ($x) >= $SignBit THEN ($x) - $Wrap ELSE ($x) END)"
+
+  /** unsigned h in [0,2^64) → signed BIGINT. */
+  def toBigint(x: String): String = s"CAST(${signedVal(x)} AS BIGINT)"
+
+  /** signed value → unsigned image in [0,2^64) (HUGEINT). */
+  def unsignedVal(x: String): String =
+    s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $Wrap ELSE CAST(($x) AS HUGEINT) END)"
+
+  /** `h := h XOR (h >>> k)` on unsigned h; k >= 1 so the shifted operand is
+    * positive and XOR can run on the signed BIGINT images bit-identically.
+    */
+  def xorShift(v: String, k: Int): String =
+    unsignedVal(
+      s"xor(CAST(${signedVal(v)} AS BIGINT), CAST(($v) // ${1L << k} AS BIGINT))")
+
+  /** `(v * m) mod 2^64` when `m` is too big for the product to fit HUGEINT:
+    * split v at 2^32 — `(lo*m + ((hi*m) mod 2^32)*2^32) mod 2^64`.
+    */
+  def mulSplit(v: String, m: Long): String = {
+    val mu = u(m)
+    s"((($v) % 4294967296 * $mu + " +
+      s"((($v) // 4294967296 * $mu) % 4294967296) * 4294967296) % $Wrap)"
+  }
+
+  /** UTF-8 bytes of an (ASCII — asserted in QueryCatalogSpec) string column
+    * as a HUGEINT list, 1 element per byte.
+    */
+  def byteList(text: String): String =
+    s"list_transform(generate_series(1, length($text)), i -> CAST(ascii(($text)[i]) AS HUGEINT))"
+}
+
+/** DuckDB oracle SQL for the MinHash-LSH and SimHash near-dup queries —
+  * full reimplementations of the native sketch kernels
+  * ([[org.apache.spark.sql.graftx.SketchKernels]]) in mod-2^64 SQL, so even
+  * the sketch-driven candidate generation is hash-checked by the driver, not
+  * just recall-tested. The splitmix finalizer is staged through chained
+  * `list_transform` CTEs (one step per stage) to keep the expression tree
+  * linear instead of exponentially duplicated.
+  */
+object SketchOracleSql {
+  import U64Sql._
+
+  /** FNV-1a 64 body over a shingle string's bytes, seeded. */
+  private def fnvFold(sg: String, seed: Long): String = {
+    val init = u(seed ^ SketchKernels.FnvOffset)
+    s"list_reduce(list_prepend(CAST('$init' AS HUGEINT), ${byteList(sg)}), " +
+      s"(h, b) -> ((h - h % 256 + " +
+      s"CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT)) * " +
+      s"${SketchKernels.FnvPrime}) % $Wrap)"
+  }
+
+  /** splitmix finalizer staged over a list column: returns (colName, expr)
+    * pairs to be threaded through successive CTEs; the last colName holds the
+    * finalized hashes.
+    */
+  private def finalizerStages(src: String, prefix: String): Seq[(String, String)] = Seq(
+    (s"${prefix}_a", s"list_transform($src, h -> ${xorShift("h", 30)})"),
+    (s"${prefix}_b", s"list_transform(${prefix}_a, h -> ${mulSplit("h", SketchKernels.Mix1)})"),
+    (s"${prefix}_c", s"list_transform(${prefix}_b, h -> ${xorShift("h", 27)})"),
+    (s"${prefix}_d", s"list_transform(${prefix}_c, h -> ${mulSplit("h", SketchKernels.Mix2)})"),
+    (s"${prefix}_e", s"list_transform(${prefix}_d, h -> ${xorShift("h", 31)})"))
+
+  /** Word shingles of length n over single-space tokens `tk`, with the same
+    * short-document clamp as SketchKernels.minHashSig (>= 1 shingle always).
+    */
+  private def shingleList(n: Int): String =
+    s"list_transform(generate_series(1, greatest(len(tk) - $n + 1, 1)), " +
+      s"i -> array_to_string(tk[i:least(i + $n - 1, len(tk))], ' '))"
+
+  /** Distinct-shingle-set Jaccard (mirrors TextFunctions.shingleJaccard). */
+  private def jaccard(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE)"
+
+  private def chainStages(stages: Seq[(String, String)], from: String,
+      tag: String): (String, String) = {
+    var prev = from
+    val sb = new StringBuilder
+    stages.zipWithIndex.foreach { case ((c, e), i) =>
+      sb.append(s", $tag$i AS (SELECT *, $e AS $c FROM $prev)\n")
+      prev = s"$tag$i"
+    }
+    (sb.toString, prev)
+  }
+
+  /** Oracle for `Dedup.minHashNearDups`: signature → rolling band keys →
+    * same-band candidate pairs → exact shingle-Jaccard verification.
+    */
+  def minHashNearDupsSql(threshold: Double, shingleLen: Int = 3,
+      numHashes: Int = 24, rowsPerBand: Int = 4): String = {
+    val h1Stages = finalizerStages("r1", "f1")
+    val h2Stages = finalizerStages("r2", "f2")
+    val (chain, last) = chainStages(h1Stages ++ h2Stages, "raw", "st")
+    val h1 = h1Stages.last._1
+    val h2 = h2Stages.last._1
+    val numBands = numHashes / rowsPerBand
+    val bandFold =
+      s"list_reduce(list_prepend(CAST(band AS HUGEINT), " +
+        s"list_transform(sig[band*$rowsPerBand+1:band*$rowsPerBand+$rowsPerBand], " +
+        s"v -> ${unsignedVal("v")})), " +
+        s"(h, v) -> (h * ${RollingHash.Base} + v) % $Wrap)"
+    val sigMin = signedVal(s"(($h1[s]) + j * (h2o[s])) % $Wrap")
+    val jac = jaccard("x.sset", "y.sset")
+    s"""WITH tk0 AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, text, ${shingleList(shingleLen)} AS shingles FROM tk0
+       |), raw AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, sg -> ${fnvFold("sg", 0L)}) AS r1,
+       |    list_transform(shingles, sg -> ${fnvFold("sg", SketchKernels.GoldenGamma)}) AS r2,
+       |    shingles
+       |  FROM sh
+       |)
+       |$chain, oddh2 AS (
+       |  SELECT *, list_transform($h2, h -> h - h % 2 + 1) AS h2o FROM $last
+       |), sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${numHashes - 1}),
+       |      j -> list_min(list_transform(generate_series(1, len($h1)),
+       |             s -> $sigMin))) AS sig
+       |  FROM oddh2
+       |), bands AS (
+       |  SELECT doc_id, band, ${toBigint(bandFold)} AS band_hash
+       |  FROM sig, generate_series(0, ${numBands - 1}) g(band)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id
+       |), shd AS (
+       |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+       |)
+       |SELECT doc_a, doc_b, $jac AS jaccard
+       |FROM cand JOIN shd x ON x.doc_id = doc_a JOIN shd y ON y.doc_id = doc_b
+       |WHERE $jac >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle for `Dedup.simHashNearDups`: per-shingle hash → 64 bit votes →
+    * signature → 16-bit quarter blocking → `bit_count(xor)` Hamming filter.
+    */
+  def simHashNearDupsSql(maxHamming: Int, shingleLen: Int = 2): String = {
+    val h1Stages = finalizerStages("r1", "g1")
+    val (chain, last) = chainStages(h1Stages, "raw", "su")
+    val h1 = h1Stages.last._1
+    val sigSum = signedVal(
+      s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(generate_series(0, 63),
+         |      bit -> CASE WHEN list_sum(list_transform($h1,
+         |          h -> CASE WHEN (h // CAST(power(2, bit) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         |        THEN CAST(power(2, bit) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
+         |      (a, b) -> a + b)""".stripMargin)
+    s"""WITH tk0 AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shingleList(shingleLen)} AS shingles FROM tk0
+       |), raw AS (
+       |  SELECT doc_id, list_transform(shingles, sg -> ${fnvFold("sg", 0L)}) AS r1 FROM sh
+       |)
+       |$chain, sg AS (
+       |  SELECT doc_id, CAST($sigSum AS BIGINT) AS sig FROM $last
+       |), q AS (
+       |  SELECT doc_id, sig, qi,
+       |    CAST((${unsignedVal("sig")} // CAST(power(2, qi*16) AS HUGEINT)) % 65536 AS BIGINT) AS qhash
+       |  FROM sg, generate_series(0, 3) g(qi)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM q a JOIN q b ON a.qi = b.qi AND a.qhash = b.qhash
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

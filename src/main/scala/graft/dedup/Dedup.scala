@@ -50,19 +50,18 @@ object Dedup {
   /** LSH banding: split the signature into bands of `rowsPerBand`, hash each
     * band → (doc_id, band_idx, band_hash). Docs sharing any band hash are
     * candidate near-dups. Equality join on (band_idx, band_hash) shuffles by
-    * hash — fully parallel, skew-bounded by band-hash cardinality.
+    * hash — fully parallel, skew-bounded by band-hash cardinality. The band
+    * key is a native rolling fold ([[org.apache.spark.sql.graftx.BandHashes]])
+    * so the DuckDB oracle reproduces it exactly.
     */
   def minHashBands(docs: DataFrame, shingleLen: Int = 3, numHashes: Int = 24,
-      rowsPerBand: Int = 4): DataFrame = {
-    val numBands = numHashes / rowsPerBand
+      rowsPerBand: Int = 4): DataFrame =
     docs
       .select(col("doc_id"),
         minHashSignature(col("text"), shingleLen, numHashes).as("sig"))
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b))))
+        org.apache.spark.sql.graftx.Sketches.band_hashes(col("sig"), rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-  }
 
   /** Candidate pairs from LSH banding (doc_a < doc_b, distinct). */
   def minHashCandidates(docs: DataFrame, shingleLen: Int = 3, numHashes: Int = 24,

@@ -74,17 +74,25 @@ object RollingHash {
   */
 object SketchKernels {
 
+  // Named so the DuckDB oracle SQL (graft.SketchOracleSql) is GENERATED from
+  // the same constants — the two sides cannot drift.
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+  final val GoldenGamma = 0x9e3779b97f4a7c15L
+  final val Mix1 = 0xbf58476d1ce4e5b9L
+  final val Mix2 = 0x94d049bb133111ebL
+
   /** FNV-1a 64 over a byte range, splitmix-finalized, seedable. */
   def hashRange(b: Array[Byte], from: Int, until: Int, seed: Long): Long = {
-    var h = seed ^ 0xcbf29ce484222325L
+    var h = seed ^ FnvOffset
     var i = from
     while (i < until) {
       h ^= (b(i) & 0xffL)
-      h *= 0x100000001b3L
+      h *= FnvPrime
       i += 1
     }
-    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
-    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^= h >>> 30; h *= Mix1
+    h ^= h >>> 27; h *= Mix2
     h ^= h >>> 31
     h
   }
@@ -126,7 +134,7 @@ object SketchKernels {
       val lastTok = math.min(i + n - 1, nTok - 1)
       val until = offs(lastTok * 2 + 1)
       val h1 = hashRange(b, from, until, 0L)
-      val h2 = hashRange(b, from, until, 0x9e3779b97f4a7c15L) | 1L
+      val h2 = hashRange(b, from, until, GoldenGamma) | 1L
       var j = 0
       var h = h1
       while (j < k) {
@@ -257,7 +265,57 @@ object SortedIntersectSize {
   }
 }
 
+/** Per-band LSH keys over a MinHash signature: band `b`'s key is the rolling
+  * fold `h = b; h = h*Base + sig(b*rpb + j)` over its `rowsPerBand` values —
+  * plain wrapping 64-bit arithmetic (not xxhash64) so the DuckDB oracle can
+  * reproduce it in HUGEINT mod-2^64 SQL. Native + codegen'd: banding 100 TB
+  * of signatures stays a map-only pass.
+  */
+case class BandHashes(child: Expression, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def nullSafeEval(input: Any): Any =
+    BandHashes.hashData(input.asInstanceOf[ArrayData].toLongArray(), rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftx.BandHashes.hashData($c.toLongArray(), $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "band_hashes"
+}
+
+object BandHashes {
+  def hash(sig: Array[Long], rowsPerBand: Int): Array[Long] = {
+    val numBands = sig.length / rowsPerBand
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = b.toLong
+      var j = 0
+      while (j < rowsPerBand) {
+        h = h * RollingHash.Base + sig(b * rowsPerBand + j)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  def hashData(sig: Array[Long], rowsPerBand: Int): ArrayData =
+    new GenericArrayData(hash(sig, rowsPerBand))
+}
+
 object Sketches {
+  def band_hashes(sig: Column, rowsPerBand: Int): Column =
+    Bridge.toColumn(BandHashes(Bridge.toExpr(sig), rowsPerBand))
+
   def sorted_intersect_size(a: Column, b: Column): Column =
     Bridge.toColumn(SortedIntersectSize(Bridge.toExpr(a), Bridge.toExpr(b)))
 
