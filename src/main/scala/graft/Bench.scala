@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Plan fingerprint: executedPlan text with per-session ids stripped, so
+    * the same logical plan hashes identically across rounds — BENCH_DETAILS
+    * diffs then show which queries' PLANS changed, not just their times.
+    */
+  private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val normalized = df.queryExecution.executedPlan.toString
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("@[0-9a-f]+", "@")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(normalized.getBytes("UTF-8"))
+    d.take(6).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,20 +29,31 @@ object Bench {
     // session init cost (flagship on the smallest SF touches the same
     // read/agg machinery)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = (SparkEntry.queries -- QueryCatalog.benchExcluded).map { case (name, fn) =>
-      // two timed runs, report the min: first run can absorb codegen/compile
-      // for plans not touched by the warmup; min is the steady-state cost
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    val results = (SparkEntry.queries -- QueryCatalog.benchExcluded)
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
+        // two timed runs, report the min: first run can absorb codegen/compile
+        // for plans not touched by the warmup; min is the steady-state cost
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val fp = try planFingerprint(fn(spark, sfDir)) catch { case _: Throwable => "err" }
+        (name, times, fp)
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def s3(v: Double) = f"$v%.3f"
+    // full per-query detail (runs + plan fingerprint) goes to a FILE — the
+    // driver only captures a bounded stdout tail, so the contract line below
+    // stays compact (3-decimal times) to fit inside it
+    val detail = results.map { case (name, times, fp) =>
+      s""""$name":{"min_s":${s3(times.min)},"runs":[${times.map(s3).mkString(",")}],"plan_fp":"$fp"}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"),
+      s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"queries":$detail}""")
+    val qs = results.map { case (name, times, _) => s""""$name":${s3(times.min)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

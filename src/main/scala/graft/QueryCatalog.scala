@@ -785,12 +785,21 @@ object QueryCatalog {
        |) t ORDER BY doc_id""".stripMargin
   }
 
+  /** Fingerprint-first exact dedup (the 100 TB path: 16-byte shuffle rows,
+    * never document bodies — plan-asserted in PlanSpec). The oracle groups by
+    * the SAME rolling-hash fold in HUGEINT SQL, so fingerprint collisions —
+    * were one ever to appear in the corpus — would surface as a hash
+    * mismatch rather than silently passing.
+    */
   private val qExactDedup: Q = (s, dir) =>
-    Dedup.exact(Tables.documents(s, dir)).orderBy("canonical_id")
+    Dedup.exactByFingerprint(Tables.documents(s, dir))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy("canonical_id")
 
   private val exactDedupSql =
-    """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
-      |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+    s"""WITH f AS (SELECT doc_id, ${rollingFoldSql("text")} AS h FROM documents)
+       |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+       |FROM f GROUP BY h ORDER BY canonical_id""".stripMargin
 
   private val qNgramJaccard: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
@@ -1078,8 +1087,10 @@ object QueryCatalog {
   // Unsigned-64 arithmetic helpers for DuckDB oracle SQL live in U64Sql
   // (shared with SketchOracleSql) — HUGEINT mod-2^64 emulation of the
   // wrapping folds, generated from the same Scala constants as the kernels.
-  private val U64 = U64Sql.Wrap
-  private val I64Min = U64Sql.SignBit
+  // defs (not vals): referenced from oracle-SQL vals that may initialize
+  // earlier in declaration order
+  private def U64 = U64Sql.Wrap
+  private def I64Min = U64Sql.SignBit
   private def u64ToSigned(h: String): String = U64Sql.toBigint(h)
   private def byteListSql(text: String): String = U64Sql.byteList(text)
 
@@ -1425,6 +1436,31 @@ object QueryCatalog {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
 
+  /** The streaming path as a declared, oracle-checked query: drain the
+    * events source with Trigger.AvailableNow (the reference's
+    * process-pending-then-stop loop, sqoop_etl.py:77-83) into parquet, then
+    * read the sink back. Append mode + 30-min watermark emit exactly the
+    * hour windows whose END is at or before `max(ts) - 30min` — the oracle
+    * applies the same cutoff to the batch aggregation, so window emission
+    * semantics (not just the arithmetic) are hash-checked.
+    */
+  private val qEventsHourlyStream: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+    graft.streaming.EventsStream.runAvailableNow(s, dir, s"$tmp/out", s"$tmp/ck")
+    s.read.parquet(s"$tmp/out")
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  private val eventsHourlyStreamSql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+      |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events, wm
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val qEventsJson: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
@@ -1441,9 +1477,10 @@ object QueryCatalog {
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
-    * loop; Verify still correctness-gates them).
+    * loop or run a full streaming drain; Verify still correctness-gates
+    * them).
     */
-  val benchExcluded: Set[String] = Set("q_etl_backup")
+  val benchExcluded: Set[String] = Set("q_etl_backup", "q_events_hourly_stream")
 
   val queries: Map[String, Q] = Map(
     "q_etl_backup" -> qEtlBackup,
@@ -1510,6 +1547,7 @@ object QueryCatalog {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
+    "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
@@ -1590,6 +1628,7 @@ object QueryCatalog {
     "q_embedding_neardups" -> embeddingNearDupsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_events_hourly" -> eventsHourlySql,
+    "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,

@@ -19,22 +19,36 @@ import org.apache.spark.sql.graftx.RollingHash.rolling_hash
   */
 object Dedup {
 
-  /** Exact dedup: canonical (min doc_id) representative per identical text.
-    * A single hash-aggregate; at 100 TB group on `rolling_hash(text)` instead
-    * of the raw string to keep shuffle rows small (collision check optional).
+  /** Exact dedup keyed by the raw text — oracle-parity/reference variant
+    * only. At 100 TB grouping on multi-KB strings shuffles document bodies;
+    * [[exactByFingerprint]] is the flagship path (16-byte shuffle rows).
     */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
 
-  /** Exact dedup keyed by 64-bit fingerprint — the shuffle carries (long,
-    * long) pairs only, never document bodies.
+  /** Flagship exact dedup, keyed by 64-bit fingerprint — the shuffle carries
+    * (long, long) pairs only, never document bodies (plan-asserted in
+    * PlanSpec). Collision odds at 100 TB (~1e10 docs) are ~1e-20 per pair;
+    * [[exactByFingerprintVerified]] adds a cheap second-hash check.
     */
   def exactByFingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), rolling_hash(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** [[exactByFingerprint]] plus collision verification via an independent
+    * 256-bit content hash: `n_distinct_sha > 1` marks a fingerprint group
+    * that mixes different texts (expected none). Shuffle rows grow to
+    * 8B fp + 64-char sha — still content-size-independent.
+    */
+  def exactByFingerprintVerified(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), rolling_hash(col("text")).as("fp"),
+        sha2(col("text"), 256).as("h2"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("h2")).as("n_distinct_sha"))
 
   // ---------------------------------------------------------------- MinHash
 

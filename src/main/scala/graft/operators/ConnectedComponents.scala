@@ -1,66 +1,156 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an edge list — the clustering step a
   * dedup pipeline needs to turn near-duplicate PAIRS into duplicate GROUPS
   * (pick one representative per component, drop the rest).
   *
-  * Spark has no built-in CC, so this composes DataFrame ops: iterative
-  * min-label propagation with pointer jumping (label := label(label) each
-  * round, as in PRAM/MapReduce CC literature), which converges in
-  * O(log diameter) rounds instead of O(diameter) for plain propagation.
-  * Each round is two shuffles (neighbor-min groupBy + the jump self-join) on
-  * the node id — no collect, no driver-side graph, so it holds at 100 TB
-  * edge lists. `localCheckpoint` truncates lineage each round so plans don't
-  * grow with iteration count.
+  * Spark has no built-in CC; this implements it adaptively:
   *
-  * Convergence is reached when no label changes; the label of every node is
-  * then the minimum node id of its component.
+  *  - **Small edge lists** (≤ [[MaxLocalEdges]], i.e. ≲32 MB of (long,long)
+  *    pairs — the common case for near-dup graphs, whose edge count is a tiny
+  *    fraction of the corpus): solved exactly in ONE task by union–find with
+  *    path compression. Any distributed loop pays multiple shuffle rounds of
+  *    pure fixed overhead for a graph this size.
+  *  - **Large edge lists**: iterative min-label propagation with pointer
+  *    jumping (label := label(label) each round, as in PRAM/MapReduce CC
+  *    literature), O(log diameter) rounds. The loop runs on co-partitioned
+  *    pair RDDs — the GraphX execution model — rather than DataFrames: an
+  *    iterative algorithm would re-plan, re-optimize and re-compile (Janino)
+  *    a fresh DataFrame DAG every round, and that fixed cost dominates; the
+  *    RDD loop reuses one `HashPartitioner`, so the persisted side of each
+  *    join never re-shuffles and nothing is recompiled. Each round is ONE
+  *    action (the convergence count) over two shuffles of (long, long)
+  *    pairs — no collect, no driver-side graph, so it holds at 100 TB edge
+  *    lists. `localCheckpoint` truncates lineage each round.
+  *
+  * Both paths produce identical labels (component = min member id), asserted
+  * against each other in OperatorsSpec.
   */
 object ConnectedComponents {
 
+  /** Edge count at or below which the graph is solved in a single task
+    * (~32 MB of long pairs). Also the target per-partition edge volume for
+    * the distributed loop's partitioner, so partition count scales with the
+    * edge list: thousands of reducers at 100 TB, few tasks on small graphs.
+    */
+  val MaxLocalEdges: Long = 2L << 20
+
   /** @param edges undirected edge list; self-loops and duplicates tolerated
-    * @param src   source-node column name
-    * @param dst   destination-node column name
+    * @param src   source-node column name (castable to long)
+    * @param dst   destination-node column name (castable to long)
+    * @param maxLocalEdges override of [[MaxLocalEdges]] (tests set 0 to force
+    *                      the distributed loop)
     * @return (id, component) — one row per distinct node, component = min
     *         node id reachable from it
     */
   def apply(edges: DataFrame, src: String = "src", dst: String = "dst",
-      maxIter: Int = 30): DataFrame = {
-    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
-      .union(edges.select(col(dst).as("u"), col(src).as("v")))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+      maxIter: Int = 30, maxLocalEdges: Long = MaxLocalEdges): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // materialize the (possibly expensive) edge query through the codegen'd
+    // DataFrame path FIRST; converting an unmaterialized Dataset to an RDD
+    // would re-run its whole pipeline in interpreted (non-WSCG) mode
+    val edgesCk = edges.select(col(src).cast("long"), col(dst).cast("long"))
       .localCheckpoint()
-    // seed each node with min(self, direct neighbors) — this IS the first
+    val nEdges = edgesCk.count()
+    val raw = edgesCk.as[(Long, Long)].rdd
+    if (nEdges <= maxLocalEdges)
+      raw.coalesce(1).mapPartitions(localCC).toDF("id", "component")
+    else
+      distributedCC(raw, nEdges, maxIter).toDF("id", "component")
+  }
+
+  /** Single-task exact CC: union–find with path compression, union-by-min so
+    * every root IS its component's min id. Bounded by [[MaxLocalEdges]].
+    */
+  private def localCC(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (a != b) {
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    parent.keys.toArray.iterator.map(x => (x, find(x)))
+  }
+
+  private def distributedCC(raw: org.apache.spark.rdd.RDD[(Long, Long)],
+      nEdges: Long, maxIter: Int): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val sc = raw.sparkContext
+    val numParts = math.max(1L, math.min(
+      math.max(raw.getNumPartitions, sc.defaultParallelism).toLong,
+      2L * nEdges / MaxLocalEdges + 1L)).toInt
+    val part = new HashPartitioner(numParts)
+    val min2 = (a: Long, b: Long) => math.min(a, b)
+
+    // symmetric + deduped, keyed by the node whose label the join reads:
+    // entry (x, n) = "n is a neighbor of x"
+    val nbrs = raw
+      .flatMap { case (a, b) =>
+        if (a == b) Iterator.empty else Iterator((a, b), (b, a))
+      }
+      .distinct(numParts)
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // seed: label = min(self, direct neighbors) — this IS the first
     // propagation step, one aggregation instead of node-list + join
-    var labels = sym.groupBy(col("u"))
-      .agg(least(col("u"), min("v")).as("label"))
-      .select(col("u").as("id"), col("label"))
-      .localCheckpoint()
+    var labels = nbrs
+      .reduceByKey(part, min2)
+      .mapPartitions(_.map { case (x, mn) => (x, math.min(x, mn)) },
+        preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     var converged = false
     var iter = 0
+    var previous: org.apache.spark.rdd.RDD[_] = labels
     while (!converged && iter < maxIter) {
-      val nbrMin = sym.join(labels, sym("v") === labels("id"))
-        .groupBy(sym("u").as("nid")).agg(min("label").as("nlabel"))
-      // carry the previous label so the convergence test is a scan of the
-      // checkpointed result, not another join
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(labels("id"), labels("label").as("old"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label")))
-            .as("label"))
-      // pointer jump: labels always point at node ids, so label(label) exists
-      val parents = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-      val jumped = stepped.join(parents, stepped("label") === parents("pid"))
-        .select(stepped("id"), stepped("old"),
-          least(stepped("label"), col("plabel")).as("label"))
-        .localCheckpoint()
-      converged = jumped.filter(col("label") =!= col("old")).isEmpty
-      labels = jumped.select("id", "label")
+      // neighbor-min: nbrs is keyed by the label OWNER and co-partitioned
+      // with labels → zero-shuffle join; only the re-key to the neighbor
+      // shuffles (long, long) pairs
+      val nbrMin = nbrs.join(labels)
+        .map { case (_, (n, lx)) => (n, lx) }
+        .reduceByKey(part, min2)
+      val stepped = labels.leftOuterJoin(nbrMin) // co-partitioned, no shuffle
+        .mapPartitions(_.map { case (id, (old, mn)) =>
+          (id, (old, math.min(old, mn.getOrElse(old))))
+        }, preservesPartitioning = true)
+      // pointer jump: labels always point at node ids, so label(label)
+      // exists; plain is `stepped` re-viewed as (id, label), co-partitioned
+      val plain = stepped.mapPartitions(
+        _.map { case (id, (_, lbl)) => (id, lbl) }, preservesPartitioning = true)
+      val jumped = stepped
+        .map { case (id, (old, lbl)) => (lbl, (id, old)) }
+        .join(plain, part)
+        .map { case (lbl, ((id, old), plbl)) => (id, (old, math.min(lbl, plbl))) }
+        .partitionBy(part)
+      jumped.localCheckpoint()
+      // the convergence count is the one action per round; it also
+      // materializes the checkpoint
+      val changed = jumped.filter { case (_, (old, nw)) => old != nw }.count()
+      labels = jumped.mapPartitions(
+        _.map { case (id, (_, nw)) => (id, nw) }, preservesPartitioning = true)
+      previous.unpersist(blocking = false)
+      previous = jumped
+      converged = changed == 0L
       iter += 1
     }
-    labels.select(col("id"), col("label").as("component"))
+    nbrs.unpersist(blocking = false)
+    labels
   }
 }

@@ -43,13 +43,17 @@ object EventsStream {
 
   /** Tumbling-window counts/sums with a 30-minute watermark. State is bounded
     * by (watermark horizon × event-type cardinality) — safe at any input
-    * rate; late rows beyond the watermark are dropped, not buffered.
+    * rate; late rows beyond the watermark are dropped, not buffered. The sum
+    * is exact-decimal (cast to double at the end) so the result is
+    * independent of micro-batch partial-aggregation order — required for the
+    * oracle-checked `q_events_hourly_stream`.
     */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.sumExact(col("value")).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 

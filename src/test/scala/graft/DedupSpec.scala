@@ -33,6 +33,12 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactByFingerprint(docs).count() == Dedup.exact(docs).count())
   }
 
+  test("verified fingerprint dedup reports zero collisions on the corpus") {
+    val out = Dedup.exactByFingerprintVerified(Tables.documents(spark, sf))
+    assert(out.filter(col("n_distinct_sha") > 1).count() == 0)
+    assert(out.count() == Dedup.exact(Tables.documents(spark, sf)).count())
+  }
+
   test("minhash finds planted near-duplicates") {
     val found = Dedup.minHashNearDups(docsWithDups, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -158,13 +158,18 @@ class OperatorsSpec extends SparkSpec {
       (20L, 21L), // pair
       (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L)) // chain {30..35}
       .toDF("src", "dst")
-    val got = graft.operators.ConnectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
     val want = (1L to 5L).map(_ -> 1L).toMap ++
       Seq(10L, 11L, 12L).map(_ -> 10L) ++
       Seq(20L -> 20L, 21L -> 20L) ++
       (30L to 35L).map(_ -> 30L)
-    assert(got == want)
+    // single-task union-find fast path (default for small edge lists) …
+    val local = graft.operators.ConnectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(local == want)
+    // … and the distributed min-label loop must produce identical labels
+    val dist = graft.operators.ConnectedComponents(edges, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == want)
   }
 
   test("dedup clusters: pair endpoints share a cluster labeled by its min id") {

@@ -78,4 +78,20 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
+
+  test("fingerprint dedup shuffles fingerprints only, never document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off for this plan so Exchange nodes sit in executedPlan directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try graft.dedup.Dedup.exactByFingerprint(Tables.documents(spark, sf))
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty, "expected a hash-aggregate shuffle")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"shuffle must not carry document bodies, got: $names")
+    }
+  }
 }

@@ -106,6 +106,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // 4/16 clusters probed on random data
   }
 
+  test("k-means IVF fit: hash-sampled working set still yields k usable centroids") {
+    import graft.similarity.KMeansIvf
+    val emb = Tables.embeddings(spark, sf)
+    // force the sampling branch with a cap far below the corpus size
+    val cent = KMeansIvf.fit(emb, k = 8, iters = 2, maxFitRows = 100)
+    val cent2 = KMeansIvf.fit(emb, k = 8, iters = 2, maxFitRows = 100)
+    assert(cent.length == 8)
+    assert(cent.map(_.toSeq).toSeq == cent2.map(_.toSeq).toSeq) // layout-independent sample
+    val indexed = KMeansIvf.index(emb, cent)
+    assert(indexed.select("cluster").distinct().count() <= 8)
+  }
+
+  test("k-means IVF search: shuffled-join fallback equals the broadcast path") {
+    import graft.similarity.KMeansIvf
+    val emb = Tables.embeddings(spark, sf)
+    val cent = KMeansIvf.fit(emb, k = 16, iters = 2)
+    val indexed = KMeansIvf.index(emb, cent)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(maxBroadcast: Long) =
+      KMeansIvf.search(indexed, q, cent, k = 5, nprobe = 4, maxBroadcast)
+        .select("query_id", "neighbor_id", "rk")
+        .as[(Long, Long, Long)].collect().toSet
+    val broadcasted = rows(Long.MaxValue)
+    val shuffled = rows(0L) // forces the non-broadcast branch
+    assert(broadcasted == shuffled && broadcasted.nonEmpty)
+  }
+
   test("lsh bucket is deterministic and within range") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(VectorFunctions.lshBucket(col("embedding")).as("b")).as[Long].collect()
