@@ -62,6 +62,47 @@ class JdbcSpec extends SparkSpec {
     conn.close()
   }
 
+  test("boundary decimals and microsecond timestamps survive the JDBC hop") {
+    import java.sql.Timestamp
+    import graft.etl.TypeMapping
+    import org.apache.spark.sql.types.{DecimalType, TimestampType}
+    // decimal(38,s) is the Vertica-side shape (TypeMapping keeps p/s exact);
+    // Derby's storage cap is DECIMAL(31,s), so the stored hop is exercised at
+    // that bound with max-magnitude and 1-ulp values
+    assert(TypeMapping.verticaToSpark("numeric(38,18)") == DecimalType(38, 18))
+    assert(TypeMapping.sparkToVertica(DecimalType(38, 18)) == "numeric(38,18)")
+    assert(TypeMapping.verticaToSpark("timestamp(6)") == TimestampType)
+    val maxD = BigDecimal("999999999999999999999.9999999999") // DECIMAL(31,10) max
+    val ulpD = BigDecimal("0.0000000001")
+    val vals = Seq(
+      (1L, maxD, Timestamp.valueOf("2024-01-15 23:59:59.999999")),
+      (2L, -maxD, Timestamp.valueOf("1970-01-01 00:00:00.000001")),
+      (3L, ulpD, Timestamp.valueOf("1905-06-30 12:34:56.654321")),
+      (4L, -ulpD, Timestamp.valueOf("2262-04-11 23:47:16.854775")))
+    // explicit schema: the tuple encoder's default Decimal(38,18) cannot hold
+    // 21 integer digits
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DecimalType(31, 10)),
+      StructField("ts", TimestampType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vals.map { case (i, d, t) =>
+        Row(i, d.bigDecimal, t) }: _*), schema)
+    df.write.mode("overwrite")
+      .option("createTableColumnTypes", "id BIGINT, amount DECIMAL(31,10), ts TIMESTAMP")
+      .jdbc(url, "boundary_t", new java.util.Properties())
+    val back = Sources.jdbcFull(spark, url, "boundary_t")
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1)), r.getTimestamp(2)))
+      .sortBy(_._1)
+    assert(back.length == vals.length)
+    vals.zip(back).foreach { case ((id, d, ts), (bid, bd, bts)) =>
+      assert(bid == id)
+      assert(bd.compare(d) == 0, s"decimal drift at id=$id: wrote $d read $bd")
+      assert(bts == ts, s"timestamp drift at id=$id: wrote $ts read $bts")
+    }
+  }
+
   test("JDBC write-back (the Vertica-external-table read-back role, S9)") {
     val src = Tables.nation(spark, sf)
     src.write.mode("overwrite")
