@@ -575,6 +575,35 @@ object QueryCatalog {
       |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Approximate quantiles (KLL-style sketch via `approx_percentile`) next
+    * to exact — same driver-visible contract as `q_approx_distinct`: the
+    * sketch value can't hash-match across engines, so the query emits the
+    * tolerance check as booleans beside oracle-verifiable exact quantiles.
+    * accuracy=10000 → rank error ≤ n/10000, far inside the 1% value bound.
+    */
+  private val qApproxQuantiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_approx"))
+      .select(
+        col("l_returnflag"), col("p50_exact"), col("p99_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <= abs(col("p50_exact")) * lit(0.01))
+          .as("p50_ok"),
+        (abs(col("p99_approx") - col("p99_exact")) <= abs(col("p99_exact")) * lit(0.01))
+          .as("p99_ok"))
+      .orderBy("l_returnflag")
+
+  private val approxQuantilesSql =
+    """SELECT l_returnflag,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_exact,
+      |  percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_exact,
+      |  TRUE AS p50_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Sliding windows (1 h window, 30 min slide) via explicit epoch-ms window
     * math — symmetric in both engines (each event lands in exactly 2
     * windows). The Structured-Streaming `window()` equivalent is exercised
@@ -798,6 +827,27 @@ object QueryCatalog {
 
   private val exactDedupSql =
     s"""WITH f AS (SELECT doc_id, ${rollingFoldSql("text")} AS h FROM documents)
+       |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+       |FROM f GROUP BY h ORDER BY canonical_id""".stripMargin
+
+  /** Dedup on NORMALIZED text (lowercase/punct-strip/space-collapse), again
+    * fingerprint-keyed: catches trivial-variant duplicates. The oracle runs
+    * the same normalization regexes and the same HUGEINT fold.
+    */
+  private val qNormalizedDedup: Q = (s, dir) =>
+    Dedup.exactByFingerprint(
+      Tables.documents(s, dir)
+        .withColumn("text", TextFunctions.normalize(col("text"))))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy("canonical_id")
+
+  private val normalizedDedupSql =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |         ' +', ' ', 'g')) AS text
+       |  FROM documents
+       |), f AS (SELECT doc_id, ${rollingFoldSql("text")} AS h FROM n)
        |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
        |FROM f GROUP BY h ORDER BY canonical_id""".stripMargin
 
@@ -1436,6 +1486,47 @@ object QueryCatalog {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
 
+  /** Merge-on-read upsert resolution (etl.MergeOnRead): base snapshot of
+    * orders + an update batch (every 10th key re-priced) + a tombstone batch
+    * (every 97th key deleted), resolved to the latest visible state at read
+    * time — the scale-shape of the reference's update-by-key.
+    */
+  private val qUpsertLatest: Q = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("version", lit(0L)).withColumn("op", lit("u"))
+    val updates = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * lit(2.0)).as("o_totalprice"))
+      .withColumn("version", lit(1L)).withColumn("op", lit("u"))
+    val deletes = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("version", lit(2L)).withColumn("op", lit("d"))
+    graft.etl.MergeOnRead.latest(
+      base.unionByName(updates).unionByName(deletes),
+      keys = Seq("o_orderkey"), version = "version")
+      .orderBy("o_orderkey")
+  }
+
+  private val upsertLatestSql =
+    """WITH all_rows AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, 0 AS version, 'u' AS op
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2, 1, 'u'
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, 2, 'd'
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |  FROM all_rows
+      |)
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY o_orderkey""".stripMargin
+
   /** The streaming path as a declared, oracle-checked query: drain the
     * events source with Trigger.AvailableNow (the reference's
     * process-pending-then-stop loop, sqoop_etl.py:77-83) into parquet, then
@@ -1512,6 +1603,9 @@ object QueryCatalog {
     "q_union_all" -> qUnionAll,
     "q_conditional_agg" -> qConditionalAgg,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_quantiles" -> qApproxQuantiles,
+    "q_normalized_dedup" -> qNormalizedDedup,
+    "q_upsert_latest" -> qUpsertLatest,
     "q_outer_join" -> qOuterJoin,
     "q_percentiles" -> qPercentiles,
     "q_events_sliding" -> qEventsSliding,
@@ -1593,6 +1687,9 @@ object QueryCatalog {
     "q_union_all" -> unionAllSql,
     "q_conditional_agg" -> conditionalAggSql,
     "q_approx_distinct" -> approxDistinctSql,
+    "q_approx_quantiles" -> approxQuantilesSql,
+    "q_normalized_dedup" -> normalizedDedupSql,
+    "q_upsert_latest" -> upsertLatestSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_lsh" -> annLshSql,
     "q_multimodal_features" -> multimodalFeaturesSql,

@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read latest-state resolution: base snapshot ∪ appended delta
+  * batches, resolved per key at read time.
+  *
+  * This is the 100 TB shape of the reference's "update one status row by
+  * key" (`/root/reference/sqoop_table.py:59-66` via DELETE+INSERT): instead
+  * of rewriting the table per update, deltas APPEND (cheap, parallel,
+  * no read-modify-write), and readers resolve the latest version per key
+  * with one window over the key — a shuffle on the key only, no global
+  * sort. Tombstones (`op = "d"`) delete at read time. Periodic compaction =
+  * write `latest(...)` back as the new base (same atomic-swap discipline as
+  * `sources.Compaction`).
+  */
+object MergeOnRead {
+
+  val UpsertOp = "u"
+  val DeleteOp = "d"
+
+  /** Latest visible row per key.
+    *
+    * @param all     base ∪ deltas, each row carrying `version` and `op`
+    *                columns ("u" upsert / "d" delete tombstone)
+    * @param keys    key columns
+    * @param version monotone per key; (key, version) pairs must be unique —
+    *                the caller's batch id / commit timestamp
+    */
+  def latest(all: DataFrame, keys: Seq[String], version: String,
+      op: String = "op"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(version).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(op) =!= lit(DeleteOp))
+      .drop("__rn", op, version)
+  }
+}

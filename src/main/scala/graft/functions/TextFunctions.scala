@@ -99,6 +99,14 @@ object TextFunctions {
     best
   }
 
+  /** Canonicalization for near-exact dedup: lowercase, non-alphanumerics to
+    * spaces, whitespace runs collapsed, trimmed. Catches the trivial-variant
+    * duplicates (case, punctuation, spacing) exact dedup misses, at map
+    * speed — regexes are codegen'd, no UDF.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Character shingles (n-grams) of length n, distinct, for Jaccard/MinHash.
     * `sequence` + `transform` keeps it codegen-friendly (no UDF, no explode).
     */

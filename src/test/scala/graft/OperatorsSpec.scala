@@ -172,6 +172,23 @@ class OperatorsSpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("merge-on-read: latest version wins, tombstones delete, base survives") {
+    import graft.etl.MergeOnRead
+    val base = Seq((1L, "a", 0L, "u"), (2L, "b", 0L, "u"), (3L, "c", 0L, "u"))
+      .toDF("k", "v", "version", "op")
+    val delta = Seq((2L, "b2", 1L, "u"), (3L, "c", 1L, "d"), (4L, "d", 1L, "u"))
+      .toDF("k", "v", "version", "op")
+    val got = MergeOnRead.latest(base.unionByName(delta), Seq("k"), "version")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d")) // 3 tombstoned
+    // re-insert after delete: higher version revives the key
+    val delta2 = Seq((3L, "c3", 2L, "u")).toDF("k", "v", "version", "op")
+    val got2 = MergeOnRead.latest(
+      base.unionByName(delta).unionByName(delta2), Seq("k"), "version")
+      .as[(Long, String)].collect().toMap
+    assert(got2(3L) == "c3")
+  }
+
   test("dedup clusters: pair endpoints share a cluster labeled by its min id") {
     val docs = Tables.documents(spark, sf)
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.6)
