@@ -9,7 +9,7 @@ import graft.functions.{Exact, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.graftx.RollingHash.rolling_hash
 import graft.multimodal.Multimodal
 import graft.operators.ReferenceOps
-import graft.similarity.{KMeansIvf, Similarity}
+import graft.similarity.{KMeansIvf, ProductQuantizer, Similarity}
 
 /** The declared query surface: one entry per operator from SURVEY.md §2 plus
   * the north-star training-data-pipeline operators, each with (where SQL can
@@ -1285,29 +1285,56 @@ object QueryCatalog {
     * red. (0.2 mirrors SimilaritySpec: 4/16 clusters probed on near-random
     * synthetic embeddings; observed recall is far higher.)
     */
+  /** Shared recall@k harness for the approximate-index queries: one row
+    * (n_queries, recall_ok) where n_queries is oracle-computable and
+    * recall_ok gates the index against the exact brute-force top-k.
+    */
+  private def recallCheck(queries: DataFrame, approx: DataFrame,
+      exact: DataFrame, bound: Double): DataFrame = {
+    val nQueries = queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    nQueries.crossJoin(broadcast(nExact)).crossJoin(broadcast(nHit))
+      .select(
+        col("n_queries"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double") >= lit(bound))
+          .as("recall_ok"))
+  }
+
   private val qAnnIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val centroids = KMeansIvf.fit(emb, k = 16, iters = 3)
     val queries = emb.filter(col("vec_id") < 5)
     val ivf = KMeansIvf.search(KMeansIvf.index(emb, centroids),
       queries, centroids, k = 5, nprobe = 4)
-    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
-    val nQueries = queries.agg(countDistinct(col("vec_id")).as("n_queries"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = exact.select(col("query_id"), col("neighbor_id"))
-      .join(ivf.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"))
-      .agg(count(lit(1)).as("n_hit"))
-    nQueries.crossJoin(broadcast(nExact)).crossJoin(broadcast(nHit))
-      .select(
-        col("n_queries"),
-        (col("n_hit").cast("double") / col("n_exact").cast("double") >= lit(0.2))
-          .as("recall_ok"))
+    recallCheck(queries, ivf, Similarity.bruteForceTopK(emb, queries, k = 5),
+      bound = 0.2)
   }
 
   private val annIvfSql =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
+
+  /** PQ-ADC ANN (similarity.ProductQuantizer): 8×16 codebooks (≈32×
+    * compression of the float index), ADC candidate ranking by table
+    * lookups, exact cosine re-rank of the survivors. Same recall contract
+    * as `q_ann_ivf`; re-rank makes observed recall ≈ 1.
+    */
+  private val qAnnPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val model = ProductQuantizer.fit(emb, dim, m = 8, k = 16, iters = 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    val pq = ProductQuantizer.searchADC(
+      ProductQuantizer.encode(emb, model), queries, emb, model, k = 5)
+    recallCheck(queries, pq, Similarity.bruteForceTopK(emb, queries, k = 5),
+      bound = 0.6)
+  }
+
+  private val annPqSql = annIvfSql
 
   // ------------------------------------------------------------ multimodal
 
@@ -1638,6 +1665,7 @@ object QueryCatalog {
     "q_embedding_neardups" -> qEmbeddingNearDups,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_pq" -> qAnnPq,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
@@ -1696,6 +1724,7 @@ object QueryCatalog {
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
     "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_pq" -> annPqSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,
     "q_outer_join" -> outerJoinSql,

@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftx.VectorExprs
+import graft.functions.VectorFunctions
+
+/** Product quantization (PQ) — the compressed-index leg of billion-scale
+  * ANN (IVF-PQ): split each vector into `m` subspaces, k-means each
+  * subspace ([[KMeansIvf.fit]] per slice — sampled, cached, deterministic),
+  * and store each vector as `m` small codes. A 64-dim float32 embedding
+  * (256 B) becomes 8 codes (≤8 B): the whole index fits in a fraction of
+  * the corpus footprint, so the scan side of a 100 TB search reads ~1/32 of
+  * the bytes and never touches float arrays.
+  *
+  * Search is asymmetric distance computation (ADC): per query, precompute
+  * the m×k table of subspace dot products ONCE (a per-query literal-sized
+  * computation), then a candidate's approximate dot product is `m` table
+  * lookups — `zip_with` + `aggregate` over the code array, fully
+  * codegen-friendly, no float math per candidate. Top candidates are
+  * re-ranked by exact cosine against the uncompressed vectors (a join that
+  * touches only `refine × |queries|` rows).
+  */
+object ProductQuantizer {
+
+  /** `codebooks(sub)(code)` = centroid (subDim doubles) of `code` in
+    * subspace `sub`.
+    */
+  final case class Model(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+  }
+
+  /** Fit per-subspace codebooks. `dim` must be divisible by `m`. */
+  def fit(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { sub =>
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("embedding"), sub * subDim + 1, subDim).as("embedding"))
+      KMeansIvf.fit(sliced, k, iters)
+    }.toArray
+    Model(subDim, codebooks)
+  }
+
+  /** Compress the corpus: (vec_id, codes array<int> of length m). This is
+    * the PQ index — at scale, what gets written/bucketed/scanned.
+    */
+  def encode(corpus: DataFrame, model: Model): DataFrame = {
+    val codeCols = model.codebooks.zipWithIndex.map { case (cb, sub) =>
+      VectorExprs.nearest_centroid(
+        slice(col("embedding"), sub * model.subDim + 1, model.subDim), cb)
+    }
+    corpus.select(col("vec_id"), array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** Exact-order dot product of two double arrays (same fold as
+    * VectorFunctions.dot, operands already double).
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** ADC top-k: approximate-rank all codes per query, keep `refine`
+    * candidates, re-rank them by exact cosine.
+    *
+    * @param encoded [[encode]] output (the compressed index)
+    * @param queries (vec_id, embedding) probe set — broadcast
+    * @param corpus  uncompressed vectors, joined ONLY for the `refine`
+    *                surviving candidates per query
+    */
+  def searchADC(encoded: DataFrame, queries: DataFrame, corpus: DataFrame,
+      model: Model, k: Int, refine: Int = 50): DataFrame = {
+    val cbLit = typedlit(
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq) // m × k × subDim
+    // per-query lookup table: tab(sub)(code) = <q_sub, centroid>
+    val tab = transform(cbLit, (cb, sub) =>
+      transform(cb, cent =>
+        dotD(slice(col("qvec"), sub * lit(model.subDim) + lit(1), lit(model.subDim))
+          .cast("array<double>"), cent)))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec")).withColumn("tab", tab)
+    // approximate dot: m table lookups per candidate row
+    val approx = aggregate(
+      zip_with(col("codes"), col("tab"), (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("neighbor_id").asc)
+    val cand = encoded.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adot", approx)
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= lit(refine))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"))
+    // exact re-rank of the surviving candidates only
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cvec"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.join(c, Seq("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+}

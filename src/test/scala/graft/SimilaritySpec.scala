@@ -133,6 +133,28 @@ class SimilaritySpec extends SparkSpec {
     assert(broadcasted == shuffled && broadcasted.nonEmpty)
   }
 
+  test("product quantizer: valid codes, deterministic encode, ADC recall") {
+    import graft.similarity.ProductQuantizer
+    val emb = Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val model = ProductQuantizer.fit(emb, dim, m = 8, k = 16, iters = 2)
+    assert(model.m == 8 && model.subDim == dim / 8)
+    val enc = ProductQuantizer.encode(emb, model)
+    val codes = enc.select(col("codes")).as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // deterministic encode
+    val codes2 = ProductQuantizer.encode(emb, model)
+      .select(col("codes")).as[Seq[Int]].collect()
+    assert(codes.map(_.toList).toSeq == codes2.map(_.toList).toSeq)
+    val q = emb.filter(col("vec_id") < 10)
+    val got = ProductQuantizer.searchADC(enc, q, emb, model, k = 10)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+    val gotSet = got.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bruteSet = brute.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (gotSet intersect bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"ADC+rerank recall=$recall")
+  }
+
   test("lsh bucket is deterministic and within range") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(VectorFunctions.lshBucket(col("embedding")).as("b")).as[Long].collect()
