@@ -47,13 +47,13 @@ object KMeansIvf {
   final case class CentroidOut(values: Array[Double], n: Long)
 
   /** Exact fixed-point mean of float vectors: order-independent (long sums),
-    * partial-aggregation-friendly (k×dim longs per map task).
+    * partial-aggregation-friendly (k×dim longs per map task). Package-private
+    * so ProductQuantizer's fused per-subspace fit reuses it.
     */
-  private final class CentroidSum(dim: Int)
-      extends Aggregator[(Int, Array[Float]), CentroidBuf, CentroidOut] {
+  private[similarity] final class CentroidSum(dim: Int)
+      extends Aggregator[Array[Float], CentroidBuf, CentroidOut] {
     override def zero: CentroidBuf = CentroidBuf(new Array[Long](dim), 0L)
-    override def reduce(b: CentroidBuf, a: (Int, Array[Float])): CentroidBuf = {
-      val v = a._2
+    override def reduce(b: CentroidBuf, v: Array[Float]): CentroidBuf = {
       var i = 0
       while (i < dim) { b.sums(i) += (v(i) * FpScale).toLong; i += 1 }
       CentroidBuf(b.sums, b.n + 1)
@@ -103,6 +103,7 @@ object KMeansIvf {
             col("embedding"))
           .as[(Int, Array[Float])]
           .groupByKey(_._1)
+          .mapValues(_._2)
           .agg(agg)
           .collect()
           .map { case (c, out) => c -> out.values }

@@ -32,16 +32,65 @@ object ProductQuantizer {
     def m: Int = codebooks.length
   }
 
-  /** Fit per-subspace codebooks. `dim` must be divisible by `m`. */
-  def fit(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int): Model = {
+  /** Fit per-subspace codebooks. `dim` must be divisible by `m`.
+    *
+    * All m subspace k-means run FUSED: one sampled+cached working set, one
+    * init collect, and per Lloyd's iteration ONE job that assigns every
+    * (row × subspace) and aggregates all m×k centroid sums together
+    * (posexplode of m structs → typed fixed-point Aggregator keyed by
+    * (subspace, cluster)). Total actions: 2 + iters, independent of m — the
+    * sequential per-subspace formulation paid m× that.
+    */
+  def fit(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
+      maxFitRows: Long = 1L << 20): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val codebooks = (0 until m).map { sub =>
-      val sliced = corpus.select(col("vec_id"),
-        slice(col("embedding"), sub * subDim + 1, subDim).as("embedding"))
-      KMeansIvf.fit(sliced, k, iters)
-    }.toArray
-    Model(subDim, codebooks)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val slim = corpus.select(col("vec_id"), col("embedding"))
+    val n = slim.count()
+    val sampled =
+      if (n <= maxFitRows) slim
+      else {
+        val perMillion = math.max((maxFitRows.toDouble / n * 1e6).toLong, 1L)
+        slim.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(perMillion))
+      }
+    val work = sampled.cache()
+    try {
+      val initRows = work.orderBy("vec_id").limit(k)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var codebooks = Array.tabulate(m) { sub =>
+        initRows.map(_.slice(sub * subDim, (sub + 1) * subDim))
+      }
+      val agg = new KMeansIvf.CentroidSum(subDim).toColumn
+      for (_ <- 1 to iters) {
+        val perSub = (0 until m).map { sub =>
+          struct(
+            lit(sub).as("sub"),
+            VectorExprs.nearest_centroid(
+              slice(col("embedding"), sub * subDim + 1, subDim),
+              codebooks(sub)).as("cluster"),
+            slice(col("embedding"), sub * subDim + 1, subDim).as("subvec"))
+        }
+        val updated = work
+          .select(explode(array(perSub: _*)).as("a"))
+          .select(col("a.sub"), col("a.cluster"), col("a.subvec"))
+          .as[(Int, Int, Array[Float])]
+          .groupByKey(t => (t._1, t._2))
+          .mapValues(_._3)
+          .agg(agg)
+          .collect()
+          .map { case ((sub, c), out) => (sub, c) -> out.values }
+          .toMap
+        codebooks = Array.tabulate(m) { sub =>
+          Array.tabulate(k) { c =>
+            updated.getOrElse((sub, c), codebooks(sub)(c))
+          }
+        }
+      }
+      Model(subDim, codebooks)
+    } finally work.unpersist()
   }
 
   /** Compress the corpus: (vec_id, codes array<int> of length m). This is
