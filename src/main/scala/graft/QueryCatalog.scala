@@ -1579,6 +1579,37 @@ object QueryCatalog {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming exact dedup, end-to-end: the events table is doubled (every
+    * event delivered twice), written as a single-file stream source, drained
+    * through `dropDuplicatesWithinWatermark` with AvailableNow, and the sink
+    * is aggregated per type. The oracle aggregates the ORIGINAL table — the
+    * hash check passes only if the stream emitted each event exactly once.
+    */
+  private val qStreamDedup: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val ev = Tables.events(s, dir)
+    // one file → one micro-batch → no first-occurrence-late ambiguity
+    ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val deduped = graft.streaming.EventsStream.dedupStream(
+      s.readStream.schema(schema).parquet(s"$tmp/in"))
+    val q = deduped.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val streamDedupSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val qEventsJson: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
@@ -1598,7 +1629,8 @@ object QueryCatalog {
     * loop or run a full streaming drain; Verify still correctness-gates
     * them).
     */
-  val benchExcluded: Set[String] = Set("q_etl_backup", "q_events_hourly_stream")
+  val benchExcluded: Set[String] =
+    Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup")
 
   val queries: Map[String, Q] = Map(
     "q_etl_backup" -> qEtlBackup,
@@ -1670,6 +1702,7 @@ object QueryCatalog {
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
+    "q_stream_dedup" -> qStreamDedup,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
@@ -1755,6 +1788,7 @@ object QueryCatalog {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
+    "q_stream_dedup" -> streamDedupSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,

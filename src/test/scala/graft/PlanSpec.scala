@@ -79,6 +79,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
 
+  test("top-k-per-query rank filter pushes a WindowGroupLimit below the sort") {
+    // row_number().over(w) <= k must NOT sort/keep whole partitions: Spark's
+    // InferWindowGroupLimit caps each group at k rows pre-window. At 100 TB
+    // per-query candidate sets this is the difference between sorting
+    // everything and a bounded per-group heap.
+    val emb = Tables.embeddings(spark, sf)
+    val q = graft.similarity.Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 3), k = 5)
+    val p = plan(q)
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown in:\n$p")
+  }
+
   test("fingerprint dedup shuffles fingerprints only, never document text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // AQE off for this plan so Exchange nodes sit in executedPlan directly
