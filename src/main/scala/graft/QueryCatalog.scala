@@ -830,6 +830,35 @@ object QueryCatalog {
        |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
        |FROM f GROUP BY h ORDER BY canonical_id""".stripMargin
 
+  /** Byte-distribution Shannon entropy per document (graftx.ByteEntropy —
+    * one-pass codegen kernel): the compressibility quality signal. Rounded
+    * to 6 dp on both sides (log2 is transcendental: StrictMath vs libm
+    * differ by ulps).
+    */
+  private val qCharEntropy: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(org.apache.spark.sql.graftx.Sketches.byte_entropy(col("text")), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+
+  private val charEntropySql =
+    """WITH c AS (
+      |  SELECT doc_id, ascii(text[g.i]) AS b
+      |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+      |), cnt AS (
+      |  SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS cnt FROM c GROUP BY 1, 2
+      |), n AS (
+      |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n FROM documents
+      |), e AS (
+      |  SELECT cnt.doc_id, -list_sum(list((cnt/n.n) * log2(cnt/n.n) ORDER BY b)) AS h
+      |  FROM cnt JOIN n ON cnt.doc_id = n.doc_id
+      |  GROUP BY cnt.doc_id
+      |)
+      |SELECT d.doc_id, round(COALESCE(e.h, 0.0), 6) AS entropy
+      |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Dedup on NORMALIZED text (lowercase/punct-strip/space-collapse), again
     * fingerprint-keyed: catches trivial-variant duplicates. The oracle runs
     * the same normalization regexes and the same HUGEINT fold.
@@ -1254,6 +1283,37 @@ object QueryCatalog {
       .orderBy("query_id", "rk")
   }
 
+  /** Multi-probe LSH ANN (`Similarity.ivfTopK`): each query probes its own
+    * bucket plus Hamming-1 neighbors. Deterministic end to end, so this ANN
+    * variant gets a FULL oracle — the probe list is the same XOR expansion
+    * in SQL.
+    */
+  private val qAnnIvfProbes: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, nprobe = 4)
+      .orderBy("query_id", "rk")
+  }
+
+  private val annIvfProbesSql =
+    s"""WITH k AS (
+       |  SELECT vec_id, embedding, ${lshBucketSqlFor("embedding")} AS bucket FROM embeddings
+       |), q0 AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec, bucket AS qb FROM k WHERE vec_id < 5
+       |), q AS (
+       |  SELECT query_id, qvec, u.b AS bucket
+       |  FROM q0, UNNEST([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4)]) AS u(b)
+       |), scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("qvec", "c.embedding")} AS cos
+       |  FROM k c JOIN q ON c.bucket = q.bucket
+       |  WHERE query_id <> c.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rk FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** Full oracle: the LSH probe is deterministic (generated hyperplane
     * constants), so the whole bucket-restricted top-k is SQL-expressible —
     * same bucket bits, same exact-order cosine, same ranking tie-break.
@@ -1664,6 +1724,7 @@ object QueryCatalog {
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_quantiles" -> qApproxQuantiles,
     "q_normalized_dedup" -> qNormalizedDedup,
+    "q_char_entropy" -> qCharEntropy,
     "q_upsert_latest" -> qUpsertLatest,
     "q_outer_join" -> qOuterJoin,
     "q_percentiles" -> qPercentiles,
@@ -1697,6 +1758,7 @@ object QueryCatalog {
     "q_embedding_neardups" -> qEmbeddingNearDups,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_probes" -> qAnnIvfProbes,
     "q_ann_pq" -> qAnnPq,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -1750,6 +1812,7 @@ object QueryCatalog {
     "q_approx_distinct" -> approxDistinctSql,
     "q_approx_quantiles" -> approxQuantilesSql,
     "q_normalized_dedup" -> normalizedDedupSql,
+    "q_char_entropy" -> charEntropySql,
     "q_upsert_latest" -> upsertLatestSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_lsh" -> annLshSql,
@@ -1757,6 +1820,7 @@ object QueryCatalog {
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
     "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_probes" -> annIvfProbesSql,
     "q_ann_pq" -> annPqSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,

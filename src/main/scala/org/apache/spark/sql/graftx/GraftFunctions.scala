@@ -20,5 +20,9 @@ object GraftFunctions {
       exprs => SimHashExpr(exprs.head, 2), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("band_hashes",
+      exprs => BandHashes(exprs.head, 4), "scala_udf")
+    reg.createOrReplaceTempFunction("byte_entropy",
+      exprs => ByteEntropy(exprs.head), "scala_udf")
   }
 }

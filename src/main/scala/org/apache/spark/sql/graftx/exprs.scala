@@ -222,6 +222,51 @@ case class SimHashExpr(child: Expression, shingleLen: Int)
   override def prettyName: String = "simhash64"
 }
 
+/** Shannon entropy (bits) of a string's BYTE distribution — a cheap
+  * quality/compressibility signal for training-data filtering (low entropy ≈
+  * repetitive/boilerplate, ~8 ≈ binary junk). One pass + a 256-bucket
+  * histogram, summed in ascending byte order so the double fold is
+  * deterministic and reproducible by an ORDER BY in the oracle SQL.
+  */
+case class ByteEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    ByteEntropy.entropy(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftx.ByteEntropy.entropy($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteEntropy =
+    copy(child = newChild)
+
+  override def prettyName: String = "byte_entropy"
+}
+
+object ByteEntropy {
+  def entropy(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 0.0
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    val n = bytes.length.toDouble
+    var h = 0.0
+    var b = 0
+    while (b < 256) {
+      if (counts(b) > 0) {
+        val p = counts(b) / n
+        h -= p * (StrictMath.log(p) / StrictMath.log(2.0))
+      }
+      b += 1
+    }
+    h
+  }
+}
+
 /** Intersection size of two SORTED long arrays via linear merge — no hash
   * set per call, no boxing. Used for Jaccard over pre-hashed token sets:
   * the generic `array_intersect` builds a hash set per row pair, which
@@ -313,6 +358,9 @@ object BandHashes {
 }
 
 object Sketches {
+  def byte_entropy(c: Column): Column =
+    Bridge.toColumn(ByteEntropy(Bridge.toExpr(c)))
+
   def band_hashes(sig: Column, rowsPerBand: Int): Column =
     Bridge.toColumn(BandHashes(Bridge.toExpr(sig), rowsPerBand))
 

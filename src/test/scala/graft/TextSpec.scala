@@ -37,6 +37,22 @@ class TextSpec extends SparkSpec {
     assert(r(0) == "en" && r(1) == "zh" && r(2) == "unk")
   }
 
+  test("byte entropy: uniform > repetitive, bounds hold, normalize is idempotent") {
+    import org.apache.spark.sql.graftx.{ByteEntropy, Sketches}
+    assert(ByteEntropy.entropy("aaaa".getBytes) == 0.0)
+    assert(math.abs(ByteEntropy.entropy("abab".getBytes) - 1.0) < 1e-12)
+    assert(ByteEntropy.entropy("".getBytes) == 0.0)
+    val docs = Tables.documents(spark, sf).limit(50)
+    val rows = docs.select(Sketches.byte_entropy(col("text")).as("h"))
+      .as[Double].collect()
+    assert(rows.forall(h => h >= 0.0 && h <= 8.0))
+    // normalize: idempotent, and output alphabet is [a-z0-9 ]
+    val norm = docs.select(TextFunctions.normalize(col("text")).as("t"))
+    val twice = norm.select(TextFunctions.normalize(col("t")).as("t2"), col("t"))
+    assert(twice.filter(col("t") =!= col("t2")).count() == 0)
+    assert(norm.filter(col("t").rlike("[^a-z0-9 ]")).count() == 0)
+  }
+
   test("rolling hash expression equals the kernel (codegen path = eval path)") {
     val texts = Tables.documents(spark, sf).limit(20)
     val viaExpr = texts.select(col("doc_id"),
