@@ -1528,6 +1528,25 @@ object QueryCatalog {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    * (graftx.AsofJoinNode → AsofJoinStrategy → AsofJoinExec: one exchange +
+    * sort per side, single forward merge per co-partition) — hash-checked
+    * against the identical DuckDB ASOF JOIN oracle as `q_asof_purchase`.
+    */
+  private val qAsofExec: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tms"))
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"))
+      .groupBy(col("user_id"), col("tms"))
+      .agg(max(col("event_id")).as("p_id"))
+    org.apache.spark.sql.graftx.AsofPhysical
+      .asof(ev, purchases, key = "user_id", time = "tms", rightCols = Seq("p_id"))
+      .withColumnRenamed("asof_p_id", "p_id")
+      .orderBy("event_id")
+  }
+
   private val asofPurchaseSql =
     """SELECT l.event_id, l.user_id, l.tms, r.p_id
       |FROM (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events) l
@@ -1768,6 +1787,7 @@ object QueryCatalog {
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
+    "q_asof_exec" -> qAsofExec,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -1856,5 +1876,6 @@ object QueryCatalog {
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,
+    "q_asof_exec" -> asofPurchaseSql,
     "q_events_json" -> eventsJsonSql)
 }

@@ -264,6 +264,8 @@ object RewriteCosineSelfJoin extends Rule[LogicalPlan] {
   * `--conf spark.sql.extensions=org.apache.spark.sql.graftx.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteCosineSelfJoin)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }

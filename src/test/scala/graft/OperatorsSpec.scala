@@ -172,6 +172,39 @@ class OperatorsSpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("custom AsofJoinExec physical operator equals the compositional as-of join") {
+    import org.apache.spark.sql.graftx.{AsofJoinExec, AsofPhysical}
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"),
+      (3L, 7L, "e")) // key 3 has no right rows
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 150L), (2L, 99L, 990L),
+      (4L, 1L, 400L)) // key 4 has no left rows
+      .toDF("k", "t", "rv")
+    val exec = AsofPhysical.asof(left, right, "k", "t", Seq("rv"))
+    // the plan actually contains the custom operator
+    assert(exec.queryExecution.executedPlan.toString.contains("AsofJoin") ||
+      exec.queryExecution.sparkPlan.collectFirst { case e: AsofJoinExec => e }.nonEmpty)
+    val got = exec.select("lv", "asof_rv").as[(String, Option[Long])].collect().toMap
+    val want = AsofJoin(left, right, "k", "t", Seq("rv"))
+      .select("lv", "asof_rv").as[(String, Option[Long])].collect().toMap
+    assert(got == want)
+    assert(got == Map("a" -> Some(100L), "b" -> Some(150L), "c" -> None,
+      "d" -> None, "e" -> None))
+    // and on real data: every event matched like the compositional operator
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tms"))
+      .limit(2000)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"))
+      .groupBy(col("user_id"), col("tms")).agg(max(col("event_id")).as("p_id"))
+    val a = AsofPhysical.asof(ev, purchases, "user_id", "tms", Seq("p_id"))
+      .select("event_id", "asof_p_id").as[(Long, Option[Long])].collect().toMap
+    val b = AsofJoin(ev, purchases, "user_id", "tms", Seq("p_id"))
+      .select("event_id", "asof_p_id").as[(Long, Option[Long])].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("merge-on-read: latest version wins, tombstones delete, base survives") {
     import graft.etl.MergeOnRead
     val base = Seq((1L, "a", 0L, "u"), (2L, "b", 0L, "u"), (3L, "c", 0L, "u"))
