@@ -36,4 +36,34 @@ object MergeOnRead {
       .filter(col("__rn") === 1 && col(op) =!= lit(DeleteOp))
       .drop("__rn", op, version)
   }
+
+  /** Fold a base directory + accumulated delta directory back into a single
+    * resolved base (tombstones applied, versions reset to 0, delta dir
+    * emptied). The new base lands in a sibling temp dir and is swapped in
+    * with renames — the same readers-see-old-or-new discipline as
+    * `sources.Compaction`. Read amplification then restarts from zero.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      deltaPath: String, keys: Seq[String], version: String,
+      op: String = "op"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(basePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = new Path(deltaPath)
+    val all =
+      if (fs.exists(delta) && fs.listStatus(delta).exists(_.isFile))
+        spark.read.parquet(basePath).unionByName(spark.read.parquet(deltaPath))
+      else spark.read.parquet(basePath)
+    val resolved = latest(all, keys, version, op)
+      .withColumn(version, lit(0L)).withColumn(op, lit(UpsertOp))
+    val tmp = new Path(p.getParent, s".${p.getName}.mor.tmp")
+    val old = new Path(p.getParent, s".${p.getName}.mor.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    try resolved.write.parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+    fs.delete(delta, true)
+  }
 }

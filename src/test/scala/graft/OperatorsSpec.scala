@@ -222,6 +222,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got2(3L) == "c3")
   }
 
+  test("merge-on-read compaction folds deltas into the base atomically") {
+    import graft.etl.MergeOnRead
+    val tmp = Files.createTempDirectory("graft-mor").toString
+    val base = Seq((1L, "a", 0L, "u"), (2L, "b", 0L, "u"), (3L, "c", 0L, "u"))
+      .toDF("k", "v", "version", "op")
+    base.write.parquet(s"$tmp/base")
+    Seq((2L, "b2", 1L, "u"), (3L, "c", 1L, "d"), (4L, "d", 1L, "u"))
+      .toDF("k", "v", "version", "op")
+      .write.parquet(s"$tmp/delta")
+    MergeOnRead.compact(spark, s"$tmp/base", s"$tmp/delta", Seq("k"), "version")
+    val back = spark.read.parquet(s"$tmp/base")
+    assert(back.select("k", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b2", 4L -> "d"))
+    assert(back.filter(col("version") =!= 0L || col("op") =!= "u").isEmpty)
+    // delta dir emptied; a second compact with no deltas is a no-op
+    MergeOnRead.compact(spark, s"$tmp/base", s"$tmp/delta", Seq("k"), "version")
+    assert(spark.read.parquet(s"$tmp/base").count() == 3)
+  }
+
   test("dedup clusters: pair endpoints share a cluster labeled by its min id") {
     val docs = Tables.documents(spark, sf)
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.6)

@@ -92,6 +92,35 @@ class PlanSpec extends SparkSpec {
       s"expected WindowGroupLimit pushdown in:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact scan when the dim side can't broadcast") {
+    // the at-scale shape: a selective dim side too big to broadcast → Spark's
+    // InjectRuntimeFilter builds a bloom filter on the dim keys and applies
+    // might_contain on the fact side BEFORE the shuffle. Locally we simulate
+    // "too big to broadcast" by disabling broadcast; the scan-size gate is
+    // lowered because sf0.1 is far below the 10GB default.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > lit(100000.0))
+      val j = Tables.lineitem(spark, sf)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom") || p.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n${p.take(2000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("fingerprint dedup shuffles fingerprints only, never document text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // AQE off for this plan so Exchange nodes sit in executedPlan directly
