@@ -859,6 +859,28 @@ object QueryCatalog {
       |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Word-shingle frequency via the native GENERATOR expression
+    * (graftx.ShingleGenerator — the UDTF extension type): one row per
+    * shingle without materializing per-document arrays. The oracle unnests
+    * the same clamped shingle definition generated by SketchOracleSql.
+    */
+  private val qShingleExplode: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftx.Sketches.shingle_explode(col("text"), 3).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("shingle"))
+
+  private val shingleExplodeSql =
+    s"""WITH tk0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(${SketchOracleSql.shingleList(3)}) AS shingle FROM tk0
+       |)
+       |SELECT shingle, COUNT(*) AS n FROM sh GROUP BY 1 HAVING COUNT(*) >= 5
+       |ORDER BY n DESC, shingle""".stripMargin
+
   /** Dedup on NORMALIZED text (lowercase/punct-strip/space-collapse), again
     * fingerprint-keyed: catches trivial-variant duplicates. The oracle runs
     * the same normalization regexes and the same HUGEINT fold.
@@ -1744,6 +1766,7 @@ object QueryCatalog {
     "q_approx_quantiles" -> qApproxQuantiles,
     "q_normalized_dedup" -> qNormalizedDedup,
     "q_char_entropy" -> qCharEntropy,
+    "q_shingle_explode" -> qShingleExplode,
     "q_upsert_latest" -> qUpsertLatest,
     "q_outer_join" -> qOuterJoin,
     "q_percentiles" -> qPercentiles,
@@ -1833,6 +1856,7 @@ object QueryCatalog {
     "q_approx_quantiles" -> approxQuantilesSql,
     "q_normalized_dedup" -> normalizedDedupSql,
     "q_char_entropy" -> charEntropySql,
+    "q_shingle_explode" -> shingleExplodeSql,
     "q_upsert_latest" -> upsertLatestSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_lsh" -> annLshSql,

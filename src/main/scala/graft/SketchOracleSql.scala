@@ -86,8 +86,9 @@ object SketchOracleSql {
 
   /** Word shingles of length n over single-space tokens `tk`, with the same
     * short-document clamp as SketchKernels.minHashSig (>= 1 shingle always).
+    * Public: also the oracle for the ShingleGenerator table function.
     */
-  private def shingleList(n: Int): String =
+  def shingleList(n: Int): String =
     s"list_transform(generate_series(1, greatest(len(tk) - $n + 1, 1)), " +
       s"i -> array_to_string(tk[i:least(i + $n - 1, len(tk))], ' '))"
 

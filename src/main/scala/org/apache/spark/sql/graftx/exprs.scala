@@ -222,6 +222,47 @@ case class SimHashExpr(child: Expression, shingleLen: Int)
   override def prettyName: String = "simhash64"
 }
 
+/** Native Generator (the UDTF extension type): one output row per word
+  * shingle of length `n` — the table-function analogue of the scalar sketch
+  * kernels, sharing their tokenization (SketchKernels.tokenOffsets) and
+  * short-document clamp, so downstream counts agree with MinHash/Jaccard
+  * shingle semantics and with the generated oracle SQL. Evaluated via
+  * `GenerateExec` exactly like the built-in `explode`, but without first
+  * materializing a shingle array per document.
+  */
+case class ShingleGenerator(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shingle", StringType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      val offs = SketchKernels.tokenOffsets(b)
+      val nTok = offs.length / 2
+      val nShingles = math.max(nTok - n + 1, 1)
+      (0 until nShingles).iterator.map { i =>
+        val from = offs(i * 2)
+        val lastTok = math.min(i + n - 1, nTok - 1)
+        val until = offs(lastTok * 2 + 1)
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, from, until)))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleGenerator =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_explode"
+}
+
 /** Shannon entropy (bits) of a string's BYTE distribution — a cheap
   * quality/compressibility signal for training-data filtering (low entropy ≈
   * repetitive/boilerplate, ~8 ≈ binary junk). One pass + a 256-bucket
@@ -358,6 +399,9 @@ object BandHashes {
 }
 
 object Sketches {
+  def shingle_explode(c: Column, n: Int): Column =
+    Bridge.toColumn(ShingleGenerator(Bridge.toExpr(c), n))
+
   def byte_entropy(c: Column): Column =
     Bridge.toColumn(ByteEntropy(Bridge.toExpr(c)))
 

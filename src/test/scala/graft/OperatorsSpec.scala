@@ -205,6 +205,32 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("connected components: local and distributed paths agree on a 50k-edge graph") {
+    // deterministic pseudo-random graph with chains and clusters
+    val edges = spark.range(50000).selectExpr(
+      "id % 17000 AS src",
+      "CASE WHEN id % 7 = 0 THEN id % 17000 + 1 ELSE (id * 2654435761) % 17000 END AS dst")
+    val local = graft.operators.ConnectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.operators.ConnectedComponents(edges, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local.nonEmpty && local == dist)
+  }
+
+  test("shingle generator equals the array-based shingle definition") {
+    import org.apache.spark.sql.graftx.Sketches
+    val docs = Tables.documents(spark, sf).limit(200)
+    val gen = docs.select(col("doc_id"),
+      Sketches.shingle_explode(col("text"), 3).as("s"))
+      .as[(Long, String)].collect().toSeq.sorted
+    val arr = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), greatest(size(split(col("text"), " ")) - lit(2), lit(1))),
+        i => concat_ws(" ", slice(split(col("text"), " "), i, lit(3))))).as("s"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(gen == arr && gen.nonEmpty)
+  }
+
   test("merge-on-read: latest version wins, tombstones delete, base survives") {
     import graft.etl.MergeOnRead
     val base = Seq((1L, "a", 0L, "u"), (2L, "b", 0L, "u"), (3L, "c", 0L, "u"))
