@@ -1200,6 +1200,32 @@ object QueryCatalog {
     s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteListSql(text)}),
        |      (h, b) -> (h * ${org.apache.spark.sql.graftx.RollingHash.Base} + b) % $U64)""".stripMargin
 
+  /** Skew-salted join (operators.SaltedJoin): the big side's hot keys are
+    * spread over `salts` shuffle partitions, the small side replicated
+    * `salts`×. Salting is semantically transparent, so the oracle is the
+    * PLAIN join — the hash check proves no rows are lost or duplicated by
+    * the salt/replicate/drop dance.
+    */
+  private val qSaltedJoin: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    operators.SaltedJoin(l, o, key = "l_orderkey", tieBreak = "l_linenumber", salts = 8)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("l_quantity")).as("qty"))
+      .orderBy("l_orderkey")
+  }
+
+  private val saltedJoinSql =
+    """SELECT l.l_orderkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem l JOIN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+      |ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val qDocFingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
@@ -1213,6 +1239,22 @@ object QueryCatalog {
   private val qMinhashNearDups: Q = (s, dir) =>
     Dedup.minHashNearDups(Tables.documents(s, dir), threshold = 0.5)
       .orderBy("doc_a", "doc_b")
+
+  /** The incremental-dedup shape as a declared query: build the persistent
+    * band index over doc_id < 400, then probe the rest as the "arriving
+    * batch" — no historical text is re-read; candidates come from the
+    * band-partitioned store and are scored by signature-estimated Jaccard.
+    * The oracle recomputes signatures, band keys and the estimate in
+    * mod-2^64 SQL with the same split.
+    */
+  private val qBandIndexProbe: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    val docs = Tables.documents(s, dir)
+    Dedup.buildBandIndex(docs.filter(col("doc_id") < 400), tmp, mode = "overwrite")
+    Dedup.probeBandIndex(docs.filter(col("doc_id") >= 400), s, tmp,
+      minEstJaccard = 0.5)
+      .orderBy("new_id", "indexed_id")
+  }
 
   private val qSimhashNearDups: Q = (s, dir) =>
     Dedup.simHashNearDups(Tables.documents(s, dir), maxHamming = 6)
@@ -1794,6 +1836,8 @@ object QueryCatalog {
     "q_unpivot" -> qUnpivot,
     "q_histogram" -> qHistogram,
     "q_doc_fingerprint" -> qDocFingerprint,
+    "q_salted_join" -> qSaltedJoin,
+    "q_band_index_probe" -> qBandIndexProbe,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
     "q_cosine_topk" -> qCosineTopk,
@@ -1861,6 +1905,8 @@ object QueryCatalog {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_lsh" -> annLshSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_salted_join" -> saltedJoinSql,
+    "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
     "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),
     "q_ann_ivf" -> annIvfSql,

@@ -108,11 +108,13 @@ object SketchOracleSql {
     (sb.toString, prev)
   }
 
-  /** Oracle for `Dedup.minHashNearDups`: signature → rolling band keys →
-    * same-band candidate pairs → exact shingle-Jaccard verification.
+  /** WITH-prefix computing per-doc MinHash signatures and rolling band keys:
+    * CTEs `sh` (doc_id, shingles), `sig` (doc_id, sig — signed values), and
+    * `bands` (doc_id, band, band_hash). Shared by the near-dup and
+    * band-index-probe oracles.
     */
-  def minHashNearDupsSql(threshold: Double, shingleLen: Int = 3,
-      numHashes: Int = 24, rowsPerBand: Int = 4): String = {
+  private def sigAndBandsCte(shingleLen: Int, numHashes: Int,
+      rowsPerBand: Int): String = {
     val h1Stages = finalizerStages("r1", "f1")
     val h2Stages = finalizerStages("r2", "f2")
     val (chain, last) = chainStages(h1Stages ++ h2Stages, "raw", "st")
@@ -125,7 +127,6 @@ object SketchOracleSql {
         s"v -> ${unsignedVal("v")})), " +
         s"(h, v) -> (h * ${RollingHash.Base} + v) % $Wrap)"
     val sigMin = signedVal(s"(($h1[s]) + j * (h2o[s])) % $Wrap")
-    val jac = jaccard("x.sset", "y.sset")
     s"""WITH tk0 AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
        |), sh AS (
@@ -148,7 +149,16 @@ object SketchOracleSql {
        |), bands AS (
        |  SELECT doc_id, band, ${toBigint(bandFold)} AS band_hash
        |  FROM sig, generate_series(0, ${numBands - 1}) g(band)
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  /** Oracle for `Dedup.minHashNearDups`: signature → rolling band keys →
+    * same-band candidate pairs → exact shingle-Jaccard verification.
+    */
+  def minHashNearDupsSql(threshold: Double, shingleLen: Int = 3,
+      numHashes: Int = 24, rowsPerBand: Int = 4): String = {
+    val jac = jaccard("x.sset", "y.sset")
+    s"""${sigAndBandsCte(shingleLen, numHashes, rowsPerBand)}, cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
        |  WHERE a.doc_id < b.doc_id
@@ -160,6 +170,26 @@ object SketchOracleSql {
        |WHERE $jac >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Oracle for `Dedup.probeBandIndex` with the corpus split at `splitId`
+    * (index = ids below, probe batch = ids at or above): band-equality
+    * candidates across the split, estimated Jaccard = fraction of agreeing
+    * signature positions.
+    */
+  def bandIndexProbeSql(splitId: Long, minEstJaccard: Double,
+      shingleLen: Int = 3, numHashes: Int = 24, rowsPerBand: Int = 4): String =
+    s"""${sigAndBandsCte(shingleLen, numHashes, rowsPerBand)}, cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS indexed_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id >= $splitId AND b.doc_id < $splitId
+       |), est AS (
+       |  SELECT new_id, indexed_id,
+       |    CAST(len(list_filter(generate_series(1, $numHashes),
+       |      i -> x.sig[i] = y.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard
+       |  FROM cand JOIN sig x ON x.doc_id = new_id JOIN sig y ON y.doc_id = indexed_id
+       |)
+       |SELECT new_id, indexed_id, est_jaccard FROM est
+       |WHERE est_jaccard >= $minEstJaccard ORDER BY new_id, indexed_id""".stripMargin
 
   /** Oracle for `Dedup.simHashNearDups`: per-shingle hash → 64 bit votes →
     * signature → 16-bit quarter blocking → `bit_count(xor)` Hamming filter.
