@@ -1200,6 +1200,30 @@ object QueryCatalog {
     s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteListSql(text)}),
        |      (h, b) -> (h * ${org.apache.spark.sql.graftx.RollingHash.Base} + b) % $U64)""".stripMargin
 
+  /** Z-order layout as a declared round-trip: orders re-laid-out on the
+    * Morton curve of (custkey, totalprice-cents), read back and aggregated.
+    * The oracle aggregates the source directly, proving the re-layout is
+    * lossless; the min/max-skipping benefit itself is plan/file-range
+    * asserted in OperatorsSpec.
+    */
+  private val qZorderLayout: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val src = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+    graft.sources.ZOrder.write(src, "o_custkey", "price_cents", s"$tmp/z", numFiles = 8)
+    s.read.parquet(s"$tmp/z")
+      .groupBy((col("o_custkey") % 10).as("custkey_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+      .orderBy("custkey_mod")
+  }
+
+  private val zorderLayoutSql =
+    """SELECT o_custkey % 10 AS custkey_mod, COUNT(*) AS n,
+      |  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Skew-salted join (operators.SaltedJoin): the big side's hot keys are
     * spread over `salts` shuffle partitions, the small side replicated
     * `salts`×. Salting is semantically transparent, so the oracle is the
@@ -1837,6 +1861,7 @@ object QueryCatalog {
     "q_histogram" -> qHistogram,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_salted_join" -> qSaltedJoin,
+    "q_zorder_layout" -> qZorderLayout,
     "q_band_index_probe" -> qBandIndexProbe,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -1906,6 +1931,7 @@ object QueryCatalog {
     "q_ann_lsh" -> annLshSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_salted_join" -> saltedJoinSql,
+    "q_zorder_layout" -> zorderLayoutSql,
     "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
     "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),

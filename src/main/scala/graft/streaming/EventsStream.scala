@@ -93,6 +93,38 @@ object EventsStream {
       }
   }
 
+  /** Closed-session emission via flatMapGroupsWithState (Append mode): state
+    * accumulates silently and a session row is emitted ONLY when the
+    * event-time timeout fires — zero rows per open session, exactly one per
+    * closed session. The multi-output (0..n rows per group call) contract is
+    * what `mapGroupsWithState` cannot express.
+    */
+  def sessionizeClosed(spark: SparkSession,
+      events: DataFrame): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.withWatermark("ts", "30 minutes").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionUpdate(userId, new Timestamp(s.start), s.n, s.total, closed = true))
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val s0 = state.getOption
+              .getOrElse(SessionState(evs.head.ts.getTime, 0L, 0L, 0.0))
+            val s = evs.foldLeft(s0)((s, e) =>
+              s.copy(last = e.ts.getTime, n = s.n + 1, total = s.total + e.value))
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + 30 * 60 * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the same user's
     * clicks in the preceding 30 minutes. Both sides watermarked, and the
     * join condition bounds event-time distance — Spark uses the bound to

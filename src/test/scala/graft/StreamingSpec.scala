@@ -11,6 +11,7 @@ import graft.streaming.EventsStream
   * watermarked windows, stateful sessionization.
   */
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
 
   test("hourly agg over the stream equals the batch groupBy") {
     val tmp = Files.createTempDirectory("graft-stream").toString
@@ -63,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.select("userId").distinct().count() ==
       Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
+  test("flatMapGroupsWithState emits only closed sessions, matching batch sessions") {
+    val tmp = Files.createTempDirectory("graft-sessclosed").toString
+    val ds = EventsStream.sessionizeClosed(spark, EventsStream.readEvents(spark, sf))
+    val q = ds.writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess_closed_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ck")
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sess_closed_out")
+    assert(out.count() > 0)
+    assert(out.filter(!col("closed")).isEmpty) // append path emits closed only
+    // every closed session corresponds to a batch-computed session (same
+    // user + session start), computed with the same 30-min gap rule
+    val batchSessions = QueryCatalog.queries("q_sessionize")(spark, sf)
+      .select(col("user_id"), col("start_ms")).as[(Long, Long)].collect().toSet
+    val closed = out.select(col("userId"),
+      unix_millis(col("sessionStart")).as("start_ms"))
+      .as[(Long, Long)].collect().toSet
+    assert(closed.subsetOf(batchSessions),
+      s"closed sessions not found in batch: ${(closed -- batchSessions).take(3)}")
   }
 
   test("runAvailableNow drains to parquet and is restartable (checkpoint no-ops)") {
