@@ -1371,6 +1371,48 @@ object QueryCatalog {
       .orderBy("query_id", "rk")
   }
 
+  /** int8 scalar-quantized top-k (`Similarity.sqTopK`): 4× smaller scan
+    * side, and because the similarity math is exact integer dot products,
+    * the WHOLE quantized search is bit-reproducible in SQL — a full oracle,
+    * unlike float-sum formulations which only match under a fixed fold
+    * order.
+    */
+  private val qSqCosine: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.sqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  private def idotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i]))"
+
+  private val sqCosineSql = {
+    val cosExpr =
+      s"CAST(${idotSql("qq", "cq")} AS DOUBLE) / " +
+        s"(sqrt(CAST(${idotSql("qq", "qq")} AS DOUBLE)) * " +
+        s"sqrt(CAST(${idotSql("cq", "cq")} AS DOUBLE)))"
+    s"""WITH s0 AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+       |  FROM embeddings
+       |), qz AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT)) AS q
+       |  FROM s0
+       |), q AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, q AS cq FROM qz),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $cosExpr AS qcos
+       |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, qcos, rk FROM (
+       |  SELECT query_id, neighbor_id, qcos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Multi-probe LSH ANN (`Similarity.ivfTopK`): each query probes its own
     * bucket plus Hamming-1 neighbors. Deterministic end to end, so this ANN
     * variant gets a FULL oracle — the probe list is the same XOR expansion
@@ -1871,6 +1913,7 @@ object QueryCatalog {
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_probes" -> qAnnIvfProbes,
     "q_ann_pq" -> qAnnPq,
+    "q_sq_cosine" -> qSqCosine,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_events_hourly" -> qEventsHourly,
@@ -1938,6 +1981,7 @@ object QueryCatalog {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_probes" -> annIvfProbesSql,
     "q_ann_pq" -> annPqSql,
+    "q_sq_cosine" -> sqCosineSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,
     "q_outer_join" -> outerJoinSql,

