@@ -1310,6 +1310,57 @@ object QueryCatalog {
        |FROM ok JOIN canon USING (doc_id)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The v2 composed pipeline: quality gate → exact dedup → NEAR-dup
+    * clustering (blocked Jaccard pairs + connected components, keep cluster
+    * minimum) → per-language accounting. The oracle composes the quality
+    * CTEs, the blocked pair join and the recursive-CTE transitive closure —
+    * the entire multi-stage flow hash-checked end to end.
+    */
+  private val qTrainingPipelineV2: Q = (s, dir) =>
+    graft.pipeline.TrainingDataPipeline.summaryV2(Tables.documents(s, dir))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+
+  private val trainingPipelineV2Sql =
+    s"""WITH RECURSIVE qv AS (
+       |  SELECT doc_id, lang, text, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stopListSql, t))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+       |  FROM documents
+       |), okv AS (
+       |  SELECT * FROM qv
+       |  WHERE NOT (n_tokens < 5) AND NOT (ttr < 0.3) AND NOT (stop_ratio > 0.5)
+       |), canonv AS (
+       |  SELECT min(doc_id) AS doc_id FROM okv GROUP BY text
+       |), surv AS (
+       |  SELECT okv.* FROM okv JOIN canonv USING (doc_id)
+       |), k AS (
+       |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+       |    list_distinct(string_split(text, ' ')) AS toks
+       |  FROM surv
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM k a JOIN k b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), labels AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+       |), kept AS (
+       |  SELECT * FROM surv
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+       |)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ embeddings
 
   /** DuckDB dot product mirroring VectorFunctions.dot's exact fold order:
@@ -1891,6 +1942,7 @@ object QueryCatalog {
     "q_lang_id" -> qLangId,
     "q_exact_dedup" -> qExactDedup,
     "q_training_pipeline" -> qTrainingPipeline,
+    "q_training_pipeline_v2" -> qTrainingPipelineV2,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_clusters" -> qDedupClusters,
     "q_word_freq" -> qWordFreq,
@@ -1997,6 +2049,7 @@ object QueryCatalog {
     "q_lang_id" -> langIdSql,
     "q_exact_dedup" -> exactDedupSql,
     "q_training_pipeline" -> trainingPipelineSql,
+    "q_training_pipeline_v2" -> trainingPipelineV2Sql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_word_freq" -> wordFreqSql,

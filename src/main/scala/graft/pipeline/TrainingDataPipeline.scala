@@ -49,4 +49,30 @@ object TrainingDataPipeline {
         count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
       .orderBy("lang")
+
+  /** NEAR-dup canonicalization stage: cluster the survivors via blocked
+    * n-gram Jaccard pairs + connected components, keep only each cluster's
+    * minimum doc_id (docs in no pair keep themselves). All building blocks
+    * are the scale-shaped operators: blocked pair join, adaptive CC, an
+    * anti join on the drop list.
+    */
+  def dedupNearKeepCanonical(docs: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold)
+    val cc = graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+    val drop = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** v2 summary: quality → exact dedup → near-dup clustering → accounting —
+    * the full canonicalization a training corpus actually gets.
+    */
+  def summaryV2(docs: DataFrame): DataFrame =
+    dedupNearKeepCanonical(dedupKeepCanonical(qualityFilter(docs)))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      .orderBy("lang")
 }
