@@ -1577,6 +1577,26 @@ object QueryCatalog {
 
   private val annPqSql = annIvfSql
 
+  /** Full IVF-PQ composition: coarse-cluster pruning (nprobe of 16 lists) ×
+    * PQ-ADC ranking × exact re-rank — the billion-scale index, recall-
+    * checked against exact brute force like its component queries.
+    */
+  private val qAnnIvfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val centroids = KMeansIvf.fit(emb, k = 16, iters = 3)
+    val model = ProductQuantizer.fit(emb, dim, m = 8, k = 16, iters = 3)
+    val encodedIndexed = ProductQuantizer.encode(emb, model)
+      .join(KMeansIvf.index(emb, centroids).select("vec_id", "cluster"), "vec_id")
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivfpq = ProductQuantizer.searchIvfPq(
+      encodedIndexed, queries, emb, centroids, model, k = 5, nprobe = 8)
+    recallCheck(queries, ivfpq, Similarity.bruteForceTopK(emb, queries, k = 5),
+      bound = 0.2)
+  }
+
+  private val annIvfPqSql = annIvfSql
+
   // ------------------------------------------------------------ multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -1965,6 +1985,7 @@ object QueryCatalog {
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_probes" -> qAnnIvfProbes,
     "q_ann_pq" -> qAnnPq,
+    "q_ann_ivf_pq" -> qAnnIvfPq,
     "q_sq_cosine" -> qSqCosine,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -2033,6 +2054,7 @@ object QueryCatalog {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_probes" -> annIvfProbesSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_ivf_pq" -> annIvfPqSql,
     "q_sq_cosine" -> sqCosineSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,

@@ -110,38 +110,37 @@ object ProductQuantizer {
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** ADC top-k: approximate-rank all codes per query, keep `refine`
-    * candidates, re-rank them by exact cosine.
-    *
-    * @param encoded [[encode]] output (the compressed index)
-    * @param queries (vec_id, embedding) probe set — broadcast
-    * @param corpus  uncompressed vectors, joined ONLY for the `refine`
-    *                surviving candidates per query
+  /** Probe set with its per-query ADC lookup table:
+    * tab(sub)(code) = <q_sub, centroid>.
     */
-  def searchADC(encoded: DataFrame, queries: DataFrame, corpus: DataFrame,
-      model: Model, k: Int, refine: Int = 50): DataFrame = {
+  private def withAdcTable(queries: DataFrame, model: Model): DataFrame = {
     val cbLit = typedlit(
       model.codebooks.map(_.map(_.toSeq).toSeq).toSeq) // m × k × subDim
-    // per-query lookup table: tab(sub)(code) = <q_sub, centroid>
     val tab = transform(cbLit, (cb, sub) =>
       transform(cb, cent =>
         dotD(slice(col("qvec"), sub * lit(model.subDim) + lit(1), lit(model.subDim))
           .cast("array<double>"), cent)))
-    val q = queries.select(col("vec_id").as("query_id"),
+    queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qvec")).withColumn("tab", tab)
-    // approximate dot: m table lookups per candidate row
+  }
+
+  /** ADC rank (m table lookups per candidate) → keep `refine` → exact
+    * cosine re-rank of the survivors only. `joined` carries (query_id,
+    * qvec, tab, neighbor_id, codes).
+    */
+  private def adcRankAndRefine(joined: DataFrame, corpus: DataFrame,
+      k: Int, refine: Int): DataFrame = {
     val approx = aggregate(
       zip_with(col("codes"), col("tab"), (c, t) => element_at(t, c + 1)),
       lit(0.0), (acc, v) => acc + v)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("adot").desc, col("neighbor_id").asc)
-    val cand = encoded.select(col("vec_id").as("neighbor_id"), col("codes"))
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val cand = joined
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adot", approx)
       .withColumn("ark", row_number().over(wApprox))
       .filter(col("ark") <= lit(refine))
       .select(col("query_id"), col("neighbor_id"), col("qvec"))
-    // exact re-rank of the surviving candidates only
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cvec"))
     val wExact = Window.partitionBy(col("query_id"))
@@ -152,5 +151,43 @@ object ProductQuantizer {
       .filter(col("rk") <= lit(k))
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** ADC top-k over the WHOLE compressed index: approximate-rank all codes
+    * per query, keep `refine` candidates, re-rank them by exact cosine.
+    *
+    * @param encoded [[encode]] output (the compressed index)
+    * @param queries (vec_id, embedding) probe set — broadcast
+    * @param corpus  uncompressed vectors, joined ONLY for the `refine`
+    *                surviving candidates per query
+    */
+  def searchADC(encoded: DataFrame, queries: DataFrame, corpus: DataFrame,
+      model: Model, k: Int, refine: Int = 50): DataFrame = {
+    val q = withAdcTable(queries, model)
+    val joined = encoded.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    adcRankAndRefine(joined, corpus, k, refine)
+  }
+
+  /** IVF-PQ search — the canonical billion-scale composition: the coarse
+    * k-means quantizer ([[KMeansIvf]]) prunes each query's scan to its
+    * `nprobe` inverted lists, PQ-ADC ranks only the codes INSIDE those
+    * lists, and exact cosine re-ranks the survivors. At 100 TB the scan
+    * touches nprobe/k-ths of a ~32×-compressed, cluster-bucketed index —
+    * both pruning axes compound.
+    *
+    * @param encodedIndexed [[encode]] output plus the coarse `cluster`
+    *   column (vec_id, codes, cluster) — what the corpus would be written
+    *   bucketed by
+    */
+  def searchIvfPq(encodedIndexed: DataFrame, queries: DataFrame,
+      corpus: DataFrame, centroids: Array[Array[Double]], model: Model,
+      k: Int, nprobe: Int, refine: Int = 50): DataFrame = {
+    val q = withAdcTable(queries, model).withColumn("cluster",
+      explode(VectorExprs.nearest_centroids(col("qvec"), centroids, nprobe)))
+    val joined = encodedIndexed
+      .select(col("cluster"), col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(q), Seq("cluster"))
+    adcRankAndRefine(joined, corpus, k, refine)
   }
 }

@@ -155,6 +155,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ADC+rerank recall=$recall")
   }
 
+  test("IVF-PQ: cluster pruning shrinks the ADC candidate set, recall holds") {
+    import graft.similarity.{KMeansIvf, ProductQuantizer}
+    val emb = Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cent = KMeansIvf.fit(emb, k = 16, iters = 2)
+    val model = ProductQuantizer.fit(emb, dim, m = 8, k = 16, iters = 2)
+    val encIdx = ProductQuantizer.encode(emb, model)
+      .join(KMeansIvf.index(emb, cent).select("vec_id", "cluster"), "vec_id")
+    val q = emb.filter(col("vec_id") < 10)
+    val ivfpq = ProductQuantizer.searchIvfPq(encIdx, q, emb, cent, model,
+      k = 10, nprobe = 8)
+    val full = ProductQuantizer.searchADC(encIdx.drop("cluster"), q, emb, model, k = 10)
+    val got = ivfpq.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val fullSet = full.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && fullSet.nonEmpty)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF-PQ recall=$recall") // 8/16 lists probed
+  }
+
   test("int8 scalar quantization: codes in range, high top-k recall vs exact") {
     val emb = Tables.embeddings(spark, sf)
     val codes = emb.select(Similarity.quantizeInt8(col("embedding")).as("q"))
