@@ -1658,6 +1658,28 @@ object QueryCatalog {
        |    i -> CAST((h // CAST(power(2, i*7) AS HUGEINT)) % 256 AS INT)), ',') AS feat_bytes
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling through the batch demux plumbing: every 2nd 256-byte
+    * "frame" becomes a row (per-partition flatMap — a 2-hour video never
+    * materializes all frames at once). The oracle reproduces the exact
+    * accounting: sampled = ceil(ceil(bytes/256) / 2) per doc, plus the
+    * first-frame byte length.
+    */
+  private val qMultimodalFrames: Q = (s, dir) =>
+    Multimodal.sampleFrames(Multimodal.withPayload(Tables.documents(s, dir)), stride = 2)
+      .toDF()
+      .groupBy(col("docId").as("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(when(col("frameIdx") === 0, length(col("payload")))).as("first_frame_bytes"))
+      .select(col("doc_id"), col("n_sampled"),
+        col("first_frame_bytes").cast("long").as("first_frame_bytes"))
+      .orderBy("doc_id")
+
+  private val multimodalFramesSql =
+    """SELECT doc_id,
+      |  CAST(ceil(ceil(octet_length(encode(text)) / 256.0) / 2.0) AS BIGINT) AS n_sampled,
+      |  CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT) AS first_frame_bytes
+      |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ events
 
   private val qEventsHourly: Q = (s, dir) =>
@@ -1989,6 +2011,7 @@ object QueryCatalog {
     "q_sq_cosine" -> qSqCosine,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
+    "q_multimodal_frames" -> qMultimodalFrames,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
@@ -2085,6 +2108,7 @@ object QueryCatalog {
     "q_cosine_topk" -> cosineTopkSql,
     "q_embedding_neardups" -> embeddingNearDupsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
+    "q_multimodal_frames" -> multimodalFramesSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,
