@@ -51,9 +51,15 @@ object Bench {
     val total = results.map(_._2.min).sum
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"),
       s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"queries":$detail}""")
-    val qs = results.map { case (name, times, _) => s""""$name":${s3(times.min)}""" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver captures only a bounded stdout tail (~2.4 KB): if 3-decimal
+    // times would overflow it as the query count grows, fall back to 2
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (name, times, _) => s""""$name":${fmt(times.min)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val l3 = line(s3)
+    println(if (l3.length <= 2200) l3 else line(v => f"$v%.2f"))
     spark.stop()
   }
 }
