@@ -51,15 +51,20 @@ object Bench {
     val total = results.map(_._2.min).sum
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"),
       s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"queries":$detail}""")
-    // the driver captures only a bounded stdout tail (~2.4 KB): if 3-decimal
-    // times would overflow it as the query count grows, fall back to 2
-    def line(fmt: Double => String): String = {
-      val qs = results.map { case (name, times, _) => s""""$name":${fmt(times.min)}""" }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
-    val l3 = line(s3)
-    println(if (l3.length <= 2200) l3 else line(v => f"$v%.2f"))
+    // the driver captures only a bounded stdout tail (~2.4 KB, shared with
+    // sbt's trailing [success] line). The contract line must NEVER overflow
+    // it — r2's did, and the driver recorded "parsed": null. Hard budget:
+    // emit the total plus as many queries as fit, slowest first (the
+    // informative ones); the complete per-query map lives in
+    // BENCH_DETAILS.json, which is committed each round.
+    val budget = 2000
+    val entries = results.sortBy(-_._2.min)
+      .map { case (name, times, _) => s""""$name":${s3(times.min)}""" }
+    def wrap(qs: Seq[String]): String =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir","detail":"BENCH_DETAILS.json"}"""
+    var kept = entries
+    while (wrap(kept).length > budget && kept.nonEmpty) kept = kept.dropRight(1)
+    println(wrap(kept))
     spark.stop()
   }
 }

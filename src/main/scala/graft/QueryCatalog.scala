@@ -5,11 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.functions.{Exact, TextFunctions, VectorFunctions}
+import graft.functions.{CountMin, Exact, TextFunctions, VectorFunctions}
+import graft.pipeline.TokenBudget
 import org.apache.spark.sql.graftx.RollingHash.rolling_hash
 import graft.multimodal.Multimodal
 import graft.operators.ReferenceOps
-import graft.similarity.{KMeansIvf, ProductQuantizer, Similarity}
+import graft.similarity.{KMeansIvf, ModelCache, ProductQuantizer, Similarity}
 
 /** The declared query surface: one entry per operator from SURVEY.md §2 plus
   * the north-star training-data-pipeline operators, each with (where SQL can
@@ -967,6 +968,107 @@ object QueryCatalog {
       |WHERE token <> '' GROUP BY token
       |ORDER BY cnt DESC, token LIMIT 100""".stripMargin
 
+  /** Per-language token-budget sampling (pipeline.TokenBudget): the
+    * mixture-control step of a training-data pipeline. Hash-ordered running
+    * sum per language, whole docs taken while the cumulative token count
+    * stays within the language's budget. Fully SQL-expressible → exact
+    * oracle.
+    */
+  private val qTokenBudget: Q = (s, dir) =>
+    TokenBudget.sample(Tables.documents(s, dir),
+      budgets = Map("en" -> 8000L), defaultBudget = 3000L)
+      .orderBy("lang", "rk")
+
+  private val tokenBudgetSql =
+    """SELECT lang, rk, doc_id, n_tokens, cum_tokens FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+      |    CAST(SUM(len(string_split(text, ' ')))
+      |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)) t
+      |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 8000 ELSE 3000 END
+      |ORDER BY lang, rk""".stripMargin
+
+  /** Count-min-sketch heavy hitters (functions.CountMin): the sketch is
+    * engine-specific, so — per the established sketch-oracle pattern — the
+    * query emits the EXACT top-20 word counts (SQL-reproducible) plus the
+    * CMS guarantees evaluated in-engine as booleans: est ≥ exact always
+    * (deterministic CMS property), est ≤ exact + ⌈(e/width)·N⌉ (the ε
+    * bound). The oracle recomputes the exact side and expects TRUE flags —
+    * a broken sketch flips a boolean and the hash compare goes red.
+    */
+  private val qHeavyHitters: Q = (s, dir) => {
+    val counts = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val sketch = CountMin.fromCounts(counts, "token", "n",
+      depth = 4, width = 1024)
+    val est = CountMin.estimate(sketch, col("token"))
+    counts
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+      .select(col("token"), col("n"),
+        (est >= col("n")).as("est_ge_exact"),
+        (est <= col("n") + lit(CountMin.errorBound(sketch)))
+          .as("est_within_eps"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  private val heavyHittersSql =
+    """SELECT token, n, TRUE AS est_ge_exact, TRUE AS est_within_eps FROM (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  WHERE token <> '' GROUP BY token)
+      |ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** Within-document repetition signals (Gopher-style quality rule): the
+    * fraction of all word 2-grams taken by the most frequent one, and the
+    * distinct-2-gram ratio. Two-level aggregation — explode → count per
+    * (doc, gram) → per-doc rollup — the scalable shape (never collects a
+    * doc's grams into one row). Exact integer counts + one IEEE division →
+    * full oracle.
+    */
+  private val qRepNgrams: Q = (s, dir) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val grams = Tables.documents(s, dir)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - lit(2)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        (col("top_n").cast("double") / col("n_grams").cast("double"))
+          .as("top_frac"),
+        (col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .as("distinct_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repNgramsSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS gram
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+      |), pg AS (
+      |  SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS distinct_frac
+      |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic hash-based train/validation/test split — the assignment
     * must be a pure function of the key (not a random sample) so it is stable
     * across reruns, engines, and cluster sizes. Bucket = first 4 hex chars of
@@ -1221,7 +1323,7 @@ object QueryCatalog {
 
   private val zorderLayoutSql =
     """SELECT o_custkey % 10 AS custkey_mod, COUNT(*) AS n,
-      |  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Skew-salted join (operators.SaltedJoin): the big side's hot keys are
@@ -1545,9 +1647,27 @@ object QueryCatalog {
           .as("recall_ok"))
   }
 
+  /** Fitted-model accessors: ANN quantizers are build-once artifacts, so the
+    * declared queries share one fit per (dataset, hyperparams) via
+    * [[ModelCache]] instead of re-running Lloyd's per query. Fits are
+    * deterministic, so cached and refit models are bit-identical.
+    */
+  private def ivfCentroids(emb: DataFrame, dir: String): Array[Array[Double]] =
+    ModelCache.getOrFit(s"ivf:k16:i3:$dir") { KMeansIvf.fit(emb, k = 16, iters = 3) }
+
+  private def pqModel(emb: DataFrame, dim: Int, dir: String): ProductQuantizer.Model =
+    ModelCache.getOrFit(s"pq:m8:k16:i3:$dir") {
+      ProductQuantizer.fit(emb, dim, m = 8, k = 16, iters = 3)
+    }
+
+  private def embDim(emb: DataFrame, dir: String): Int =
+    ModelCache.getOrFit(s"dim:$dir") {
+      java.lang.Integer.valueOf(emb.select(size(col("embedding"))).head().getInt(0))
+    }.intValue()
+
   private val qAnnIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val centroids = KMeansIvf.fit(emb, k = 16, iters = 3)
+    val centroids = ivfCentroids(emb, dir)
     val queries = emb.filter(col("vec_id") < 5)
     val ivf = KMeansIvf.search(KMeansIvf.index(emb, centroids),
       queries, centroids, k = 5, nprobe = 4)
@@ -1566,8 +1686,7 @@ object QueryCatalog {
     */
   private val qAnnPq: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val model = ProductQuantizer.fit(emb, dim, m = 8, k = 16, iters = 3)
+    val model = pqModel(emb, embDim(emb, dir), dir)
     val queries = emb.filter(col("vec_id") < 5)
     val pq = ProductQuantizer.searchADC(
       ProductQuantizer.encode(emb, model), queries, emb, model, k = 5)
@@ -1583,9 +1702,8 @@ object QueryCatalog {
     */
   private val qAnnIvfPq: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val centroids = KMeansIvf.fit(emb, k = 16, iters = 3)
-    val model = ProductQuantizer.fit(emb, dim, m = 8, k = 16, iters = 3)
+    val centroids = ivfCentroids(emb, dir)
+    val model = pqModel(emb, embDim(emb, dir), dir)
     val encodedIndexed = ProductQuantizer.encode(emb, model)
       .join(KMeansIvf.index(emb, centroids).select("vec_id", "cluster"), "vec_id")
     val queries = emb.filter(col("vec_id") < 5)
@@ -1988,6 +2106,9 @@ object QueryCatalog {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_clusters" -> qDedupClusters,
     "q_word_freq" -> qWordFreq,
+    "q_token_budget" -> qTokenBudget,
+    "q_heavy_hitters" -> qHeavyHitters,
+    "q_rep_ngrams" -> qRepNgrams,
     "q_hash_split" -> qHashSplit,
     "q_range_join" -> qRangeJoin,
     "q_tfidf" -> qTfidf,
@@ -2098,6 +2219,9 @@ object QueryCatalog {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_word_freq" -> wordFreqSql,
+    "q_token_budget" -> tokenBudgetSql,
+    "q_heavy_hitters" -> heavyHittersSql,
+    "q_rep_ngrams" -> repNgramsSql,
     "q_hash_split" -> hashSplitSql,
     "q_range_join" -> rangeJoinSql,
     "q_tfidf" -> tfidfSql,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CountMin
+import graft.pipeline.TokenBudget
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a a a a", "en"), (2L, "b b b", "en"), (3L, "c c", "en"),
+    (4L, "d d d d d", "fr"), (5L, "e", "fr"), (6L, "f f f", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("token budget: cumulative tokens never exceed the lang budget") {
+    val sel = TokenBudget.sample(docs, Map("en" -> 7L), defaultBudget = 6L)
+      .collect()
+    val byLang = sel.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val budget = if (lang == "en") 7L else 6L
+      assert(rows.map(_.getLong(4)).max <= budget)
+    }
+    // selection is a PREFIX of the hash order: ranks are 1..n with no holes
+    byLang.foreach { case (_, rows) =>
+      val rks = rows.map(_.getLong(1)).sorted
+      assert(rks.sameElements(1L to rks.length))
+    }
+  }
+
+  test("token budget: selection is partitioning-independent") {
+    val a = TokenBudget.sample(docs, Map.empty, 6L)
+      .collect().map(_.toString).sorted
+    val b = TokenBudget.sample(docs.repartition(7), Map.empty, 6L)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("token budget accounting: within_budget true, totals consistent") {
+    val sel = TokenBudget.sample(docs, Map("en" -> 7L), 6L)
+    val acc = TokenBudget.accounting(sel, Map("en" -> 7L), 6L).collect()
+    assert(acc.nonEmpty && acc.forall(_.getBoolean(3)))
+  }
+
+  test("count-min: estimate >= true count for every key; heavy keys within bound") {
+    val words = Seq.fill(50)("hot") ++ (1 to 40).map(i => s"w$i") ++
+      Seq.fill(20)("warm")
+    val df = words.toDF("token")
+    val sketch = CountMin.fit(df, "token", depth = 4, width = 64)
+    assert(sketch.total == words.length)
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = df.distinct()
+      .select(col("token"), CountMin.estimate(sketch, col("token")).as("est"))
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (w, n) => assert(est(w) >= n, s"underestimate for $w") }
+    val bound = CountMin.errorBound(sketch)
+    assert(est("hot") <= truth("hot") + bound)
+    assert(est("warm") <= truth("warm") + bound)
+  }
+
+  test("count-min: fromCounts equals fit, and sketches are mergeable by addition") {
+    val df = (Seq.fill(10)("x") ++ Seq.fill(5)("y") ++ Seq("z")).toDF("token")
+    val viaFit = CountMin.fit(df, "token", depth = 3, width = 32)
+    val viaCounts = CountMin.fromCounts(
+      df.groupBy("token").agg(count(lit(1)).as("n")), "token", "n", 3, 32)
+    assert(viaFit.total == viaCounts.total)
+    viaFit.tables.zip(viaCounts.tables).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    // split the rows, sketch each half, add counter-wise == sketch of whole
+    val (h1, h2) = (df.filter(col("token") =!= "x"), df.filter(col("token") === "x"))
+    val s1 = CountMin.fit(h1, "token", 3, 32)
+    val s2 = CountMin.fit(h2, "token", 3, 32)
+    val merged = viaFit.tables.indices.map { r =>
+      s1.tables(r).zip(s2.tables(r)).map { case (a, b) => a + b }
+    }
+    merged.zip(viaFit.tables).foreach { case (m, w) => assert(m.sameElements(w)) }
+  }
+}
