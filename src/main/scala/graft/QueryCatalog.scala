@@ -2030,6 +2030,59 @@ object QueryCatalog {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** flatMapGroupsWithState sessionization, end-to-end through a real
+    * streaming drain: gap-closed sessions emit as they close inside the
+    * batch; the per-user tail session emits only when its event-time timeout
+    * (last + 30 min) falls strictly below the final watermark
+    * (max event time − 30 min). The oracle reproduces BOTH rules over the
+    * batch islands-and-gaps sessionization: every non-tail island, plus tail
+    * islands whose timeout the final watermark passed. Totals are exact ×10⁴
+    * fixed-point, so micro-batch boundaries can't perturb the hash.
+    */
+  private val qStreamSessions: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssess").toString
+    val q = graft.streaming.EventsStream.sessionizeClosed(s,
+        graft.streaming.EventsStream.readEvents(s, dir))
+      .writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events"), col("total_e4"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  private val streamSessionsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, tms, value,
+      |    CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+      |           OR lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |), sess AS (
+      |  SELECT user_id, event_id, tms, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |), agg AS (
+      |  SELECT user_id, sid,
+      |    CAST(MIN(tms) AS BIGINT) AS start_ms,
+      |    CAST(MAX(tms) AS BIGINT) AS end_ms,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_e4,
+      |    sid = MAX(sid) OVER (PARTITION BY user_id) AS is_tail
+      |  FROM sess GROUP BY user_id, sid
+      |), wm AS (SELECT MAX(epoch_ms(ts)) - 1800000 AS w FROM events)
+      |SELECT user_id, start_ms, end_ms, n_events, total_e4
+      |FROM agg, wm
+      |WHERE NOT is_tail OR end_ms + 1800000 < w
+      |ORDER BY user_id, start_ms""".stripMargin
+
   private val qEventsJson: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
@@ -2050,7 +2103,8 @@ object QueryCatalog {
     * them).
     */
   val benchExcluded: Set[String] =
-    Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup")
+    Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
+      "q_stream_sessions")
 
   val queries: Map[String, Q] = Map(
     "q_etl_backup" -> qEtlBackup,
@@ -2136,6 +2190,7 @@ object QueryCatalog {
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_sessions" -> qStreamSessions,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
@@ -2236,6 +2291,7 @@ object QueryCatalog {
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_sessions" -> streamSessionsSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,

@@ -93,34 +93,58 @@ object EventsStream {
       }
   }
 
-  /** Closed-session emission via flatMapGroupsWithState (Append mode): state
-    * accumulates silently and a session row is emitted ONLY when the
-    * event-time timeout fires — zero rows per open session, exactly one per
-    * closed session. The multi-output (0..n rows per group call) contract is
-    * what `mapGroupsWithState` cannot express.
+  final case class SessionEvent(user_id: Long, ts: Timestamp, tms: Long,
+      event_id: Long, v4: Long)
+  final case class OpenSession(start: Long, last: Long, n: Long, totalE4: Long)
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, total_e4: Long)
+
+  /** Closed-session emission via flatMapGroupsWithState (Append mode):
+    * proper gap sessionization — a session closes when the next event of the
+    * user is > `gapMs` later (emitted immediately) or when the event-time
+    * timeout fires after `gapMs` of inactivity past the watermark (the
+    * still-open tail island). Zero rows per open session, exactly one per
+    * closed one — the 0..n-rows-per-group contract `mapGroupsWithState`
+    * cannot express.
+    *
+    * Values are folded as exact ×10⁴ fixed-point longs (the stream-state
+    * analogue of `Exact.sumExact`), so emitted totals are independent of
+    * micro-batch boundaries and fold order — required for the oracle-checked
+    * `q_stream_sessions`.
     */
-  def sessionizeClosed(spark: SparkSession,
-      events: DataFrame): Dataset[SessionUpdate] = {
+  def sessionizeClosed(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): Dataset[ClosedSession] = {
     import spark.implicits._
-    events.withWatermark("ts", "30 minutes").as[Event]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionUpdate](
+    val typed = events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("tms"),
+        col("event_id"),
+        (col("value").cast("decimal(18,4)") * lit(10000)).cast("long").as("v4"))
+      .as[SessionEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId, batch, state: GroupState[SessionState]) =>
+        (userId, batch, state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(
-              SessionUpdate(userId, new Timestamp(s.start), s.n, s.total, closed = true))
+            Iterator.single(ClosedSession(userId, s.start, s.last, s.n, s.totalE4))
           } else {
-            val evs = batch.toSeq.sortBy(_.ts.getTime)
-            val s0 = state.getOption
-              .getOrElse(SessionState(evs.head.ts.getTime, 0L, 0L, 0.0))
-            val s = evs.foldLeft(s0)((s, e) =>
-              s.copy(last = e.ts.getTime, n = s.n + 1, total = s.total + e.value))
-            state.update(s)
-            state.setTimeoutTimestamp(s.last + 30 * 60 * 1000L)
-            Iterator.empty
+            val evs = batch.toSeq.sortBy(e => (e.tms, e.event_id))
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            evs.foreach { e =>
+              if (open == null)
+                open = OpenSession(e.tms, e.tms, 1L, e.v4)
+              else if (e.tms - open.last > gapMs) {
+                closed += ClosedSession(userId, open.start, open.last, open.n, open.totalE4)
+                open = OpenSession(e.tms, e.tms, 1L, e.v4)
+              } else
+                open = OpenSession(open.start, e.tms, open.n + 1, open.totalE4 + e.v4)
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.last + gapMs)
+            closed.result().iterator
           }
       }
   }

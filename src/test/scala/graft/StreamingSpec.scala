@@ -78,14 +78,13 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     val out = spark.table("sess_closed_out")
     assert(out.count() > 0)
-    assert(out.filter(!col("closed")).isEmpty) // append path emits closed only
-    // every closed session corresponds to a batch-computed session (same
-    // user + session start), computed with the same 30-min gap rule
+    // every closed session IS a batch-computed session (same user, start,
+    // end, and event count), computed with the same 30-min gap rule
     val batchSessions = QueryCatalog.queries("q_sessionize")(spark, sf)
-      .select(col("user_id"), col("start_ms")).as[(Long, Long)].collect().toSet
-    val closed = out.select(col("userId"),
-      unix_millis(col("sessionStart")).as("start_ms"))
-      .as[(Long, Long)].collect().toSet
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val closed = out.select(col("user_id"), col("start_ms"), col("end_ms"),
+      col("n_events")).as[(Long, Long, Long, Long)].collect().toSet
     assert(closed.subsetOf(batchSessions),
       s"closed sessions not found in batch: ${(closed -- batchSessions).take(3)}")
   }
