@@ -1069,6 +1069,38 @@ object QueryCatalog {
       |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS distinct_frac
       |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination (dedup.decontaminate): corpus docs sharing
+    * any word 8-gram with the benchmark slice (doc_id % 50 = 0 stands in for
+    * an eval suite) are flagged. The engine joins on 64-bit gram
+    * fingerprints with the benchmark side broadcast (map-only at corpus
+    * scale); the oracle joins on the gram strings — identical semantics
+    * unless the fingerprint path is broken, which is exactly what the hash
+    * compare would then surface.
+    */
+  private val qDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), n = 8)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH s AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 7, 1)),
+      |    i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+      |  FROM s
+      |), bad AS (
+      |  SELECT DISTINCT g.doc_id
+      |  FROM g JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0) bg
+      |    USING (gram)
+      |  WHERE g.doc_id % 50 <> 0
+      |)
+      |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM bad) AS contaminated
+      |FROM documents d WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin
+
   /** Deterministic hash-based train/validation/test split — the assignment
     * must be a pure function of the key (not a random sample) so it is stable
     * across reruns, engines, and cluster sizes. Bucket = first 4 hex chars of
@@ -1715,6 +1747,26 @@ object QueryCatalog {
 
   private val annIvfPqSql = annIvfSql
 
+  /** Whole-corpus approximate kNN graph (similarity.KnnGraph, NN-Descent
+    * style): LSH-bucket + hash-ring init, 4 neighbor-of-neighbor rounds at
+    * K=10, recall@5 of the 25 lowest-id vectors checked in-engine against
+    * exact brute force (observed 0.80 at sf0.01; bound 0.5). Same
+    * sketch-oracle contract as the other ANN queries.
+    */
+  private val qKnnGraph: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val graph = similarity.KnnGraph.build(emb, k = 10, rounds = 4)
+    val queries = emb.filter(col("vec_id") < 25)
+    val approx = graph.filter(col("src") < 25)
+      .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+    recallCheck(queries, approx,
+      Similarity.bruteForceTopK(emb, queries, k = 5), bound = 0.5)
+  }
+
+  private val knnGraphSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 25""".stripMargin
+
   // ------------------------------------------------------------ multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -2163,6 +2215,7 @@ object QueryCatalog {
     "q_token_budget" -> qTokenBudget,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rep_ngrams" -> qRepNgrams,
+    "q_decontaminate" -> qDecontaminate,
     "q_hash_split" -> qHashSplit,
     "q_range_join" -> qRangeJoin,
     "q_tfidf" -> qTfidf,
@@ -2183,6 +2236,7 @@ object QueryCatalog {
     "q_ann_ivf_probes" -> qAnnIvfProbes,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivf_pq" -> qAnnIvfPq,
+    "q_knn_graph" -> qKnnGraph,
     "q_sq_cosine" -> qSqCosine,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -2254,6 +2308,7 @@ object QueryCatalog {
     "q_ann_ivf_probes" -> annIvfProbesSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_ivf_pq" -> annIvfPqSql,
+    "q_knn_graph" -> knnGraphSql,
     "q_sq_cosine" -> sqCosineSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,
@@ -2277,6 +2332,7 @@ object QueryCatalog {
     "q_token_budget" -> tokenBudgetSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_rep_ngrams" -> repNgramsSql,
+    "q_decontaminate" -> decontaminateSql,
     "q_hash_split" -> hashSplitSql,
     "q_range_join" -> rangeJoinSql,
     "q_tfidf" -> tfidfSql,

@@ -50,6 +50,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"),
         countDistinct(col("h2")).as("n_distinct_sha"))
 
+  /** Benchmark decontamination: flag every corpus doc sharing at least one
+    * word n-gram with a benchmark/eval set — the standard guard against
+    * test-set leakage into training data.
+    *
+    * Scale shape: grams are fingerprinted to 64-bit rolling hashes BEFORE
+    * the join, so the shuffle carries (long, long) rows, never gram strings;
+    * the benchmark side (eval suites are small — thousands of docs) is
+    * broadcast, making contamination detection a map-only pass over the
+    * corpus at any corpus size. A 64-bit collision can only over-flag (drop
+    * a clean doc), never leak a contaminated one.
+    *
+    * @return one row per corpus doc: doc_id, contaminated
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), n)).as("gram"))
+    val bad = grams(docs)
+      .select(col("doc_id"), rolling_hash(col("gram")).as("g"))
+      .join(broadcast(grams(benchmark)
+        .select(rolling_hash(col("gram")).as("g")).distinct()), Seq("g"))
+      .select(col("doc_id")).distinct()
+    docs.join(bad.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signature of the word-shingle set — native codegen expression

@@ -133,4 +133,19 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(found.exists { case (a, b) => b == a + 100000L }, s"got: $found")
   }
+
+  test("decontaminate flags docs sharing an 8-gram with the benchmark, not clean docs") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // contains the benchmark's first 8 tokens verbatim
+      (1L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix tail"),
+      // same vocabulary, different order: no shared 8-gram
+      (2L, "theta eta zeta epsilon delta gamma beta alpha kappa iota junk"),
+      (3L, "completely unrelated text with many distinct tokens here ok fine")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.decontaminate(docs, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) && !out(2L) && !out(3L))
+  }
 }

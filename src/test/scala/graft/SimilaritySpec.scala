@@ -198,4 +198,21 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.sameElements(b2))
     assert(b1.forall(b => b >= 0 && b < (1 << VectorFunctions.LshBits)))
   }
+
+  test("kNN graph: every vector gets <= k ranked neighbors; recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val graph = graft.similarity.KnnGraph.build(emb, k = 10, rounds = 4)
+    val n = emb.count()
+    val perSrc = graph.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(perSrc <= 10)
+    assert(graph.select("src").distinct().count() == n)
+    val q = emb.filter(col("vec_id") < 25)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = graph.filter(col("src") < 25)
+      .select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(s"knn-graph recall@5 = $recall")
+    assert(recall >= 0.5, s"recall $recall below floor")
+  }
 }
