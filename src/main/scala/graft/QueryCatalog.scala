@@ -178,6 +178,150 @@ object QueryCatalog {
        |GROUP BY r_name, n_name
        |ORDER BY r_name, n_name""".stripMargin
 
+  /** TPC-H Q10 shape — returned-item revenue per customer: 3 fact-side
+    * joins + broadcast nation dim, exact-decimal revenue, top-20.
+    */
+  private val qReturnedItems: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(revenueSum.as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  private val returnedItemsSql =
+    s"""SELECT c_custkey, c_name, $revenueSumSql AS revenue, c_acctbal, n_name
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 shape — large-volume orders: the HAVING subquery becomes a
+    * semi-join against the re-aggregated lineitem (aggregate pushed before
+    * the join on both legs).
+    */
+  private val qLargeOrders: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(Exact.sumExact(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val largeOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** PageRank (operators.PageRank) over the supplier→customer shipment
+    * graph (node ids disambiguated by even/odd). 5 iterations of EXACT
+    * fixed-point arithmetic (scale 10¹², damping 850‰, integer division)
+    * make the ranks engine-independent, so the oracle replays the same
+    * recurrence as 5 generated chained CTEs over identical BIGINT math and
+    * the hash must match bit-for-bit — a fully-checked iterative graph
+    * computation, not a bound check.
+    */
+  private val qPageRank: Q = (s, dir) => {
+    val edges = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    operators.PageRank.run(edges, iters = 5)
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(50)
+  }
+
+  /** Generated, not hand-written: the iteration count and constants come
+    * from the same values the Spark side uses, so the two cannot drift.
+    */
+  private val pageRankSql: String = {
+    val scale = 1000000000000L
+    val damping = 850L
+    val iters = 5
+    val iterCtes = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT n.node, (SELECT b FROM params) + COALESCE(c.cs, 0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((p.r * $damping) // (1000 * od.od)) AS cs
+         |    FROM it${i - 1} p JOIN edges e ON p.node = e.src
+         |    JOIN outdeg od ON od.src = e.src
+         |    GROUP BY e.dst) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), outdeg AS (
+       |  SELECT src, COUNT(*) AS od FROM edges GROUP BY src
+       |), params AS (
+       |  SELECT ($scale * ${1000 - damping}) // (1000 * COUNT(*)) AS b,
+       |         $scale // COUNT(*) AS r0
+       |  FROM nodes
+       |), it0 AS (
+       |  SELECT node, (SELECT r0 FROM params) AS r FROM nodes
+       |),
+       |$iterCtes
+       |SELECT node, CAST(r AS BIGINT) AS r FROM it$iters
+       |ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
+  /** Remaining ranking/navigation window functions in one query:
+    * dense_rank, cume_dist, nth_value over an explicit ROWS frame.
+    */
+  private val qWindowMisc: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dense_rank().over(w).cast("long").as("dr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_orderkey"), 3).over(wf).as("third_ok"))
+      .orderBy("o_orderkey")
+  }
+
+  private val windowMiscSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS dr,
+      |  cume_dist() OVER w AS cd,
+      |  nth_value(o_orderkey, 3) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_ok
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val qRollupOrders: Q = (s, dir) =>
     Tables.orders(s, dir)
       .withColumn("order_year", year(col("o_orderdate")).cast("long"))
@@ -2172,6 +2316,10 @@ object QueryCatalog {
     "q1_pricing_summary" -> qPricingSummary,
     "q3_top_orders" -> qTopOrders,
     "q5_region_revenue" -> qRegionRevenue,
+    "q10_returned_items" -> qReturnedItems,
+    "q18_large_orders" -> qLargeOrders,
+    "q_window_misc" -> qWindowMisc,
+    "q_pagerank" -> qPageRank,
     "q_rollup_orders" -> qRollupOrders,
     "q_running_revenue" -> qRunningRevenue,
     "q_order_gaps" -> qOrderGaps,
@@ -2275,6 +2423,10 @@ object QueryCatalog {
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_orders" -> topOrdersSql,
     "q5_region_revenue" -> regionRevenueSql,
+    "q10_returned_items" -> returnedItemsSql,
+    "q18_large_orders" -> largeOrdersSql,
+    "q_window_misc" -> windowMiscSql,
+    "q_pagerank" -> pageRankSql,
     "q_rollup_orders" -> rollupOrdersSql,
     "q_running_revenue" -> runningRevenueSql,
     "q_order_gaps" -> orderGapsSql,

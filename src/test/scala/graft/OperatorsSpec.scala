@@ -280,4 +280,17 @@ class OperatorsSpec extends SparkSpec {
       assert(members.keys.min == label)
     }
   }
+
+  test("pagerank: hub with more in-links outranks leaves; ranks are deterministic") {
+    // star: 1,2,3 -> 10; plus 2 -> 3
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (2L, 3L))
+      .toDF("src", "dst")
+    val r = graft.operators.PageRank.run(edges, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) > r(3L), "hub must outrank the singly-linked node")
+    assert(r(3L) > r(1L), "linked node must outrank a leaf")
+    val again = graft.operators.PageRank.run(edges.repartition(5), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == again, "fixed-point ranks must be partitioning-independent")
+  }
 }
