@@ -1245,6 +1245,77 @@ object QueryCatalog {
       |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM bad) AS contaminated
       |FROM documents d WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin
 
+  /** JSONL round-trip (sources.Sources.jsonl/jsonlWrite): documents out to
+    * gzip line-JSON and back with an explicit schema, then aggregated with
+    * an order-free 64-bit content checksum (bit_xor of rolling hashes) per
+    * language. The oracle aggregates the ORIGINAL table — the hash matches
+    * only if every row and every text byte survived the format hop.
+    */
+  private val qJsonlRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = Tables.documents(s, dir)
+    graft.sources.Sources.jsonlWrite(docs, s"$tmp/docs", partitions = 4)
+    graft.sources.Sources.jsonl(s, s"$tmp/docs", docs.schema)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        rolling_hash(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        expr("bit_xor(fp)").as("text_xor"))
+      .orderBy("lang")
+  }
+
+  private def jsonlRoundtripSqlGen: String =
+    s"""SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS text_xor
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Unigram-LM document scoring (CCNet-style quality signal): corpus-wide
+    * token frequencies become per-token log-probs; a doc's score is its
+    * mean token log-prob. Per-token log-probs are quantized to integer
+    * micros (round half away from zero — engines agree) so the per-doc SUM
+    * is an exact long — order-independent and oracle-reproducible; the
+    * transcendental ln is the only double step and is rounded per the
+    * established parity rule. Two-level aggregation, token join is
+    * hash-partitioned — at 100 TB the freq table is the classic word-count.
+    */
+  private val qUnigramLm: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n"))
+    toks.join(freq, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("c").cast("double") / col("n").cast("double")) * lit(1000000.0))
+          .cast("long").as("u"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("u")).as("sum_logp_u"))
+      .select(col("doc_id"), col("n_toks"), col("sum_logp_u"),
+        (col("sum_logp_u").cast("double") /
+          (col("n_toks").cast("double") * lit(1000000.0))).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramLmSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      |freq AS (SELECT token, COUNT(*) AS c FROM t2 GROUP BY token),
+      |tot AS (SELECT SUM(c) AS n FROM freq),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS u
+      |  FROM t2 JOIN freq USING (token), tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  CAST(SUM(u) AS BIGINT) AS sum_logp_u,
+      |  CAST(SUM(u) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+      |    AS avg_logp
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic hash-based train/validation/test split — the assignment
     * must be a pure function of the key (not a random sample) so it is stable
     * across reruns, engines, and cluster sizes. Bucket = first 4 hex chars of
@@ -2364,6 +2435,8 @@ object QueryCatalog {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rep_ngrams" -> qRepNgrams,
     "q_decontaminate" -> qDecontaminate,
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_unigram_lm" -> qUnigramLm,
     "q_hash_split" -> qHashSplit,
     "q_range_join" -> qRangeJoin,
     "q_tfidf" -> qTfidf,
@@ -2485,6 +2558,8 @@ object QueryCatalog {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_rep_ngrams" -> repNgramsSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
+    "q_unigram_lm" -> unigramLmSql,
     "q_hash_split" -> hashSplitSql,
     "q_range_join" -> rangeJoinSql,
     "q_tfidf" -> tfidfSql,

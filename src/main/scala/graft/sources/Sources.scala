@@ -52,6 +52,19 @@ object Sources {
     */
   def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
+  /** JSONL (one JSON object per line) — the training-data interchange
+    * format. Writes are gzip-compressed line JSON; reads take an explicit
+    * schema (no inference pass over 100 TB) and tolerate missing fields as
+    * nulls, the usual shape of heterogeneous crawled corpora.
+    */
+  def jsonlWrite(df: DataFrame, path: String, partitions: Int = 0): Unit = {
+    val out = if (partitions > 0) df.repartition(partitions) else df
+    out.write.mode("overwrite").option("compression", "gzip").json(path)
+  }
+
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** A4: split-bound discovery — the reference's boundary query
     * `select min(rowId), <n> as max` (`sqoop_json.py:31`) generalized to
     * real min/max of the split column, feeding [[jdbcPartitioned]].
