@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.functions.{CountMin, Exact, TextFunctions, VectorFunctions}
+import graft.functions.{CountMin, Exact, SketchStore, TextFunctions, VectorFunctions}
 import graft.pipeline.TokenBudget
 import org.apache.spark.sql.graftx.RollingHash.rolling_hash
 import graft.multimodal.Multimodal
@@ -1245,6 +1245,55 @@ object QueryCatalog {
       |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM bad) AS contaminated
       |FROM documents d WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin
 
+  /** Mergeable HLL sketch store (functions.SketchStore): one sketch per
+    * order-month persisted to parquet, distinct-customer questions over
+    * month SUBSETS answered by unioning stored sketches (never re-scanning
+    * orders). Engine-specific sketch → the established contract: exact
+    * values (oracle-reproducible) + the ±5% estimate check emitted as a
+    * boolean (HLL lgK=12 rel. err ≈1.6%).
+    */
+  private val qSketchStore: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val o = Tables.orders(s, dir)
+      .select(monthSid(col("o_orderdate")).as("month_sid"), col("o_custkey"))
+    SketchStore.build(o, col("month_sid"), col("o_custkey"))
+      .withColumnRenamed("g", "month_sid")
+      .write.mode("overwrite").parquet(s"$tmp/sketches")
+    val sk = s.read.parquet(s"$tmp/sketches")
+    def subset(name: String, pred: Column): DataFrame = {
+      val est = SketchStore.estimateUnion(sk.filter(pred))
+        .withColumnRenamed("n_groups", "n_months")
+      val exact = o.filter(pred)
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.crossJoin(broadcast(exact))
+        .select(lit(name).as("subset"), col("n_months"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= lit(0.05)).as("est_ok"))
+    }
+    subset("all", lit(true))
+      .unionByName(subset("m199706", col("month_sid") === 199706L))
+      .unionByName(subset("y1997",
+        col("month_sid") >= 199701L && col("month_sid") <= 199712L))
+      .orderBy("subset")
+  }
+
+  private val sketchStoreSql = {
+    def row(name: String, where: String) =
+      s"""SELECT '$name' AS subset,
+         |  CAST(COUNT(DISTINCT month_sid) AS BIGINT) AS n_months,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+         |  TRUE AS est_ok
+         |FROM m WHERE $where""".stripMargin
+    s"""WITH m AS (
+       |  SELECT $monthSidSql AS month_sid, o_custkey FROM orders)
+       |${row("all", "TRUE")}
+       |UNION ALL
+       |${row("m199706", "month_sid = 199706")}
+       |UNION ALL
+       |${row("y1997", "month_sid BETWEEN 199701 AND 199712")}
+       |ORDER BY subset""".stripMargin
+  }
+
   /** JSONL round-trip (sources.Sources.jsonl/jsonlWrite): documents out to
     * gzip line-JSON and back with an explicit schema, then aggregated with
     * an order-free 64-bit content checksum (bit_xor of rolling hashes) per
@@ -2297,6 +2346,34 @@ object QueryCatalog {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming upsert end-to-end: events re-laid as a multi-file stream
+    * source, drained in ≥2 micro-batches (maxFilesPerTrigger=2) through
+    * foreachBatch into merge-on-read delta appends, then resolved with
+    * MergeOnRead.latest. The (ms×10⁶ + event_id) version makes the final
+    * state independent of batch boundaries/order, so the oracle is simply
+    * latest-event-per-user over the original table.
+    */
+  private val qStreamUpsert: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-supsert").toString
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    graft.streaming.EventsStream.upsertStream(s, s"$tmp/in", schema,
+      s"$tmp/delta", s"$tmp/ck")
+    graft.etl.MergeOnRead.latest(
+        s.read.parquet(s"$tmp/delta"), keys = Seq("user_id"), version = "version")
+      .orderBy("user_id")
+  }
+
+  private val streamUpsertSql =
+    """SELECT user_id, tms, value FROM (
+      |  SELECT user_id, epoch_ms(ts) AS tms, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** flatMapGroupsWithState sessionization, end-to-end through a real
     * streaming drain: gap-closed sessions emit as they close inside the
     * batch; the per-user tail session emits only when its event-time timeout
@@ -2371,7 +2448,7 @@ object QueryCatalog {
     */
   val benchExcluded: Set[String] =
     Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
-      "q_stream_sessions")
+      "q_stream_sessions", "q_stream_upsert")
 
   val queries: Map[String, Q] = Map(
     "q_etl_backup" -> qEtlBackup,
@@ -2436,6 +2513,7 @@ object QueryCatalog {
     "q_rep_ngrams" -> qRepNgrams,
     "q_decontaminate" -> qDecontaminate,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_sketch_store" -> qSketchStore,
     "q_unigram_lm" -> qUnigramLm,
     "q_hash_split" -> qHashSplit,
     "q_range_join" -> qRangeJoin,
@@ -2466,6 +2544,7 @@ object QueryCatalog {
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_sessions" -> qStreamSessions,
+    "q_stream_upsert" -> qStreamUpsert,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
@@ -2559,6 +2638,7 @@ object QueryCatalog {
     "q_rep_ngrams" -> repNgramsSql,
     "q_decontaminate" -> decontaminateSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
+    "q_sketch_store" -> sketchStoreSql,
     "q_unigram_lm" -> unigramLmSql,
     "q_hash_split" -> hashSplitSql,
     "q_range_join" -> rangeJoinSql,
@@ -2575,6 +2655,7 @@ object QueryCatalog {
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_sessions" -> streamSessionsSql,
+    "q_stream_upsert" -> streamUpsertSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,

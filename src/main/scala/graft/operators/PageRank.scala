@@ -35,7 +35,9 @@ object PageRank {
     val n = nodes.count()
     val base = (scale * (1000L - dampingPermille)) / (1000L * n)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val contribSrc = edges.join(outdeg, Seq("src"))
+    // loop-invariant: materialize once, or every iteration re-executes the
+    // caller's whole edge derivation (joins/distinct) inside its own plan
+    val contribSrc = edges.join(outdeg, Seq("src")).localCheckpoint()
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
       val contribs = contribSrc

@@ -180,6 +180,43 @@ object EventsStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming upsert via foreachBatch → merge-on-read deltas: each
+    * micro-batch appends its latest-row-per-key as a delta batch (no
+    * read-modify-write of the base), and readers resolve with
+    * [[graft.etl.MergeOnRead.latest]]. The version is (event-time ms ×10⁶ +
+    * event_id) — unique and monotone per key — so the resolved state is
+    * independent of micro-batch boundaries AND of the order batches landed:
+    * exactly the property that makes the streaming result oracle-checkable.
+    */
+  def upsertStream(spark: SparkSession, inPath: String,
+      schema: org.apache.spark.sql.types.StructType, deltaDir: String,
+      checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(inPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("version").desc)
+        batch
+          .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+            col("value"), col("event_id"))
+          .withColumn("version",
+            col("tms") * lit(1000000L) + col("event_id"))
+          .withColumn("__rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("tms"), col("value"), col("version"),
+            lit(graft.etl.MergeOnRead.UpsertOp).as("op"))
+          .write.mode("append").parquet(deltaDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain-then-stop run, the reference's loop semantics: AvailableNow
     * processes everything present, checkpoints, stops.
     */

@@ -136,4 +136,32 @@ class PlanSpec extends SparkSpec {
         s"shuffle must not carry document bodies, got: $names")
     }
   }
+
+  test("decontaminate broadcasts the benchmark grams, never a cross join") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.dedup.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no quadratic join allowed:\n$p")
+  }
+
+  test("token-budget window is partitioned by lang (no global window)") {
+    val q = graft.pipeline.TokenBudget.sample(
+      Tables.documents(spark, sf), Map("en" -> 1000L), 500L)
+    val norm = plan(q).replaceAll("#\\d+", "")
+    assert(norm.contains("windowspecdefinition(lang"),
+      s"window must be partitioned by lang:\n$norm")
+  }
+
+  test("count-min estimate is a pure codegen lookup (no UDF, no join)") {
+    import spark.implicits._
+    val df = Seq("a", "b", "a").toDF("token")
+    val sketch = graft.functions.CountMin.fit(df, "token", 2, 16)
+    val q = df.select(graft.functions.CountMin.estimate(sketch, col("token")))
+    val p = plan(q)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("Project"), p)
+  }
 }
