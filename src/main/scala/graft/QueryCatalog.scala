@@ -2346,6 +2346,120 @@ object QueryCatalog {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Ordered conversion funnel (view → click-after-view →
+    * purchase-after-that-click): each stage's entry time is the min event
+    * time after the previous stage's entry — chained per-user aggregations,
+    * all key-partitioned. One row per stage with surviving-user counts.
+    */
+  private val qFunnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"))
+    def stageAfter(prev: DataFrame, evType: String, outCol: String,
+        prevCol: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("tms") > col(prevCol))
+        .groupBy(col("user_id"), col(prevCol))
+        .agg(min(col("tms")).as(outCol))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tms")).as("t1"))
+    val t2 = stageAfter(t1, "click", "t2", "t1")
+    val t3 = stageAfter(t2.select("user_id", "t2"), "purchase", "t3", "t2")
+    t1.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n"))
+      .unionByName(t2.agg(count(lit(1)).as("n"))
+        .select(lit("2_click").as("stage"), col("n")))
+      .unionByName(t3.agg(count(lit(1)).as("n"))
+        .select(lit("3_purchase").as("stage"), col("n")))
+      .orderBy("stage")
+  }
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events
+      |), t1 AS (
+      |  SELECT user_id, MIN(tms) AS t1 FROM e WHERE event_type = 'view'
+      |  GROUP BY user_id
+      |), t2 AS (
+      |  SELECT e.user_id, MIN(e.tms) AS t2
+      |  FROM e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.tms > t1.t1
+      |  GROUP BY e.user_id
+      |), t3 AS (
+      |  SELECT e.user_id, MIN(e.tms) AS t3
+      |  FROM e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tms > t2.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n
+      |UNION ALL
+      |SELECT '2_click', CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+      |UNION ALL
+      |SELECT '3_purchase', CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+      |ORDER BY stage""".stripMargin
+
+  /** Cohort retention matrix: users grouped by first-activity day, counted
+    * per day-offset of later activity. Day numbers are epoch-ms integer
+    * division — exact on both engines.
+    */
+  private val qCohortRetention: Q = (s, dir) => {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val cohortRetentionSql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+      |)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+      |FROM act JOIN cohort ON act.user_id = cohort.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Click attribution, batch twin of the stream-stream interval join
+    * (`EventsStream.clickAttribution`): each purchase matched to the same
+    * user's clicks in the preceding 30 minutes THROUGH operators.RangeJoin —
+    * the band-bucketed shuffled hash join, not a broadcast nested loop.
+    * Oracle is the naive BETWEEN theta join at µs precision.
+    */
+  private val qClickAttribution: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    operators.RangeJoin(purchases, clicks, keys = Seq("user_id"),
+        leftTime = "p_ts", rightTime = "c_ts",
+        lowerSec = -1800L, upperSec = 0L)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        max(unix_micros(col("c_ts"))).as("last_click_us"))
+      .orderBy("purchase_id")
+  }
+
+  private val clickAttributionSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS pus
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS cus
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT purchase_id, COUNT(*) AS n_clicks,
+      |  CAST(MAX(cus) AS BIGINT) AS last_click_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND cus >= pus - 1800000000 AND cus < pus
+      |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
+
   /** Streaming upsert end-to-end: events re-laid as a multi-file stream
     * source, drained in ≥2 micro-batches (maxFilesPerTrigger=2) through
     * foreachBatch into merge-on-read delta appends, then resolved with
@@ -2545,6 +2659,9 @@ object QueryCatalog {
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_upsert" -> qStreamUpsert,
+    "q_funnel" -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention,
+    "q_click_attribution" -> qClickAttribution,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
@@ -2656,6 +2773,9 @@ object QueryCatalog {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_upsert" -> streamUpsertSql,
+    "q_funnel" -> funnelSql,
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_click_attribution" -> clickAttributionSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,
