@@ -293,4 +293,30 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r == again, "fixed-point ranks must be partitioning-independent")
   }
+
+  test("DSv2 synth source: deterministic rows, column pruning, partition-pruning filters") {
+    val fmt = classOf[graft.sources.v2.SynthDocsSource].getName
+    def rd = spark.read.format(fmt)
+      .option("rows", "1000").option("partitions", "8").option("seed", "7").load()
+    assert(rd.count() == 1000)
+    // determinism across reads and partition counts
+    val a = rd.orderBy("doc_id").collect().map(_.toString)
+    val b = spark.read.format(fmt).option("rows", "1000")
+      .option("partitions", "3").option("seed", "7").load()
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+    // column pruning reaches the scan
+    val pruned = rd.select("doc_id", "lang")
+    val pp = pruned.queryExecution.executedPlan.toString
+    assert(pp.contains("ReadSchema=doc_id,lang"), pp)
+    // range filter pushes down and prunes partitions
+    val f = rd.filter(col("doc_id") < 125)
+    val fp = f.queryExecution.executedPlan.toString
+    assert(fp.contains("PushedFilters=[LessThan(doc_id,125)]"), fp)
+    assert(f.rdd.getNumPartitions == 1, s"expected 1 surviving partition, got ${f.rdd.getNumPartitions}")
+    assert(f.count() == 125)
+    // n_chars matches text length (cross-column consistency)
+    val bad = rd.filter(length(col("text")) =!= col("n_chars")).count()
+    assert(bad == 0)
+  }
 }
