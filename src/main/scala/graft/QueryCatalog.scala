@@ -2424,6 +2424,45 @@ object QueryCatalog {
       |FROM act JOIN cohort ON act.user_id = cohort.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-user EWMA smoothing (α = 0.15) of event values — the sequential
+    * time-series fold that window functions can't express. Values quantize
+    * to ×10⁴ longs and every step is integer arithmetic with truncating
+    * division, so the inherently ORDER-DEPENDENT recurrence is still
+    * bit-reproducible: Spark's `aggregate` HOF over the (tms, event_id)-
+    * sorted series ≡ DuckDB's `list_reduce` over `list(... ORDER BY ...)`.
+    * Per-user series are bounded (a user's events fit one row — the same
+    * boundedness argument as session state); the heavy work stays in the
+    * per-user hash aggregation.
+    */
+  private val qEwma: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_millis(col("ts")).as("tms"), col("event_id"),
+          (col("value").cast("decimal(18,4)") * lit(10000)).cast("long").as("v4"))
+          .as("e"))
+    ev.groupBy(col("user_id"))
+      .agg(expr("transform(array_sort(collect_list(e)), x -> x.v4)").as("xs"))
+      .select(col("user_id"),
+        size(col("xs")).cast("long").as("n_events"),
+        expr("""aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),
+                 (acc, x) -> (150 * x + 850 * acc) div 1000)""").as("ewma_e4"))
+      .orderBy("user_id")
+  }
+
+  private val ewmaSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS tms, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, list(v4 ORDER BY tms, event_id) AS xs
+      |  FROM e GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+      |  CAST(list_reduce(xs, (acc, x) -> (150 * x + 850 * acc) // 1000)
+      |    AS BIGINT) AS ewma_e4
+      |FROM s ORDER BY user_id""".stripMargin
+
   /** Click attribution, batch twin of the stream-stream interval join
     * (`EventsStream.clickAttribution`): each purchase matched to the same
     * user's clicks in the preceding 30 minutes THROUGH operators.RangeJoin —
@@ -2662,6 +2701,7 @@ object QueryCatalog {
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_click_attribution" -> qClickAttribution,
+    "q_ewma" -> qEwma,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
@@ -2776,6 +2816,7 @@ object QueryCatalog {
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_click_attribution" -> clickAttributionSql,
+    "q_ewma" -> ewmaSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,

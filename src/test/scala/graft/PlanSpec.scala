@@ -157,8 +157,11 @@ class PlanSpec extends SparkSpec {
 
   test("count-min estimate is a pure codegen lookup (no UDF, no join)") {
     import spark.implicits._
-    val df = Seq("a", "b", "a").toDF("token")
-    val sketch = graft.functions.CountMin.fit(df, "token", 2, 16)
+    val fit = Seq("a", "b", "a").toDF("token")
+    val sketch = graft.functions.CountMin.fit(fit, "token", 2, 16)
+    // estimate over a parquet-backed column: a local Seq would be folded
+    // into a LocalTableScan by ConvertToLocalRelation, hiding the Project
+    val df = Tables.documents(spark, sf).select(col("lang").as("token"))
     val q = df.select(graft.functions.CountMin.estimate(sketch, col("token")))
     val p = plan(q)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
