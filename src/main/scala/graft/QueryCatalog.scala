@@ -255,8 +255,7 @@ object QueryCatalog {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("src"),
         (col("o_custkey") * 2 + 1).as("dst"))
-      .distinct()
-    operators.PageRank.run(edges, iters = 5)
+    operators.PageRank.run(edges, iters = 5, dedup = true)
       .orderBy(col("r").desc, col("node").asc)
       .limit(50)
   }

@@ -23,21 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** @param edges DataFrame with long columns (src, dst); parallel edges
-    *   should be pre-deduplicated by the caller if unwanted
+  /** @param edges DataFrame with long columns (src, dst)
+    * @param dedup collapse parallel edges before ranking (free here: it
+    *   reuses the src partitioning pass instead of costing its own
+    *   (src,dst) shuffle — prefer this over a caller-side `.distinct()`)
     * @return (node, r) — fixed-point rank at `scale` after `iters` rounds
     */
   def run(edges: DataFrame, iters: Int, dampingPermille: Long = 850L,
-      scale: Long = 1000000000000L): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      scale: Long = 1000000000000L, dedup: Boolean = false): DataFrame = {
+    // ONE partitioning pass over the edges: hash by src, then the (src,dst)
+    // dedup, the outdeg aggregation and the edges⋈outdeg join all reuse it
+    // (hash on a subset of the grouping/join keys satisfies their required
+    // clustering) — one shuffle where caller-side distinct + groupBy + join
+    // would cost three
+    val bySrc = edges.repartition(col("src"))
+    val e = if (dedup) bySrc.distinct() else bySrc
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // loop-invariant: materialize once, or every iteration re-executes the
+    // caller's whole edge derivation (joins/distinct) inside its own plan.
+    // The checkpoint also pins the src hash partitioning, so each
+    // iteration's contribution join shuffles only the (small) rank side.
+    val contribSrc = e.join(outdeg, Seq("src")).localCheckpoint()
+    // node set from the already-materialized edges, not a re-derivation
+    val nodes = contribSrc.select(col("src").as("node"))
+      .unionByName(contribSrc.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     val base = (scale * (1000L - dampingPermille)) / (1000L * n)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // loop-invariant: materialize once, or every iteration re-executes the
-    // caller's whole edge derivation (joins/distinct) inside its own plan
-    val contribSrc = edges.join(outdeg, Seq("src")).localCheckpoint()
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
       val contribs = contribSrc

@@ -30,13 +30,22 @@ object KnnGraph {
 
   /** (src, dst, cos, rk) — top-k approximate neighbors per corpus vector. */
   def build(corpus: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val v = corpus.select(col("vec_id"), col("embedding"))
+    // id+embedding projection is joined twice per scoring round — pin it
+    // once instead of re-scanning the source 2×rounds times
+    val v = corpus.select(col("vec_id"), col("embedding")).localCheckpoint()
 
+    // Shuffle discipline: the candidate-pair set is the widest data in the
+    // build, so each scoring pass moves it exactly twice — repartition by
+    // dst (the (src,dst) dedup and the dst-embedding join both reuse that
+    // clustering), then one reshuffle by src for the src-embedding join,
+    // which the top-k window then reuses. Embeddings are projected out
+    // before the window so it sorts (src,dst,cos) rows, not vector payloads.
     def scoreTopK(pairs: DataFrame): DataFrame = {
-      val scored = pairs
-        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv")), Seq("src"))
+      val uniq = pairs.repartition(col("dst")).distinct()
+      val scored = uniq
         .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv")), Seq("dst"))
-        .withColumn("cos", cosine(col("sv"), col("dv")))
+        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv")), Seq("src"))
+        .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("cos"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("dst").asc)
       scored.withColumn("rk", row_number().over(w))
@@ -70,7 +79,7 @@ object KnnGraph {
     // localCheckpoint per round: truncates lineage so round r doesn't
     // re-execute rounds 1..r-1 inside its own plan (the iterative-DataFrame
     // trap — same discipline as ConnectedComponents)
-    var graph = scoreTopK(bucketPairs.unionByName(ringBoth).distinct())
+    var graph = scoreTopK(bucketPairs.unionByName(ringBoth))
       .localCheckpoint()
 
     for (_ <- 1 to rounds) {
@@ -81,7 +90,7 @@ object KnnGraph {
         .join(undirected.select(col("src").as("mid"), col("dst")), Seq("mid"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
-      graph = scoreTopK(nn.unionByName(edges).distinct()).localCheckpoint()
+      graph = scoreTopK(nn.unionByName(edges)).localCheckpoint()
     }
     graph
   }
