@@ -1319,6 +1319,85 @@ object QueryCatalog {
        |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS text_xor
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The DataSource V2 connector as a declared query: scan
+    * [[graft.sources.v2.SynthDocsSource]] through a doc_id range predicate
+    * (pushed to the connector, where it prunes whole input partitions —
+    * the declared-path twin of the plan assertions in OperatorsSpec), then
+    * fold every generated text into per-language content fingerprints.
+    * The oracle RE-GENERATES the identical table inside DuckDB — the
+    * connector's splitmix64 column functions replayed in staged HUGEINT
+    * mod-2^64 arithmetic, lookup lists emitted from the same Scala arrays —
+    * so the hash matches only if every generated byte, language pick and
+    * word-count branch agrees with the connector.
+    */
+  private val qSynthSource: Q = (s, _) =>
+    s.read.format(classOf[graft.sources.v2.SynthDocsSource].getName)
+      .option("rows", "2000").option("partitions", "8").option("seed", "42")
+      .load()
+      .filter(col("doc_id") >= 100 && col("doc_id") < 1500)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        rolling_hash(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        expr("bit_xor(doc_id)").as("id_xor"), expr("bit_xor(fp)").as("text_xor"))
+      .orderBy("lang")
+
+  /** Generated from SynthDocs/SketchKernels constants: splitmix64 is staged
+    * one finalizer step per CTE column (scalars) / per list_transform
+    * (word hashes) to keep the SQL expression tree linear.
+    */
+  private def synthSourceSqlGen: String = {
+    import org.apache.spark.sql.graftx.SketchKernels
+    import U64Sql.{u, unsignedVal, signedVal, xorShift, mulSplit}
+    val seed = 42L
+    val gg = u(SketchKernels.GoldenGamma)
+    val langs = graft.sources.v2.SynthDocs.Langs
+      .map(l => s"'$l'").mkString("list_value(", ", ", ")")
+    val words = graft.sources.v2.SynthDocs.Words
+      .map(w => s"'$w'").mkString("list_value(", ", ", ")")
+    // java.lang.Math.floorMod of the signed image
+    def fm(sv: String, m: Int) = s"CAST(((($sv) % $m) + $m) % $m AS INT)"
+    val stages: Seq[String => String] = Seq(
+      v => xorShift(v, 30), v => mulSplit(v, SketchKernels.Mix1),
+      v => xorShift(v, 27), v => mulSplit(v, SketchKernels.Mix2),
+      v => xorShift(v, 31))
+    // scalar chains: l* = splitmix64(doc_id XOR seed) picks the language,
+    // t* = splitmix64(doc_id*31 + seed) seeds the text
+    val scalarCtes = stages.zipWithIndex.map { case (f, i) =>
+      s"s${i + 1} AS (SELECT *, ${f(s"l$i")} AS l${i + 1}, ${f(s"t$i")} AS t${i + 1} FROM s$i)"
+    }.mkString(", ")
+    // list chain: one finalized hash per word position
+    val listCtes = stages.zipWithIndex.map { case (f, i) =>
+      s"w${i + 1} AS (SELECT *, list_transform(hs$i, h -> ${f("h")}) AS hs${i + 1} FROM w$i)"
+    }.mkString(", ")
+    s"""WITH ids AS (
+       |  SELECT CAST(g AS BIGINT) AS doc_id FROM generate_series(100, 1499) t(g)
+       |), s0 AS (
+       |  SELECT doc_id,
+       |    (${unsignedVal(s"xor(doc_id, $seed)")} + $gg) % ${U64Sql.Wrap} AS l0,
+       |    (${unsignedVal(s"doc_id * 31 + $seed")} + $gg) % ${U64Sql.Wrap} AS t0
+       |  FROM ids
+       |), $scalarCtes, base AS (
+       |  SELECT doc_id, $langs[${fm(signedVal("l5"), 5)} + 1] AS lang, t5 AS th,
+       |    8 + ${fm(signedVal("t5"), 25)} AS n
+       |  FROM s5
+       |), w0 AS (
+       |  SELECT doc_id, lang, list_transform(generate_series(0, n - 1),
+       |    i -> ((th + CAST(i AS HUGEINT)) % ${U64Sql.Wrap} + $gg) % ${U64Sql.Wrap}) AS hs0
+       |  FROM base
+       |), $listCtes, txt AS (
+       |  SELECT doc_id, lang,
+       |    array_to_string(list_transform(hs5,
+       |      h -> $words[${fm(signedVal("h"), 16)} + 1]), ' ') AS text
+       |  FROM w5
+       |)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS text_xor
+       |FROM txt GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Unigram-LM document scoring (CCNet-style quality signal): corpus-wide
     * token frequencies become per-token log-probs; a doc's score is its
     * mean token log-prob. Per-token log-probs are quantized to integer
@@ -2701,6 +2780,7 @@ object QueryCatalog {
     "q_cohort_retention" -> qCohortRetention,
     "q_click_attribution" -> qClickAttribution,
     "q_ewma" -> qEwma,
+    "q_synth_source" -> qSynthSource,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
@@ -2816,6 +2896,7 @@ object QueryCatalog {
     "q_cohort_retention" -> cohortRetentionSql,
     "q_click_attribution" -> clickAttributionSql,
     "q_ewma" -> ewmaSql,
+    "q_synth_source" -> synthSourceSqlGen,
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,

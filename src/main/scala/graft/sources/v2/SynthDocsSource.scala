@@ -47,8 +47,10 @@ object SynthDocs {
     StructField("lang", StringType, nullable = false),
     StructField("n_chars", LongType, nullable = false)))
 
-  private val Langs = Array("en", "de", "fr", "es", "zh")
-  private val Words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+  // public: the oracle-SQL generator derives its lookup lists from these,
+  // so the SQL cannot drift from the generator
+  val Langs = Array("en", "de", "fr", "es", "zh")
+  val Words = Array("alpha", "beta", "gamma", "delta", "epsilon",
     "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
     "omicron", "pi")
 
