@@ -98,4 +98,39 @@ class StreamingSpec extends SparkSpec {
     val n2 = spark.read.parquet(s"$tmp/out").count()
     assert(n1 == n2)
   }
+
+  test("foreachBatch upsert is idempotent under checkpoint-replay of a batch") {
+    // The crash window foreachBatch leaves open: deltas appended, then the
+    // process dies BEFORE the batch's commit marker lands. On restart Spark
+    // re-executes that batch (at-least-once), appending duplicate deltas.
+    // Exactly-once-in-EFFECT holds because the version is derived from the
+    // data (ms×10⁶ + event_id), not the batch id: replayed rows are
+    // byte-identical and merge-on-read latest() collapses them.
+    val tmp = Files.createTempDirectory("graft-replay").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    EventsStream.upsertStream(spark, s"$tmp/in", schema, s"$tmp/delta", s"$tmp/ck")
+    def resolved() = graft.etl.MergeOnRead.latest(
+        spark.read.parquet(s"$tmp/delta"), keys = Seq("user_id"), version = "version")
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    val before = resolved()
+    val deltasBefore = spark.read.parquet(s"$tmp/delta").count()
+    // simulate the crash: drop the LAST batch's commit marker
+    val commits = new java.io.File(s"$tmp/ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2, "expected >=2 micro-batches (maxFilesPerTrigger=2)")
+    assert(commits.last.delete())
+    // drop the Hadoop checksum shadow too, or the local FS refuses the
+    // replayed batch's atomic commit rename (stale .crc → "already exists")
+    val crc = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    EventsStream.upsertStream(spark, s"$tmp/in", schema, s"$tmp/delta", s"$tmp/ck")
+    val deltasAfter = spark.read.parquet(s"$tmp/delta").count()
+    assert(deltasAfter > deltasBefore,
+      s"replay must re-append the uncommitted batch's deltas ($deltasBefore -> $deltasAfter)")
+    assert(resolved() == before,
+      "merge-on-read state must be unchanged by the replayed batch")
+  }
 }
