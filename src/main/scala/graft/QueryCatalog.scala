@@ -2095,9 +2095,19 @@ object QueryCatalog {
     * exact brute force (observed 0.80 at sf0.01; bound 0.5). Same
     * sketch-oracle contract as the other ANN queries.
     */
+  /** The kNN graph is a build-once artifact like the quantizer fits: one
+    * build per dataset shared by the graph query and graph-ANN serving
+    * (the checkpointed result is deterministic, so sharing can't change
+    * results).
+    */
+  private def knnGraphShared(emb: DataFrame, dir: String): DataFrame =
+    ModelCache.getOrFit(s"knngraph:k10:r4:$dir") {
+      similarity.KnnGraph.build(emb, k = 10, rounds = 4)
+    }
+
   private val qKnnGraph: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val graph = similarity.KnnGraph.build(emb, k = 10, rounds = 4)
+    val graph = knnGraphShared(emb, dir)
     val queries = emb.filter(col("vec_id") < 25)
     val approx = graph.filter(col("src") < 25)
       .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
@@ -2108,6 +2118,24 @@ object QueryCatalog {
   private val knnGraphSql =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 25""".stripMargin
+
+  /** HNSW-style serving over the shared kNN graph (similarity.GraphAnn):
+    * LSH-bucket + fixed entry points, 3 synchronized beam-search hops at
+    * beam 12, recall@5 of 25 query vectors checked in-engine against exact
+    * brute force — same sketch-oracle contract as the other ANN queries.
+    * Per-query work is beam×degree per hop regardless of corpus size.
+    */
+  private val qGraphAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val graph = knnGraphShared(emb, dir)
+    val queries = emb.filter(col("vec_id") < 25)
+    val res = similarity.GraphAnn.search(graph, emb, queries,
+      k = 5, beam = 12, hops = 3)
+    recallCheck(queries, res.select(col("query_id"), col("neighbor_id")),
+      Similarity.bruteForceTopK(emb, queries, k = 5), bound = 0.6)
+  }
+
+  private val graphAnnSql = knnGraphSql
 
   // ------------------------------------------------------------ multimodal
 
@@ -2767,6 +2795,7 @@ object QueryCatalog {
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivf_pq" -> qAnnIvfPq,
     "q_knn_graph" -> qKnnGraph,
+    "q_graph_ann" -> qGraphAnn,
     "q_sq_cosine" -> qSqCosine,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -2849,6 +2878,7 @@ object QueryCatalog {
     "q_ann_pq" -> annPqSql,
     "q_ann_ivf_pq" -> annIvfPqSql,
     "q_knn_graph" -> knnGraphSql,
+    "q_graph_ann" -> graphAnnSql,
     "q_sq_cosine" -> sqCosineSql,
     "q_ntile" -> ntileSql,
     "q_first_last" -> firstLastSql,

@@ -215,4 +215,27 @@ class SimilaritySpec extends SparkSpec {
     info(s"knn-graph recall@5 = $recall")
     assert(recall >= 0.5, s"recall $recall below floor")
   }
+
+  test("graph ANN beam search: k ranked rows per query, deterministic, recall floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val graph = graft.similarity.KnnGraph.build(emb, k = 10, rounds = 4)
+    val q = emb.filter(col("vec_id") < 25)
+    def run() = graft.similarity.GraphAnn.search(graph, emb, q, k = 5, beam = 12, hops = 3)
+    val res = run()
+    // exactly k ranked neighbors per query, rk dense from 1
+    val byQuery = res.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+    assert(byQuery.filter(col("n") =!= 5 || col("mx") =!= 5 || col("mn") =!= 1).count() == 0)
+    assert(res.select("query_id").distinct().count() == q.count())
+    // a corpus-member query must find itself (cos = 1 beats everything)
+    assert(res.filter(col("rk") === 1 && col("query_id") =!= col("neighbor_id")).count() == 0)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = res.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(s"graph-ann recall@5 = $recall")
+    assert(recall >= 0.5, s"recall $recall below floor")
+    assert(run().collect().map(_.toString).sorted
+      .sameElements(res.collect().map(_.toString).sorted), "search must be deterministic")
+  }
 }
