@@ -1293,6 +1293,70 @@ object QueryCatalog {
        |ORDER BY subset""".stripMargin
   }
 
+  /** Mergeable KLL quantile store (functions.QuantileStore), same contract
+    * as the HLL store: per-month sketches persisted once, month-subset
+    * percentile questions answered by merging stored sketch bytes — never
+    * re-scanning facts. Row counts carried by the sketches are hash-checked
+    * exactly against the oracle; the p50/p95 readouts are checked in-engine
+    * by computing their EXACT ranks over the subset and asserting they land
+    * within KLL's rank error (±3% at k=200, comfortably above the ~0.7%
+    * expected) — emitted as booleans the oracle expects TRUE, because the
+    * KLL compaction coin-flip makes raw estimates non-reproducible across
+    * engines (same device as q_approx_distinct).
+    */
+  private val qQuantileStore: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kll").toString
+    val o = Tables.orders(s, dir)
+      .select(monthSid(col("o_orderdate")).as("month_sid"),
+        col("o_totalprice").cast("float").as("v"))
+    graft.functions.QuantileStore.build(o, col("month_sid"), col("v"))
+      .withColumnRenamed("g", "month_sid")
+      .write.mode("overwrite").parquet(s"$tmp/sketches")
+    val sk = s.read.parquet(s"$tmp/sketches")
+    def subset(name: String, pred: Column): DataFrame = {
+      val sel = sk.filter(pred)
+      val merged = graft.functions.QuantileStore.mergeAll(sel)
+      val (q50, q95) = (merged.getQuantile(0.5), merged.getQuantile(0.95))
+      val stats = sel.agg(count(lit(1)).as("n_months"),
+        sum(col("n")).cast("long").as("n_rows"))
+      val exact = o.filter(pred).agg(
+        count(lit(1)).as("n_exact"),
+        (sum(when(col("v") <= lit(q50), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("r50"),
+        (sum(when(col("v") <= lit(q95), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("r95"))
+      stats.crossJoin(broadcast(exact))
+        .select(lit(name).as("subset"), col("n_months"), col("n_rows"),
+          col("n_exact"),
+          (col("n_rows") === col("n_exact")).as("count_ok"),
+          (abs(col("r50") - lit(0.5)) <= lit(0.03)).as("r50_ok"),
+          (abs(col("r95") - lit(0.95)) <= lit(0.03)).as("r95_ok"))
+    }
+    subset("all", lit(true))
+      .unionByName(subset("m199706", col("month_sid") === 199706L))
+      .unionByName(subset("y1997",
+        col("month_sid") >= 199701L && col("month_sid") <= 199712L))
+      .orderBy("subset")
+  }
+
+  private val quantileStoreSql = {
+    def row(name: String, where: String) =
+      s"""SELECT '$name' AS subset,
+         |  CAST(COUNT(DISTINCT month_sid) AS BIGINT) AS n_months,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  TRUE AS count_ok, TRUE AS r50_ok, TRUE AS r95_ok
+         |FROM m WHERE $where""".stripMargin
+    s"""WITH m AS (
+       |  SELECT $monthSidSql AS month_sid FROM orders)
+       |${row("all", "TRUE")}
+       |UNION ALL
+       |${row("m199706", "month_sid = 199706")}
+       |UNION ALL
+       |${row("y1997", "month_sid BETWEEN 199701 AND 199712")}
+       |ORDER BY subset""".stripMargin
+  }
+
   /** JSONL round-trip (sources.Sources.jsonl/jsonlWrite): documents out to
     * gzip line-JSON and back with an explicit schema, then aggregated with
     * an order-free 64-bit content checksum (bit_xor of rolling hashes) per
@@ -2773,6 +2837,7 @@ object QueryCatalog {
     "q_decontaminate" -> qDecontaminate,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_sketch_store" -> qSketchStore,
+    "q_quantile_store" -> qQuantileStore,
     "q_unigram_lm" -> qUnigramLm,
     "q_hash_split" -> qHashSplit,
     "q_range_join" -> qRangeJoin,
@@ -2905,6 +2970,7 @@ object QueryCatalog {
     "q_decontaminate" -> decontaminateSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
     "q_sketch_store" -> sketchStoreSql,
+    "q_quantile_store" -> quantileStoreSql,
     "q_unigram_lm" -> unigramLmSql,
     "q_hash_split" -> hashSplitSql,
     "q_range_join" -> rangeJoinSql,

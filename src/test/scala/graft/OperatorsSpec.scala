@@ -319,4 +319,27 @@ class OperatorsSpec extends SparkSpec {
     val bad = rd.filter(length(col("text")) =!= col("n_chars")).count()
     assert(bad == 0)
   }
+
+  test("KLL quantile store: counts exact, merged rank error in bound, partitioning-independent") {
+    import graft.functions.QuantileStore
+    val o = Tables.orders(spark, sf)
+      .select(graft.operators.ReferenceOps.monthSid(col("o_orderdate")).as("m"),
+        col("o_totalprice").cast("float").as("v"))
+    val total = o.count()
+    val store = QuantileStore.build(o, col("m"), col("v"))
+    // one sketch row per month; the carried n is exact
+    assert(store.count() == o.select("m").distinct().count())
+    assert(store.agg(sum("n")).head().getLong(0) == total)
+    // merged estimate lands within KLL rank error of the true rank
+    def rankOf(q: Double, sel: org.apache.spark.sql.DataFrame): Double = {
+      val est = QuantileStore.mergeAll(sel).getQuantile(q)
+      o.filter(col("v") <= est).count().toDouble / total
+    }
+    assert(math.abs(rankOf(0.5, store) - 0.5) <= 0.03)
+    assert(math.abs(rankOf(0.95, store) - 0.95) <= 0.03)
+    // input partitioning must not change carried counts or break the bound
+    val store2 = QuantileStore.build(o.repartition(7), col("m"), col("v"))
+    assert(store2.agg(sum("n")).head().getLong(0) == total)
+    assert(math.abs(rankOf(0.5, store2) - 0.5) <= 0.03)
+  }
 }
