@@ -241,6 +241,166 @@ object QueryCatalog {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): orders in a quarter with at
+    * least one "late" line (shipped >60 days after the order date — the
+    * testdata has no commit/receipt dates, so lateness is defined against
+    * the order date), counted per priority. The correlated EXISTS becomes a
+    * left-semi join with a compound condition — no exchange beyond the one
+    * orderkey shuffle.
+    */
+  private val qOrderPriority: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val orderPrioritySql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade volume between two
+    * nations by ship year. Both nation dims are pre-filtered to the two
+    * names and broadcast; the OR condition that excludes same-nation pairs
+    * runs on the joined row.
+    */
+  private val qNationVolume: Q = (s, dir) => {
+    val names = Seq("NATION_3", "NATION_7")
+    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(revenueSum.as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val nationVolumeSql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year, $revenueSumSql AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+       |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+       |  AND n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): promo revenue share of one ship
+    * month. Both sums are exact decimal; the 100·promo/total ratio is the
+    * only double step, applied identically on both sides.
+    */
+  private val qPromoRevenue: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01") &&
+        col("l_shipdate") < lit("1996-10-01"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        Exact.sumDisc(when(col("p_type") === "PROMO", col("l_extendedprice"))
+          .otherwise(lit(0.0)), col("l_discount")).as("promo"),
+        revenueSum.as("total"))
+      .select(((lit(100.0) * col("promo")) / col("total")).as("promo_revenue"))
+  }
+
+  private val promoRevenueSql =
+    s"""SELECT (100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+       |    THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4)) *
+       |    (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE))
+       |  / $revenueSumSql AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): three
+    * brand × size × quantity bands OR-ed together. The disjunction stays a
+    * single scan-side filter after one partkey join — no union-of-scans.
+    */
+  private val qBrandRevenue: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) &&
+          col("l_quantity").between(20, 45)))
+      .agg(revenueSum.as("revenue"))
+  }
+
+  private val brandRevenueSql =
+    s"""SELECT $revenueSumSql AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 45)""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity), adapted to the testdata
+    * (no phone column; every customer has SOME order, so "never ordered"
+    * selects nothing — lapsed means no order since 1999): per nation,
+    * customers holding above-average positive balances with no recent
+    * order. Scalar-subquery threshold via a broadcast 1-row cross join,
+    * anti join against the filtered orders, exact decimal balance sums.
+    */
+  private val qIdleCustomers: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val avgB = c.filter(col("c_acctbal") > lit(0.0))
+      .agg(Exact.avgExact(col("c_acctbal")).as("ab"))
+    c.crossJoin(broadcast(avgB))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1999-01-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.sumExact(col("c_acctbal")).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  private val idleCustomersSql =
+    """WITH ab AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS ab
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer CROSS JOIN ab
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > ab
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= '1999-01-01')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** PageRank (operators.PageRank) over the supplier→customer shipment
     * graph (node ids disambiguated by even/odd). 5 iterations of EXACT
     * fixed-point arithmetic (scale 10¹², damping 850‰, integer division)
@@ -2789,6 +2949,11 @@ object QueryCatalog {
     "q5_region_revenue" -> qRegionRevenue,
     "q10_returned_items" -> qReturnedItems,
     "q18_large_orders" -> qLargeOrders,
+    "q4_order_priority" -> qOrderPriority,
+    "q7_nation_volume" -> qNationVolume,
+    "q14_promo_revenue" -> qPromoRevenue,
+    "q19_brand_revenue" -> qBrandRevenue,
+    "q22_idle_customers" -> qIdleCustomers,
     "q_window_misc" -> qWindowMisc,
     "q_pagerank" -> qPageRank,
     "q_rollup_orders" -> qRollupOrders,
@@ -2907,6 +3072,11 @@ object QueryCatalog {
     "q5_region_revenue" -> regionRevenueSql,
     "q10_returned_items" -> returnedItemsSql,
     "q18_large_orders" -> largeOrdersSql,
+    "q4_order_priority" -> orderPrioritySql,
+    "q7_nation_volume" -> nationVolumeSql,
+    "q14_promo_revenue" -> promoRevenueSql,
+    "q19_brand_revenue" -> brandRevenueSql,
+    "q22_idle_customers" -> idleCustomersSql,
     "q_window_misc" -> windowMiscSql,
     "q_pagerank" -> pageRankSql,
     "q_rollup_orders" -> rollupOrdersSql,
