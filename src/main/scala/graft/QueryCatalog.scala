@@ -2829,6 +2829,49 @@ object QueryCatalog {
       |  AND cus >= pus - 1800000000 AND cus < pus
       |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
 
+  /** Stream-stream interval join end-to-end (EventsStream.clickAttribution),
+    * through a real AvailableNow drain with both sides watermarked: each
+    * purchase joined to the same user's clicks in the preceding 30 minutes.
+    * The source is one file → one micro-batch, so inner-join emission is
+    * complete (no cross-batch late-arrival drops) and the oracle is the
+    * full interval join — the streaming twin of ⊕ q_click_attribution,
+    * with the stream's own inclusive upper bound (click_ts <= purchase_ts).
+    */
+  private val qStreamAttribution: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sattr").toString
+    Tables.events(s, dir).coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val src = s.readStream.schema(schema).parquet(s"$tmp/in")
+    val joined = graft.streaming.EventsStream.clickAttribution(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        max(unix_micros(col("click_ts"))).as("last_click_us"))
+      .orderBy("purchase_id")
+  }
+
+  private val streamAttributionSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS pus
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS cus
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT purchase_id, COUNT(*) AS n_clicks,
+      |  CAST(MAX(cus) AS BIGINT) AS last_click_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND cus >= pus - 1800000000 AND cus <= pus
+      |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
+
   /** Streaming upsert end-to-end: events re-laid as a multi-file stream
     * source, drained in ≥2 micro-batches (maxFilesPerTrigger=2) through
     * foreachBatch into merge-on-read delta appends, then resolved with
@@ -2931,7 +2974,7 @@ object QueryCatalog {
     */
   val benchExcluded: Set[String] =
     Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
-      "q_stream_sessions", "q_stream_upsert")
+      "q_stream_sessions", "q_stream_upsert", "q_stream_attribution")
 
   val queries: Map[String, Q] = Map(
     "q_etl_backup" -> qEtlBackup,
@@ -3035,6 +3078,7 @@ object QueryCatalog {
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_upsert" -> qStreamUpsert,
+    "q_stream_attribution" -> qStreamAttribution,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_click_attribution" -> qClickAttribution,
@@ -3158,6 +3202,7 @@ object QueryCatalog {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_upsert" -> streamUpsertSql,
+    "q_stream_attribution" -> streamAttributionSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_click_attribution" -> clickAttributionSql,
