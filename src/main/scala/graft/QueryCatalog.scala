@@ -1924,6 +1924,39 @@ object QueryCatalog {
       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Manifest-based file skipping (sources.StatsStore): orders laid out
+    * range-clustered on custkey, a per-file (count, min, max) manifest
+    * collected in one scan, then a custkey range query that opens only
+    * files whose interval intersects the range. The aggregate hash-matches
+    * the oracle's direct filter over the source (pruning is a superset
+    * guarantee, so any skipped-but-needed file would break the hash);
+    * `files_pruned` asserts the manifest actually skipped IO.
+    */
+  private val qStatsPruning: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    Tables.orders(s, dir)
+      .repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/data")
+    val stats = graft.sources.StatsStore.collect(s, s"$tmp/data", Seq("o_custkey"))
+      .localCheckpoint()
+    val nTotal = stats.count()
+    val nScan = graft.sources.StatsStore.survivingFiles(stats, "o_custkey", 300L, 600L).size
+    graft.sources.StatsStore.prunedRead(s, stats, "o_custkey", 300L, 600L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("o_totalprice")).as("total"))
+      .withColumn("files_pruned", lit(nScan < nTotal))
+      .orderBy("o_orderpriority")
+  }
+
+  private val statsPruningSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  TRUE AS files_pruned
+      |FROM orders
+      |WHERE o_custkey >= 300 AND o_custkey <= 600
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Skew-salted join (operators.SaltedJoin): the big side's hot keys are
     * spread over `salts` shuffle partitions, the small side replicated
     * `salts`×. Salting is semantically transparent, so the oracle is the
@@ -3057,6 +3090,7 @@ object QueryCatalog {
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_salted_join" -> qSaltedJoin,
     "q_zorder_layout" -> qZorderLayout,
+    "q_stats_pruning" -> qStatsPruning,
     "q_band_index_probe" -> qBandIndexProbe,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -3149,6 +3183,7 @@ object QueryCatalog {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_salted_join" -> saltedJoinSql,
     "q_zorder_layout" -> zorderLayoutSql,
+    "q_stats_pruning" -> statsPruningSql,
     "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
     "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-statistics store for data skipping — the manifest-pruning device of
+  * lakehouse table formats, built on public Spark primitives: one scan
+  * computes per-file (count, min, max) for the declared columns via
+  * `input_file_name()`, the manifest is persisted next to the data, and
+  * range reads consult the manifest to open only files whose interval
+  * intersects the predicate.
+  *
+  * Pairs with [[ZOrder]]: the layout makes per-file ranges tight on both
+  * curve columns, the manifest turns those ranges into skipped IO. At
+  * 100 TB a point/range query costs a manifest scan (one row per file)
+  * plus the surviving files — not a full-table scan. Pruning is a superset
+  * guarantee: Spark still applies the predicate to the rows it reads, so a
+  * conservative manifest is always correct.
+  *
+  * The surviving-file list is driver-side, bounded by the file count —
+  * the same discipline as the reference's partition lists (SCALE.md).
+  */
+object StatsStore {
+
+  /** One stats row per data file: n_rows + min_c/max_c per column. */
+  def collect(spark: SparkSession, dataPath: String, cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(dataPath)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Data files whose [min_c, max_c] intersects [lo, hi]. */
+  def survivingFiles(stats: DataFrame, c: String, lo: Long, hi: Long): Seq[String] =
+    stats.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range read that opens only surviving files; the predicate is still
+    * applied to the rows read (superset guarantee).
+    */
+  def prunedRead(spark: SparkSession, stats: DataFrame, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = survivingFiles(stats, c, lo, hi)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+      .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+}

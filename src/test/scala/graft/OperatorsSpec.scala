@@ -342,4 +342,29 @@ class OperatorsSpec extends SparkSpec {
     assert(store2.agg(sum("n")).head().getLong(0) == total)
     assert(math.abs(rankOf(0.5, store2) - 0.5) <= 0.03)
   }
+
+  test("stats store prunes files on a range-clustered layout, result unchanged") {
+    import graft.sources.StatsStore
+    val tmp = Files.createTempDirectory("graft-statsstore").toString
+    Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/data")
+    val stats = StatsStore.collect(spark, s"$tmp/data", Seq("o_custkey")).localCheckpoint()
+    // manifest accounts for every row, intervals are well-formed
+    assert(stats.agg(sum("n_rows")).head().getLong(0) ==
+      Tables.orders(spark, sf).count())
+    assert(stats.filter(col("min_o_custkey") > col("max_o_custkey")).count() == 0)
+    // range-clustered layout → a narrow range touches a strict file subset
+    val surviving = StatsStore.survivingFiles(stats, "o_custkey", 100L, 200L)
+    assert(surviving.nonEmpty && surviving.size < stats.count(),
+      s"expected pruning: ${surviving.size} of ${stats.count()} files")
+    // pruned read ≡ full read + filter
+    val pruned = StatsStore.prunedRead(spark, stats, "o_custkey", 100L, 200L)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val full = Tables.orders(spark, sf)
+      .filter(col("o_custkey") >= 100L && col("o_custkey") <= 200L)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(pruned.sameElements(full))
+  }
 }
