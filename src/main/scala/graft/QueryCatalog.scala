@@ -1924,6 +1924,99 @@ object QueryCatalog {
       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The reference's core path as a declared query: a quarter of orders is
+    * written INTO a real JDBC database (embedded Derby) with decimal-cast
+    * money and timestamp columns, extracted back with the 8-way partitioned
+    * JDBC read (the NUM_MAPPERS contract, split bounds from the data), and
+    * aggregated. The oracle aggregates the source directly — the hash
+    * matches only if every row, every decimal digit and every timestamp
+    * survived the write→extract hop. Closes S1/S9 (test-only until now)
+    * with a driver-visible check.
+    */
+  private val qJdbcExtract: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jdbcq").toString
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val src = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    src.write.jdbc(url, "orders_t", new java.util.Properties())
+    val b = src.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val back = graft.sources.Sources.jdbcPartitioned(s, url, "orders_t",
+      "o_orderkey", b.getLong(0), b.getLong(1) + 1L, 8)
+    back.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")).cast("double").as("total"),
+        max(unix_millis(col("o_orderdate"))).as("last_ms"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val jdbcExtractSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(MAX(epoch_ms(o_orderdate)) AS BIGINT) AS last_ms
+      |FROM orders
+      |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Small-file compaction as a declared round-trip: lineitem scattered
+    * into 64 tiny files, compacted to a byte-size target with the atomic
+    * rename swap, read back and aggregated. The oracle aggregates the
+    * source — the hash matches only if compaction lost/duplicated nothing;
+    * `compacted` gates that the file count actually dropped.
+    */
+  private val qCompaction: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compactq").toString
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    val st = graft.sources.Compaction.compact(s, s"$tmp/t",
+      targetBytes = 8L * 1024 * 1024)
+    s.read.parquet(s"$tmp/t")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumExact(col("l_quantity")).as("qty"),
+        Exact.sumExact(col("l_extendedprice")).as("price"))
+      .withColumn("compacted", lit(st.filesAfter < st.filesBefore))
+      .orderBy("l_returnflag")
+  }
+
+  private val compactionSql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price,
+      |  TRUE AS compacted
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CSV (S7) as a declared round-trip: orders out to delimited text and
+    * back through the explicit-schema reader (no inference pass), then
+    * aggregated per month against the oracle's direct read of the source —
+    * typed columns (bigint, double, timestamp) must survive the text hop.
+    */
+  private val qCsvRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csvq").toString
+    val src = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    src.write.mode("overwrite").option("header", "false").csv(s"$tmp/t")
+    graft.sources.Sources.csv(s, s"$tmp/t", src.schema)
+      .groupBy(monthSid(col("o_orderdate")).as("month_sid"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumExact(col("o_totalprice")).as("total"),
+        expr("bit_xor(o_orderkey)").as("key_xor"))
+      .orderBy("month_sid")
+  }
+
+  private val csvRoundtripSql =
+    s"""SELECT $monthSidSql AS month_sid, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Manifest-based file skipping (sources.StatsStore): orders laid out
     * range-clustered on custkey, a per-file (count, min, max) manifest
     * collected in one scan, then a custkey range query that opens only
@@ -3091,6 +3184,9 @@ object QueryCatalog {
     "q_salted_join" -> qSaltedJoin,
     "q_zorder_layout" -> qZorderLayout,
     "q_stats_pruning" -> qStatsPruning,
+    "q_jdbc_extract" -> qJdbcExtract,
+    "q_compaction" -> qCompaction,
+    "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_band_index_probe" -> qBandIndexProbe,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -3184,6 +3280,9 @@ object QueryCatalog {
     "q_salted_join" -> saltedJoinSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q_stats_pruning" -> statsPruningSql,
+    "q_jdbc_extract" -> jdbcExtractSql,
+    "q_compaction" -> compactionSql,
+    "q_csv_roundtrip" -> csvRoundtripSql,
     "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
     "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),
