@@ -1566,6 +1566,26 @@ object QueryCatalog {
         expr("bit_xor(doc_id)").as("id_xor"), expr("bit_xor(fp)").as("text_xor"))
       .orderBy("lang")
 
+  /** Aggregate pushdown through the DSv2 connector: COUNT(*)/MIN/MAX over
+    * a doc_id range are answered by the source in closed form — one partial
+    * row per input partition, zero data rows generated (the filter is fully
+    * absorbed by range clipping, which is what legalizes the agg pushdown).
+    * Plan-asserted in OperatorsSpec; the oracle computes the same range
+    * arithmetic from generate_series.
+    */
+  private val qSynthAggPushdown: Q = (s, _) =>
+    s.read.format(classOf[graft.sources.v2.SynthDocsSource].getName)
+      .option("rows", "2000").option("partitions", "8").option("seed", "42")
+      .load()
+      .filter(col("doc_id") >= 100 && col("doc_id") < 1500)
+      .agg(expr("count(*)").as("n_docs"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+
+  private val synthAggPushdownSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(g) AS BIGINT) AS min_id, CAST(MAX(g) AS BIGINT) AS max_id
+      |FROM generate_series(100, 1499) t(g)""".stripMargin
+
   /** Generated from SynthDocs/SketchKernels constants: splitmix64 is staged
     * one finalizer step per CTE column (scalars) / per list_transform
     * (word hashes) to keep the SQL expression tree linear.
@@ -2016,6 +2036,35 @@ object QueryCatalog {
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bucketed co-located join as a declared query: both sides bucketed 8
+    * ways on the join key at write time, then joined through the catalog —
+    * the zero-exchange plan is asserted in PlanSpec; here the RESULT is
+    * hash-checked against the plain join, proving bucketing is semantically
+    * transparent (the q_salted_join contract, at the opposite end of the
+    * shuffle spectrum).
+    */
+  private val qBucketedJoin: Q = (s, dir) => {
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      "graft_q_orders_b", "o_orderkey", numBuckets = 8)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "graft_q_lineitem_b", "o_orderkey", numBuckets = 8)
+    graft.sources.Bucketing.bucketedJoin(
+        s, "graft_q_orders_b", "graft_q_lineitem_b", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("l_quantity")).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Manifest-based file skipping (sources.StatsStore): orders laid out
     * range-clustered on custkey, a per-file (count, min, max) manifest
@@ -3186,6 +3235,7 @@ object QueryCatalog {
     "q_stats_pruning" -> qStatsPruning,
     "q_jdbc_extract" -> qJdbcExtract,
     "q_compaction" -> qCompaction,
+    "q_bucketed_join" -> qBucketedJoin,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_band_index_probe" -> qBandIndexProbe,
     "q_minhash_neardups" -> qMinhashNearDups,
@@ -3214,6 +3264,7 @@ object QueryCatalog {
     "q_click_attribution" -> qClickAttribution,
     "q_ewma" -> qEwma,
     "q_synth_source" -> qSynthSource,
+    "q_synth_agg_pushdown" -> qSynthAggPushdown,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_asof_purchase" -> qAsofPurchase,
@@ -3282,6 +3333,7 @@ object QueryCatalog {
     "q_stats_pruning" -> statsPruningSql,
     "q_jdbc_extract" -> jdbcExtractSql,
     "q_compaction" -> compactionSql,
+    "q_bucketed_join" -> bucketedJoinSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
@@ -3342,6 +3394,7 @@ object QueryCatalog {
     "q_click_attribution" -> clickAttributionSql,
     "q_ewma" -> ewmaSql,
     "q_synth_source" -> synthSourceSqlGen,
+    "q_synth_agg_pushdown" -> synthAggPushdownSql,
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionWindowSql,
     "q_asof_purchase" -> asofPurchaseSql,

@@ -3,7 +3,8 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -90,44 +91,76 @@ final class SynthDocsTable(rows: Long, partitions: Int, seed: Long)
 
 final class SynthScanBuilder(rows: Long, partitions: Int, seed: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = SynthDocs.schema
   private var lo = 0L // inclusive doc_id bound
   private var hi = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggOps: Seq[String] = Nil // "count" | "min" | "max", in order
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept doc_id range filters (they prune partitions); everything else
-    * stays with Spark. Accepted filters are also re-evaluated by Spark —
-    * returning them from [[pushedFilters]] only documents the pruning, so
-    * keeping the bounds conservative is always correct.
+  /** Accept doc_id range filters; they clip the generated id range exactly
+    * (rows outside [lo, hi) are never produced), so they are FULLY handled
+    * here and not returned as residual — which is what lets Spark push a
+    * following aggregation down too. Everything else stays with Spark.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.flatMap {
-      case f @ GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); Some(f)
-      case f @ GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); Some(f)
-      case f @ LessThan("doc_id", v: Long) => hi = math.min(hi, v); Some(f)
-      case f @ LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); Some(f)
-      case _ => None
+    val residual = filters.filter {
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); false
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); false
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v); false
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); false
+      case _ => true
     }
-    filters // Spark re-applies everything (safe double-evaluation)
+    pushed = filters.diff(residual)
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SynthScan(rows, partitions, seed, required, lo, hi, pushed)
+  /** COUNT(*) / MIN(doc_id) / MAX(doc_id) have closed forms over an id
+    * range — the source answers them per input partition WITHOUT generating
+    * any row (partial pushdown: Spark still folds the per-partition rows).
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) = e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+    val ops = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isDocId(m.column) => Some("min")
+      case m: Max if isDocId(m.column) => Some("max")
+      case _ => None
+    }
+    if (ops.exists(_.isEmpty)) false
+    else {
+      aggOps = ops.flatten
+      required = StructType(aggOps.zipWithIndex.map { case (op, i) =>
+        StructField(s"${op}_$i", LongType, nullable = false)
+      })
+      true
+    }
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def build(): Scan =
+    new SynthScan(rows, partitions, seed, required, lo, hi, pushed, aggOps)
 }
 
 final case class SynthInputPartition(start: Long, end: Long, seed: Long)
     extends InputPartition
 
 final class SynthScan(rows: Long, partitions: Int, seed: Long,
-    required: StructType, lo: Long, hi: Long, pushed: Array[Filter])
+    required: StructType, lo: Long, hi: Long, pushed: Array[Filter],
+    aggOps: Seq[String] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"SynthDocs rows=$rows PushedFilters=[${pushed.mkString(", ")}] " +
+      s"PushedAggregates=[${aggOps.mkString(", ")}] " +
       s"ReadSchema=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
 
@@ -144,14 +177,27 @@ final class SynthScan(rows: Long, partitions: Int, seed: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required)
+    new SynthReaderFactory(required, aggOps)
 }
 
-final class SynthReaderFactory(required: StructType)
+final class SynthReaderFactory(required: StructType, aggOps: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SynthInputPartition]
-    new PartitionReader[InternalRow] {
+    if (aggOps.nonEmpty) {
+      // pushed aggregation: one closed-form partial row per partition,
+      // zero rows generated (count = range length, min/max = range ends)
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow = InternalRow.fromSeq(aggOps.map {
+          case "count" => p.end - p.start
+          case "min" => p.start
+          case "max" => p.end - 1
+        })
+        override def close(): Unit = ()
+      }
+    } else new PartitionReader[InternalRow] {
       private var id = p.start - 1
       override def next(): Boolean = { id += 1; id < p.end }
       override def get(): InternalRow = {

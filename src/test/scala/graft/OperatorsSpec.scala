@@ -320,6 +320,22 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("DSv2 synth source: COUNT/MIN/MAX push down to closed-form partials") {
+    val fmt = classOf[graft.sources.v2.SynthDocsSource].getName
+    val base = spark.read.format(fmt)
+      .option("rows", "1000").option("partitions", "8").option("seed", "7").load()
+    val agg = base.filter(col("doc_id") >= 100 && col("doc_id") < 900)
+      .agg(expr("count(*)").as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[count, min, max]"), plan)
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (800L, 100L, 899L))
+    // an unsupported aggregate falls back to row generation, same answer
+    val fallback = base.filter(col("doc_id") >= 100 && col("doc_id") < 900)
+      .agg(sum("doc_id")).head().getLong(0)
+    assert(fallback == (100L to 899L).sum)
+  }
+
   test("KLL quantile store: counts exact, merged rank error in bound, partitioning-independent") {
     import graft.functions.QuantileStore
     val o = Tables.orders(spark, sf)
