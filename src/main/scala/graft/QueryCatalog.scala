@@ -241,6 +241,54 @@ object QueryCatalog {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Statistical moments per group: sample stddev of extendedprice and the
+    * quantity↔price correlation, computed from EXACT decimal power sums
+    * (Σx, Σx², Σy, Σy², Σxy) — the two-pass-free moment formulation every
+    * engine can partial-aggregate. Built-in `stddev`/`corr` stream doubles
+    * in engine-specific order and are not bit-reproducible; the decimal
+    * sums are exact and order-free, and the final double arithmetic
+    * (+,-,*,/ and IEEE sqrt are correctly rounded) is applied in the same
+    * expression shape on both sides. The one non-reproducible step is each
+    * engine's decimal→double cast (1-ulp divergence observed), so the
+    * derived stats are rounded per the established transcendental rule.
+    */
+  private val qStatsMoments: Q = (s, dir) => {
+    val x = Exact.dec(col("l_extendedprice"))
+    val y = Exact.dec(col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
+        sum(y).cast("double").as("sy"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round(col("sx") / col("n"), 6).as("mean_price"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0))), 6)
+          .as("stddev_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 9)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val statsMomentsSql =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round(sx / n, 6) AS mean_price,
+      |  round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS stddev_price,
+      |  round((sxy - sx * sy / n) /
+      |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q4 shape (order-priority checking): orders in a quarter with at
     * least one "late" line (shipped >60 days after the order date — the
     * testdata has no commit/receipt dates, so lateness is defined against
@@ -3172,6 +3220,7 @@ object QueryCatalog {
     "q14_promo_revenue" -> qPromoRevenue,
     "q19_brand_revenue" -> qBrandRevenue,
     "q22_idle_customers" -> qIdleCustomers,
+    "q_stats_moments" -> qStatsMoments,
     "q_window_misc" -> qWindowMisc,
     "q_pagerank" -> qPageRank,
     "q_rollup_orders" -> qRollupOrders,
@@ -3302,6 +3351,7 @@ object QueryCatalog {
     "q14_promo_revenue" -> promoRevenueSql,
     "q19_brand_revenue" -> brandRevenueSql,
     "q22_idle_customers" -> idleCustomersSql,
+    "q_stats_moments" -> statsMomentsSql,
     "q_window_misc" -> windowMiscSql,
     "q_pagerank" -> pageRankSql,
     "q_rollup_orders" -> rollupOrdersSql,
