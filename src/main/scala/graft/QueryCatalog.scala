@@ -2339,6 +2339,30 @@ object QueryCatalog {
        |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.2
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** The opt-in Catalyst rule on the declared path: the query is written as
+    * the NAIVE all-pairs cosine cross join; RewriteCosineSelfJoin (installed
+    * via experimental.extraOptimizations, gated by its conf flag) rewrites
+    * the plan into the LSH-bucket equi-join, and the oracle checks the
+    * BLOCKED semantics — the same result as ⊕ q_embedding_neardups. The
+    * rule stays installed for the session: it matches only this
+    * cross-join-plus-cosine-filter shape, which no other query builds.
+    */
+  private val qCosineRewrite: Q = (s, dir) => {
+    import org.apache.spark.sql.graftx.RewriteCosineSelfJoin
+    if (!s.experimental.extraOptimizations.contains(RewriteCosineSelfJoin))
+      s.experimental.extraOptimizations ++= Seq(RewriteCosineSelfJoin)
+    s.conf.set("spark.graft.similarity.rewrite", "true")
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(VectorFunctions.cosine(col("emb_a"), col("emb_b")) >= 0.2 &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   private val qAnnLsh: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -3291,6 +3315,7 @@ object QueryCatalog {
     "q_simhash_neardups" -> qSimhashNearDups,
     "q_cosine_topk" -> qCosineTopk,
     "q_embedding_neardups" -> qEmbeddingNearDups,
+    "q_cosine_rewrite" -> qCosineRewrite,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_probes" -> qAnnIvfProbes,
@@ -3431,6 +3456,7 @@ object QueryCatalog {
     "q_histogram" -> histogramSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_embedding_neardups" -> embeddingNearDupsSql,
+    "q_cosine_rewrite" -> embeddingNearDupsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_events_hourly" -> eventsHourlySql,
