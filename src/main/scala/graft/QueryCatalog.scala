@@ -2093,6 +2093,15 @@ object QueryCatalog {
     * shuffle spectrum).
     */
   private val qBucketedJoin: Q = (s, dir) => {
+    // a fresh session's in-memory catalog doesn't know tables a previous
+    // run materialized — drop both catalog entry AND orphan warehouse dir,
+    // or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    Seq("graft_q_orders_b", "graft_q_lineitem_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     graft.sources.Bucketing.writeBucketed(
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
