@@ -2141,7 +2141,7 @@ object QueryCatalog {
       .localCheckpoint()
     val nTotal = stats.count()
     val nScan = graft.sources.StatsStore.survivingFiles(stats, "o_custkey", 300L, 600L).size
-    graft.sources.StatsStore.prunedRead(s, stats, "o_custkey", 300L, 600L)
+    graft.sources.StatsStore.prunedRead(s, s"$tmp/data", stats, "o_custkey", 300L, 600L)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), Exact.sumExact(col("o_totalprice")).as("total"))
       .withColumn("files_pruned", lit(nScan < nTotal))

@@ -38,13 +38,15 @@ object StatsStore {
       .select("file").collect().map(_.getString(0)).toSeq
 
   /** Range read that opens only surviving files; the predicate is still
-    * applied to the rows read (superset guarantee).
+    * applied to the rows read (superset guarantee). `dataPath` supplies the
+    * schema when nothing survives (folds to an empty relation, no IO).
     */
-  def prunedRead(spark: SparkSession, stats: DataFrame, c: String,
-      lo: Long, hi: Long): DataFrame = {
+  def prunedRead(spark: SparkSession, dataPath: String, stats: DataFrame,
+      c: String, lo: Long, hi: Long): DataFrame = {
     val files = survivingFiles(stats, c, lo, hi)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
-      .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 }

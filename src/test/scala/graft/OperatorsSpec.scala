@@ -376,7 +376,7 @@ class OperatorsSpec extends SparkSpec {
     assert(surviving.nonEmpty && surviving.size < stats.count(),
       s"expected pruning: ${surviving.size} of ${stats.count()} files")
     // pruned read ≡ full read + filter
-    val pruned = StatsStore.prunedRead(spark, stats, "o_custkey", 100L, 200L)
+    val pruned = StatsStore.prunedRead(spark, s"$tmp/data", stats, "o_custkey", 100L, 200L)
       .select("o_orderkey").collect().map(_.getLong(0)).sorted
     val full = Tables.orders(spark, sf)
       .filter(col("o_custkey") >= 100L && col("o_custkey") <= 200L)
