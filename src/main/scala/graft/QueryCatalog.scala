@@ -2372,6 +2372,30 @@ object QueryCatalog {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** JL random projection (VectorFunctions.randomProjection) with a FULL
+    * value-level oracle: 64-dim embeddings down to 16 dims, exploded to one
+    * row per (vector, output dim). The weights are the PRNG-free integer
+    * family, the fold is strict left-to-right double — DuckDB replays the
+    * identical arithmetic, so every projected coordinate hash-matches
+    * bit-for-bit (no bound-check indirection needed).
+    */
+  private val qRandProjection: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id"),
+        posexplode(VectorFunctions.randomProjection(col("embedding"), 16)))
+      .select(col("vec_id"), col("pos").cast("long").as("d"), col("col").as("val"))
+      .orderBy("vec_id", "d")
+
+  private val randProjectionSql =
+    """SELECT vec_id, CAST(j AS BIGINT) AS d,
+      |  list_sum(list_transform(generate_series(1, len(embedding)),
+      |    i -> CAST(embedding[i] AS DOUBLE) *
+      |      CAST(xor((i-1)*73856093, j*19349663) % 7 - 3 AS DOUBLE))) AS val
+      |FROM embeddings, generate_series(0, 15) t(j)
+      |WHERE vec_id < 25
+      |ORDER BY vec_id, d""".stripMargin
+
   private val qAnnLsh: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -3325,6 +3349,7 @@ object QueryCatalog {
     "q_cosine_topk" -> qCosineTopk,
     "q_embedding_neardups" -> qEmbeddingNearDups,
     "q_cosine_rewrite" -> qCosineRewrite,
+    "q_rand_projection" -> qRandProjection,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_probes" -> qAnnIvfProbes,
@@ -3466,6 +3491,7 @@ object QueryCatalog {
     "q_cosine_topk" -> cosineTopkSql,
     "q_embedding_neardups" -> embeddingNearDupsSql,
     "q_cosine_rewrite" -> embeddingNearDupsSql,
+    "q_rand_projection" -> randProjectionSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_events_hourly" -> eventsHourlySql,

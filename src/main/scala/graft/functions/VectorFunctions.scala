@@ -61,6 +61,27 @@ object VectorFunctions {
   def lshBucket(vec: Column): Column =
     org.apache.spark.sql.graftx.VectorExprs.lsh_bucket(vec, LshBits)
 
+  /** Deterministic sparse random projection to `outDim` dimensions — the
+    * Johnson–Lindenstrauss compression step of an embedding pipeline
+    * (Achlioptas-style ±small-int weights). Weight for (dim d, output j) is
+    * `(((d*73856093) XOR (j*19349663)) % 7) - 3` — the xor of large-prime
+    * multiples decorrelates rows (a plain linear `(a·d + b·j) % 7` has
+    * period 7 in d, giving at most 7 distinct directions), while staying
+    * PRNG-free: bit-reproducible in plain SQL and stable across retries.
+    * Pure codegen'd fold: a map-only pass at any corpus size.
+    */
+  def randomProjection(vec: Column, outDim: Int): Column = {
+    val v = asDouble(vec)
+    array((0 until outDim).map { j =>
+      aggregate(
+        zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
+          (x, d) => x * (((d * lit(73856093L)).bitwiseXOR(lit(j * 19349663L)) % lit(7L))
+            - lit(3L)).cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x)
+    }: _*)
+  }
+
   /** Reference formulation via higher-order built-ins (equality-tested
     * against [[lshBucket]]).
     */

@@ -216,6 +216,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall below floor")
   }
 
+  test("random projection: deterministic, norms preserved per Johnson-Lindenstrauss") {
+    val emb = Tables.embeddings(spark, sf)
+    val proj = emb.select(col("vec_id"),
+      VectorFunctions.randomProjection(col("embedding"), 16)
+        .cast("array<float>").as("embedding"))
+    val q = emb.filter(col("vec_id") < 25)
+    val qp = proj.filter(col("vec_id") < 25)
+    // The JL guarantee is about NORMS/DISTANCES, not fine-grained rankings
+    // (random 64-dim vectors have near-zero pairwise cosines, so top-k is
+    // not preservable at 16 dims): E[||Pv||²] = outDim·Var(w)·||v||²
+    // = 16·4·||v||², and per-vector ratios concentrate around 1.
+    val ratios = emb.join(proj.withColumnRenamed("embedding", "pemb"), "vec_id")
+      .select((VectorFunctions.dot(col("pemb"), col("pemb")) /
+        (lit(64.0) * VectorFunctions.dot(col("embedding"), col("embedding"))))
+        .as("r"))
+      .as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    info(f"norm-ratio mean=$mean%.3f min=${ratios.min}%.3f max=${ratios.max}%.3f")
+    assert(mean > 0.8 && mean < 1.25, s"norm-preservation mean off: $mean")
+    assert(ratios.count(r => r > 0.3 && r < 2.5).toDouble / ratios.length >= 0.9,
+      "norm ratios not concentrated")
+    // deterministic across evaluations
+    val a = qp.orderBy("vec_id").collect().map(_.toString)
+    val b = emb.filter(col("vec_id") < 25).select(col("vec_id"),
+        VectorFunctions.randomProjection(col("embedding"), 16)
+          .cast("array<float>").as("embedding"))
+      .orderBy("vec_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("graph ANN beam search: k ranked rows per query, deterministic, recall floor") {
     val emb = Tables.embeddings(spark, sf)
     val graph = graft.similarity.KnnGraph.build(emb, k = 10, rounds = 4)
