@@ -2327,7 +2327,7 @@ object QueryCatalog {
   private val lshBucketSqlFor: String => String = { v =>
     val bits = (0 until VectorFunctions.LshBits).map { h =>
       val proj = s"list_sum(list_transform(generate_series(1, len($v)), " +
-        s"i -> CAST($v[i] AS DOUBLE) * CAST(((i-1)*31 + ${h * 17}) % 7 - 3 AS DOUBLE)))"
+        s"i -> CAST($v[i] AS DOUBLE) * CAST(xor((i-1)*73856093, ${h * 19349663L}) % 7 - 3 AS DOUBLE)))"
       s"(CASE WHEN $proj >= 0.0 THEN ${1L << h} ELSE 0 END)"
     }
     bits.mkString("(", " + ", ")")

@@ -50,10 +50,13 @@ object VectorFunctions {
 
   /** Deterministic random-hyperplane LSH bucket id in [0, 2^LshBits).
     *
-    * Hyperplane `h`'s weight for dimension `d` is `((d*31 + h*17) % 7) - 3`
-    * — a fixed pseudo-random ±small-int pattern that needs no PRNG state, so
-    * the same bucket function is expressible in plain SQL for the oracle and
-    * is stable across runs/retries (unlike `rand()`-seeded planes).
+    * Hyperplane `h`'s weight for dimension `d` is
+    * `(((d*73856093) XOR (h*19349663)) % 7) - 3` — a fixed pseudo-random
+    * ±small-int pattern that needs no PRNG state, so the same bucket
+    * function is expressible in plain SQL for the oracle and is stable
+    * across runs/retries (unlike `rand()`-seeded planes). The xor mixing
+    * keeps all `2^LshBits` hyperplanes distinct (a linear `a·d + b·h`
+    * pattern is periodic in d and collapses them onto ≤7 directions).
     *
     * At 100 TB this turns the O(n²) similarity self-join into a per-bucket
     * join: hash-partition by bucket, compare only within buckets.
@@ -90,7 +93,8 @@ object VectorFunctions {
     val bits = (0 until LshBits).map { h =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * (((d * lit(31) + lit(h * 17)) % lit(7)) - lit(3)).cast("double")),
+          (x, d) => x * (((d * lit(73856093L)).bitwiseXOR(lit(h * 19349663L)) % lit(7L))
+            - lit(3L)).cast("double")),
         lit(0.0),
         (acc, x) => acc + x)
       when(proj >= lit(0.0), lit(1L << h)).otherwise(lit(0L))

@@ -96,7 +96,10 @@ object LshBucketExpr {
       var proj = 0.0
       var d = 0
       while (d < v.length) {
-        proj += v(d).toDouble * ((d * 31 + h * 17) % 7 - 3).toDouble
+        // xor of large-prime multiples: a linear (a*d + b*h) % 7 pattern
+        // has period 7 in d, collapsing 8 hyperplanes onto ≤7 distinct
+        // directions (bit 7 duplicated bit 0 → half the buckets unusable)
+        proj += v(d).toDouble * (((d * 73856093L) ^ (h * 19349663L)) % 7 - 3).toDouble
         d += 1
       }
       if (proj >= 0.0) out |= (1L << h)
