@@ -1690,6 +1690,41 @@ object QueryCatalog {
        |FROM txt GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Malformed-input tolerance (Sources.jsonlPermissive): documents are
+    * serialized to line JSON with every 7th line deterministically broken
+    * (truncated mid-object), then ingested in PERMISSIVE mode. Good rows
+    * parse fully, broken lines land in `_corrupt_record` — nothing fails,
+    * nothing is silently dropped. The oracle replays the same doc_id%7 rule
+    * over the source table; the bit_xor over surviving ids proves exactly
+    * the right rows parsed.
+    */
+  private val qJsonlCorrupt: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jcorrupt").toString
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs
+      .select(when(col("doc_id") % 7 === 3,
+          concat(lit("{\"doc_id\":"), col("doc_id"), lit(",BROKEN")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+        .as("value"))
+      .coalesce(2)
+      .write.mode("overwrite").text(s"$tmp/in")
+    val parsed = graft.sources.Sources.jsonlPermissive(s, s"$tmp/in", docs.schema)
+    parsed.agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        expr("bit_xor(CASE WHEN _corrupt_record IS NULL THEN doc_id END)").as("good_xor"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars")).otherwise(0L))
+          .cast("long").as("good_chars"))
+  }
+
+  private val jsonlCorruptSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(bit_xor(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS BIGINT) AS good_xor,
+      |  CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END) AS BIGINT) AS good_chars
+      |FROM documents""".stripMargin
+
   /** Unigram-LM document scoring (CCNet-style quality signal): corpus-wide
     * token frequencies become per-token log-probs; a doc's score is its
     * mean token log-prob. Per-token log-probs are quantized to integer
@@ -3325,6 +3360,7 @@ object QueryCatalog {
     "q_rep_ngrams" -> qRepNgrams,
     "q_decontaminate" -> qDecontaminate,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_sketch_store" -> qSketchStore,
     "q_quantile_store" -> qQuantileStore,
     "q_unigram_lm" -> qUnigramLm,
@@ -3478,6 +3514,7 @@ object QueryCatalog {
     "q_rep_ngrams" -> repNgramsSql,
     "q_decontaminate" -> decontaminateSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
+    "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_sketch_store" -> sketchStoreSql,
     "q_quantile_store" -> quantileStoreSql,
     "q_unigram_lm" -> unigramLmSql,

@@ -65,6 +65,20 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSONL ingest that TOLERATES malformed lines — the real shape of crawled
+    * corpora. PERMISSIVE mode parses what it can; a broken line yields nulls
+    * plus the raw text in `_corrupt_record`, so the pipeline can count,
+    * quarantine, or sample bad records instead of failing the job (FAILFAST)
+    * or silently dropping them (DROPMALFORMED).
+    */
+  def jsonlPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** A4: split-bound discovery — the reference's boundary query
     * `select min(rowId), <n> as max` (`sqoop_json.py:31`) generalized to
     * real min/max of the split column, feeding [[jdbcPartitioned]].
