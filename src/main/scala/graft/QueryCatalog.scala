@@ -1725,6 +1725,77 @@ object QueryCatalog {
       |  CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END) AS BIGINT) AS good_chars
       |FROM documents""".stripMargin
 
+  /** Sequence packing — the concat-then-chunk step that turns documents
+    * into fixed-token-budget training sequences: per language, documents in
+    * deterministic order accumulate a running token count and a document's
+    * sequence id is its preceding tokens ÷ budget (greedy packing, no doc
+    * splitting across the demo). One window per lang partition (bounded by
+    * per-lang corpus share), then a per-sequence aggregate — shuffle keys
+    * are (lang, seq_id), never text.
+    */
+  private val qSeqPacking: Q = (s, dir) => {
+    val budget = 256L
+    val t = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("tokens")).over(w))
+      .select(col("lang"),
+        expr(s"(cum - tokens) div $budget").as("seq_id"),
+        col("tokens"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("seq_tokens"))
+      .orderBy("lang", "seq_id")
+  }
+
+  private val seqPackingSql =
+    """WITH t AS (
+      |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, tokens, SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT lang, CAST((cum - tokens) // 256 AS BIGINT) AS seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS seq_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Temperature-based multilingual sampling weights (the pretraining
+    * alpha-sampling recipe): language share p_l, tempered weight
+    * q_l ∝ p_l^α (α = 0.3), expected docs at a 1000-doc budget. One count
+    * aggregate + a broadcast 1-row total; pow is the only transcendental
+    * and is rounded on both sides per the parity rule.
+    */
+  private val qAlphaSampling: Q = (s, dir) => {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val z = counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_total"),
+        pow(col("n_docs").cast("double") / col("n_total").cast("double"), 0.3).as("w"))
+    val zsum = z.agg(sum(col("w")).as("zsum"))
+    z.crossJoin(broadcast(zsum))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6).as("p"),
+        round(col("w") / col("zsum"), 6).as("q"),
+        round(lit(1000.0) * col("w") / col("zsum"), 3).as("expected_docs"))
+      .orderBy("lang")
+  }
+
+  private val alphaSamplingSql =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+      |), z AS (
+      |  SELECT lang, n_docs, SUM(n_docs) OVER () AS n_total,
+      |    pow(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 0.3) AS w
+      |  FROM c)
+      |SELECT lang, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS p,
+      |  round(w / SUM(w) OVER (), 6) AS q,
+      |  round(1000.0 * w / SUM(w) OVER (), 3) AS expected_docs
+      |FROM z ORDER BY lang""".stripMargin
+
   /** Unigram-LM document scoring (CCNet-style quality signal): corpus-wide
     * token frequencies become per-token log-probs; a doc's score is its
     * mean token log-prob. Per-token log-probs are quantized to integer
@@ -3361,6 +3432,8 @@ object QueryCatalog {
     "q_decontaminate" -> qDecontaminate,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
+    "q_seq_packing" -> qSeqPacking,
+    "q_alpha_sampling" -> qAlphaSampling,
     "q_sketch_store" -> qSketchStore,
     "q_quantile_store" -> qQuantileStore,
     "q_unigram_lm" -> qUnigramLm,
@@ -3515,6 +3588,8 @@ object QueryCatalog {
     "q_decontaminate" -> decontaminateSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
+    "q_seq_packing" -> seqPackingSql,
+    "q_alpha_sampling" -> alphaSamplingSql,
     "q_sketch_store" -> sketchStoreSql,
     "q_quantile_store" -> quantileStoreSql,
     "q_unigram_lm" -> unigramLmSql,
