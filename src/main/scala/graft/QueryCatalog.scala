@@ -3258,6 +3258,61 @@ object QueryCatalog {
       |  AND cus >= pus - 1800000000 AND cus <= pus
       |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
 
+  /** LEFT-OUTER stream-stream interval join end-to-end
+    * (EventsStream.clickAttributionOuter): matched purchases emit their
+    * click pairs; purchases with NO qualifying click emit null-extended
+    * only once the watermark passes their purchase time (no earlier click
+    * can still arrive). The oracle replays BOTH rules: the full interval
+    * join, plus zero-click rows for unmatched purchases strictly below the
+    * final watermark min(max click, max purchase) − 30 min — unmatched
+    * purchases inside the horizon must be ABSENT. Emission timing is the
+    * thing under test, so the hash fails if Spark's outer-eviction
+    * semantics differ from the declared rule (calibrated empirically,
+    * same device as q_stream_sessions).
+    */
+  private val qStreamAttributionOuter: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-souter").toString
+    Tables.events(s, dir).coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val src = s.readStream.schema(schema).parquet(s"$tmp/in")
+    val joined = graft.streaming.EventsStream.clickAttributionOuter(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("purchase_id"))
+      .agg(sum(when(col("click_id").isNotNull, 1L).otherwise(0L)).as("n_clicks"))
+      .orderBy("purchase_id")
+  }
+
+  private val streamAttributionOuterSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS pus
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS cus
+      |  FROM events WHERE event_type = 'click'
+      |), wm AS (
+      |  SELECT least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+      |    - 1800000000 AS w
+      |), m AS (
+      |  SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND cus >= pus - 1800000000 AND cus <= pus
+      |  GROUP BY purchase_id
+      |)
+      |SELECT purchase_id, n_clicks FROM m
+      |UNION ALL
+      |SELECT purchase_id, CAST(0 AS BIGINT) AS n_clicks
+      |FROM p CROSS JOIN wm
+      |WHERE purchase_id NOT IN (SELECT purchase_id FROM m) AND pus < w
+      |ORDER BY purchase_id""".stripMargin
+
   /** Streaming upsert end-to-end: events re-laid as a multi-file stream
     * source, drained in ≥2 micro-batches (maxFilesPerTrigger=2) through
     * foreachBatch into merge-on-read delta appends, then resolved with
@@ -3360,7 +3415,8 @@ object QueryCatalog {
     */
   val benchExcluded: Set[String] =
     Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
-      "q_stream_sessions", "q_stream_upsert", "q_stream_attribution")
+      "q_stream_sessions", "q_stream_upsert", "q_stream_attribution",
+      "q_stream_attribution_outer")
 
   val queries: Map[String, Q] = Map(
     "q_etl_backup" -> qEtlBackup,
@@ -3476,6 +3532,7 @@ object QueryCatalog {
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_attribution" -> qStreamAttribution,
+    "q_stream_attribution_outer" -> qStreamAttributionOuter,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_click_attribution" -> qClickAttribution,
@@ -3612,6 +3669,7 @@ object QueryCatalog {
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_attribution" -> streamAttributionSql,
+    "q_stream_attribution_outer" -> streamAttributionOuterSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_click_attribution" -> clickAttributionSql,

@@ -171,6 +171,32 @@ object EventsStream {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like [[clickAttribution]] but
+    * purchases with NO qualifying click still emit, null-extended — the
+    * "every purchase accounted for" contract. The outer row can only emit
+    * once the CLICK watermark has passed its purchase time (no earlier
+    * click can still arrive); until then it waits in state. Same bounded
+    * state envelope as the inner join plus the pending-outer rows inside
+    * the horizon.
+    */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedup: drop events with a duplicate `event_id` arriving
     * within the watermark horizon — state is bounded by (horizon × arrival
     * rate), the streaming analogue of `Dedup.exact`.
