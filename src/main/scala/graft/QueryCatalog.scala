@@ -2502,6 +2502,57 @@ object QueryCatalog {
       |WHERE vec_id < 25
       |ORDER BY vec_id, d""".stripMargin
 
+  /** PCA over int8-quantized embeddings (similarity.Pca): the corpus
+    * contributes an EXACT integer Gram matrix (order-free long sums — the
+    * accumulation path is hash-checked via the trace, which the oracle
+    * recomputes independently by replaying the quantization in SQL), and
+    * the 64×64 eigenproblem runs on the driver with deterministic Jacobi.
+    * Eigen-structure checks (descending order, orthonormality, trace =
+    * Σ eigenvalues) are emitted in-engine as booleans the oracle expects
+    * TRUE — the sketch-oracle contract, with a bit-exact integer anchor.
+    */
+  private val qPca: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val (gram, n) = similarity.Pca.int8Gram(emb)
+    val dim = gram.length
+    val traceExact = (0 until dim).map(d => gram(d)(d)).sum
+    val (evals, evecs) = similarity.Pca.jacobiEigen(
+      gram.map(_.map(_.toDouble / n)))
+    val descOk = evals.sliding(2).forall(p => p(0) >= p(1) - 1e-9)
+    val orthoOk = {
+      var worst = 0.0
+      for (i <- evecs.indices; j <- i until dim) {
+        val d = (0 until dim).map(k => evecs(i)(k) * evecs(j)(k)).sum
+        worst = math.max(worst, math.abs(d - (if (i == j) 1.0 else 0.0)))
+      }
+      worst < 1e-8
+    }
+    val traceOk =
+      math.abs(evals.sum - traceExact.toDouble / n) <= 1e-6 * math.abs(evals.sum)
+    import s.implicits._
+    (0 until 10).map(k =>
+        (k.toLong, descOk, orthoOk, traceOk, traceExact))
+      .toDF("k", "desc_ok", "ortho_ok", "trace_ok", "trace")
+      .orderBy("k")
+  }
+
+  private val pcaSql =
+    """WITH s0 AS (
+      |  SELECT list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
+      |    embedding
+      |  FROM embeddings
+      |), qz AS (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS BIGINT)) AS q
+      |  FROM s0
+      |), t AS (
+      |  SELECT CAST(SUM(list_sum(list_transform(q, v -> v * v))) AS BIGINT) AS trace
+      |  FROM qz
+      |)
+      |SELECT CAST(k AS BIGINT) AS k, TRUE AS desc_ok, TRUE AS ortho_ok,
+      |  TRUE AS trace_ok, trace
+      |FROM t, generate_series(0, 9) g(k) ORDER BY k""".stripMargin
+
   private val qAnnLsh: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -3515,6 +3566,7 @@ object QueryCatalog {
     "q_embedding_neardups" -> qEmbeddingNearDups,
     "q_cosine_rewrite" -> qCosineRewrite,
     "q_rand_projection" -> qRandProjection,
+    "q_pca" -> qPca,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_probes" -> qAnnIvfProbes,
@@ -3661,6 +3713,7 @@ object QueryCatalog {
     "q_embedding_neardups" -> embeddingNearDupsSql,
     "q_cosine_rewrite" -> embeddingNearDupsSql,
     "q_rand_projection" -> randProjectionSql,
+    "q_pca" -> pcaSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_events_hourly" -> eventsHourlySql,

@@ -246,6 +246,30 @@ class SimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("PCA: Jacobi recovers known spectrum; integer Gram exact, symmetric, PSD") {
+    import graft.similarity.Pca
+    // A has eigenvalues 5, 3, 1 (2x2 block [[2,1],[1,2]] -> 3,1; plus 5)
+    val a = Array(Array(2.0, 1.0, 0.0), Array(1.0, 2.0, 0.0), Array(0.0, 0.0, 5.0))
+    val (ev, vec) = Pca.jacobiEigen(a)
+    assert(ev.zip(Seq(5.0, 3.0, 1.0)).forall { case (x, y) => math.abs(x - y) < 1e-9 }, ev.toSeq)
+    for (i <- 0 until 3) {
+      val v = vec(i)
+      val av = (0 until 3).map(r => (0 until 3).map(c => a(r)(c) * v(c)).sum)
+      assert((0 until 3).forall(r => math.abs(av(r) - ev(i) * v(r)) < 1e-9),
+        s"A v != lambda v for component $i")
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val (g, n) = Pca.int8Gram(emb)
+    assert(n == emb.count())
+    assert(g.indices.forall(i => g.indices.forall(j => g(i)(j) == g(j)(i))), "Gram symmetric")
+    // partitioning must not change the exact integer Gram
+    val (g2, n2) = Pca.int8Gram(emb.repartition(7))
+    assert(n2 == n && g.indices.forall(i => g(i).sameElements(g2(i))),
+      "Gram must be partitioning-independent")
+    val (ge, _) = Pca.jacobiEigen(g.map(_.map(_.toDouble / n)))
+    assert(ge.last > -1e-6, s"Gram must be PSD, got min eig ${ge.last}")
+  }
+
   test("graph ANN beam search: k ranked rows per query, deterministic, recall floor") {
     val emb = Tables.embeddings(spark, sf)
     val graph = graft.similarity.KnnGraph.build(emb, k = 10, rounds = 4)
