@@ -3364,6 +3364,47 @@ object QueryCatalog {
       |WHERE purchase_id NOT IN (SELECT purchase_id FROM m) AND pus < w
       |ORDER BY purchase_id""".stripMargin
 
+  /** Change feed (etl.MergeOnRead.changesSince) — the CDC/CDF primitive:
+    * events become a versioned upsert/tombstone log (every 13th event a
+    * delete), and the feed returns the LATEST visible state of every key
+    * touched in the last two hours of the log — `change_op` marks deletes.
+    * The oracle replays the cursor arithmetic and latest-wins resolution
+    * directly; cost shape is one key-shuffle over touched keys, never a
+    * two-snapshot diff.
+    */
+  private val qChangeFeed: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("tms"),
+        col("user_id"), col("value"))
+    val all = ev.select(col("user_id"), col("tms"), col("value"),
+      (col("tms") * 1000000L + col("event_id")).as("version"),
+      when(col("event_id") % 13 === 5, lit(graft.etl.MergeOnRead.DeleteOp))
+        .otherwise(lit(graft.etl.MergeOnRead.UpsertOp)).as("op"))
+    val maxTms = ev.agg(max("tms")).head().getLong(0)
+    val since = (maxTms - 7200000L) * 1000000L
+    graft.etl.MergeOnRead.changesSince(all, since, Seq("user_id"), "version")
+      .orderBy("user_id")
+  }
+
+  private val changeFeedSql =
+    """WITH e AS (
+      |  SELECT event_id, epoch_ms(ts) AS tms, user_id, value FROM events
+      |), v AS (
+      |  SELECT user_id, tms, value, tms * 1000000 + event_id AS version,
+      |    CASE WHEN event_id % 13 = 5 THEN 'd' ELSE 'u' END AS op
+      |  FROM e
+      |), mx AS (
+      |  SELECT (max(tms) - 7200000) * 1000000 AS since FROM e
+      |), touched AS (
+      |  SELECT DISTINCT user_id FROM v, mx WHERE version > since
+      |), r AS (
+      |  SELECT v.user_id, v.tms, v.value, v.op,
+      |    row_number() OVER (PARTITION BY v.user_id ORDER BY v.version DESC) AS rn
+      |  FROM v JOIN touched USING (user_id))
+      |SELECT user_id, tms, value,
+      |  CASE WHEN op = 'd' THEN 'd' ELSE 'u' END AS change_op
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Streaming upsert end-to-end: events re-laid as a multi-file stream
     * source, drained in ≥2 micro-batches (maxFilesPerTrigger=2) through
     * foreachBatch into merge-on-read delta appends, then resolved with
@@ -3585,6 +3626,7 @@ object QueryCatalog {
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_attribution_outer" -> qStreamAttributionOuter,
+    "q_change_feed" -> qChangeFeed,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_click_attribution" -> qClickAttribution,
@@ -3723,6 +3765,7 @@ object QueryCatalog {
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_attribution" -> streamAttributionSql,
     "q_stream_attribution_outer" -> streamAttributionOuterSql,
+    "q_change_feed" -> changeFeedSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_click_attribution" -> clickAttributionSql,

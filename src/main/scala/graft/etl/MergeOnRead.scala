@@ -37,6 +37,27 @@ object MergeOnRead {
       .drop("__rn", op, version)
   }
 
+  /** Change feed since a version (the CDC/CDF primitive): for every key
+    * touched by a delta with `version > sinceVersion`, the LATEST visible
+    * state — `change_op = "u"` with the row, or `change_op = "d"` when the
+    * newest change is a tombstone. A downstream consumer applies the feed
+    * idempotently (latest-wins by key), so repeated reads from the same
+    * cursor are safe. Cost: one key-shuffle over the touched keys' rows,
+    * never a diff of two full snapshots.
+    */
+  def changesSince(all: DataFrame, sinceVersion: Long, keys: Seq[String],
+      version: String, op: String = "op"): DataFrame = {
+    val touched = all.filter(col(version) > lit(sinceVersion))
+      .select(keys.map(col): _*).distinct()
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(version).desc)
+    all.join(touched, keys)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("change_op",
+        when(col(op) === lit(DeleteOp), lit(DeleteOp)).otherwise(lit(UpsertOp)))
+      .drop("__rn", op, version)
+  }
+
   /** Fold a base directory + accumulated delta directory back into a single
     * resolved base (tombstones applied, versions reset to 0, delta dir
     * emptied). The new base lands in a sibling temp dir and is swapped in
