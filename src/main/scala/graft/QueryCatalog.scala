@@ -3405,6 +3405,49 @@ object QueryCatalog {
       |  CASE WHEN op = 'd' THEN 'd' ELSE 'u' END AS change_op
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Time travel (etl.MergeOnRead.asOf): the user-state table AS OF a
+    * version cursor two hours before the end of the log — latest-wins with
+    * tombstones applied, over only the changes at or below the cursor.
+    * Aggregated per user-id bucket so the result is compact; the oracle
+    * replays the cursor filter and resolution.
+    */
+  private val qTimeTravel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("tms"),
+        col("user_id"), col("value"))
+    val all = ev.select(col("user_id"), col("tms"), col("value"),
+      (col("tms") * 1000000L + col("event_id")).as("version"),
+      when(col("event_id") % 13 === 5, lit(graft.etl.MergeOnRead.DeleteOp))
+        .otherwise(lit(graft.etl.MergeOnRead.UpsertOp)).as("op"))
+    val maxTms = ev.agg(max("tms")).head().getLong(0)
+    val cursor = (maxTms - 7200000L) * 1000000L
+    graft.etl.MergeOnRead.asOf(all, cursor, Seq("user_id"), "version")
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        Exact.sumExact(col("value")).as("state_value"),
+        max(col("tms")).as("latest_ms"))
+      .orderBy("user_bucket")
+  }
+
+  private val timeTravelSql =
+    """WITH e AS (
+      |  SELECT event_id, epoch_ms(ts) AS tms, user_id, value FROM events
+      |), v AS (
+      |  SELECT user_id, tms, value, tms * 1000000 + event_id AS version,
+      |    CASE WHEN event_id % 13 = 5 THEN 'd' ELSE 'u' END AS op
+      |  FROM e
+      |), mx AS (
+      |  SELECT (max(tms) - 7200000) * 1000000 AS cursor FROM e
+      |), r AS (
+      |  SELECT v.user_id, v.tms, v.value, v.op,
+      |    row_number() OVER (PARTITION BY v.user_id ORDER BY v.version DESC) AS rn
+      |  FROM v CROSS JOIN mx WHERE v.version <= cursor)
+      |SELECT user_id % 10 AS user_bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS state_value,
+      |  CAST(MAX(tms) AS BIGINT) AS latest_ms
+      |FROM r WHERE rn = 1 AND op <> 'd'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming upsert end-to-end: events re-laid as a multi-file stream
     * source, drained in ≥2 micro-batches (maxFilesPerTrigger=2) through
     * foreachBatch into merge-on-read delta appends, then resolved with
@@ -3627,6 +3670,7 @@ object QueryCatalog {
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_attribution_outer" -> qStreamAttributionOuter,
     "q_change_feed" -> qChangeFeed,
+    "q_time_travel" -> qTimeTravel,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_click_attribution" -> qClickAttribution,
@@ -3766,6 +3810,7 @@ object QueryCatalog {
     "q_stream_attribution" -> streamAttributionSql,
     "q_stream_attribution_outer" -> streamAttributionOuterSql,
     "q_change_feed" -> changeFeedSql,
+    "q_time_travel" -> timeTravelSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_click_attribution" -> clickAttributionSql,

@@ -37,6 +37,15 @@ object MergeOnRead {
       .drop("__rn", op, version)
   }
 
+  /** Time travel: the table state AS OF `asOfVersion` — rows visible after
+    * applying only changes with `version <= asOfVersion` (latest-wins,
+    * tombstones applied). Same single key-shuffle as [[latest]] over the
+    * version-filtered log; no snapshot copies are ever materialized.
+    */
+  def asOf(all: DataFrame, asOfVersion: Long, keys: Seq[String],
+      version: String, op: String = "op"): DataFrame =
+    latest(all.filter(col(version) <= lit(asOfVersion)), keys, version, op)
+
   /** Change feed since a version (the CDC/CDF primitive): for every key
     * touched by a delta with `version > sinceVersion`, the LATEST visible
     * state — `change_op = "u"` with the row, or `change_op = "d"` when the
