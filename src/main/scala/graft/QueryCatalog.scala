@@ -449,6 +449,426 @@ object QueryCatalog {
       |                    AND o_orderdate >= '1999-01-01')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q6 shape (forecast revenue change): pure scan-side filter +
+    * single exact-decimal aggregate — the canonical predicate-pushdown
+    * query (no join, no shuffle beyond the final 1-row reduce).
+    */
+  private val qForecastRevenue: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(Exact.dec(col("l_extendedprice")) * Exact.frac(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  private val forecastRevenueSql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q2 shape (minimum-cost supplier): the testdata has no partsupp,
+    * so the part↔supplier offer relation is derived from lineitem (an
+    * offer's cost = the supplier's cheapest extended price for that part).
+    * The correlated min subquery becomes a join against the re-aggregated
+    * offer table, restricted to suppliers of one region — the cost column
+    * stays DECIMAL until after the equality so min-matching is exact.
+    */
+  private val qMinCostSupplier: Q = (s, dir) => {
+    val p = Tables.part(s, dir).filter(col("p_size") === 15)
+      .select(col("p_partkey"))
+    val regionSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+      .agg(min(Exact.dec(col("l_extendedprice"))).as("cost"))
+    val minCost = offers.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    offers.join(minCost,
+        col("p_partkey") === col("mc_partkey") && col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("cost").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  private val minCostSupplierSql =
+    """WITH offers AS (
+      |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_size = 15
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, CAST(cost AS DOUBLE) AS cost
+      |FROM offers o
+      |WHERE cost = (SELECT MIN(cost) FROM offers i WHERE i.p_partkey = o.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's revenue for one part type, by order year. Numerator and
+    * denominator are both exact decimal sums; the single double division is
+    * applied identically on both sides.
+    */
+  private val qMarketShare: Q = (s, dir) => {
+    val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val custRegion = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        Exact.sumDisc(when(col("supp_nation") === "NATION_5", col("l_extendedprice"))
+          .otherwise(lit(0.0)), col("l_discount")).as("nation_vol"),
+        revenueSum.as("total_vol"))
+      .select(col("o_year"), (col("nation_vol") / col("total_vol")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val marketShareSql =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice ELSE 0.0 END
+       |      AS DECIMAL(18,4)) *
+       |    (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+       |  / $revenueSumSql AS mkt_share
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+       |  AND EXISTS (SELECT 1 FROM customer
+       |              JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |              JOIN region ON cn.n_regionkey = r_regionkey
+       |              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit): no partsupp supply cost in the
+    * testdata, so cost = retail price × quantity; profit stays an exact
+    * decimal expression end-to-end (negative profit is expected and fine).
+    * Grouped by supplier nation × order year.
+    */
+  private val qProductProfit: Q = (s, dir) => {
+    val p = Tables.part(s, dir).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(
+          Exact.dec(col("l_extendedprice")) *
+            (lit(1).cast(org.apache.spark.sql.types.DecimalType(8, 4)) -
+              Exact.frac(col("l_discount"))) -
+          Exact.dec(col("p_retailprice")) * Exact.dec(col("l_quantity")))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  private val productProfitSql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) -
+      |      CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): per-part lineitem value from one
+    * nation's suppliers, kept when above a scalar-subquery fraction of the
+    * total — the threshold is a broadcast 1-row cross join, compared in
+    * double on both sides.
+    */
+  private val qImportantParts: Q = (s, dir) => {
+    val suppN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(s, dir)
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(Exact.sumExact(col("l_extendedprice")).as("part_value"))
+    val total = value.agg(sum(col("part_value")).as("total_value"))
+    value.crossJoin(broadcast(total))
+      .filter(col("part_value") > col("total_value") * lit(0.002))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+  }
+
+  private val importantPartsSql =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+      |                      JOIN nation ON s_nationkey = n_nationkey
+      |                      WHERE n_name = 'NATION_2')
+      |  GROUP BY 1)
+      |SELECT l_partkey, part_value FROM v
+      |WHERE part_value > (SELECT SUM(part_value) FROM v) * 0.002
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-priority lateness): no ship mode or commit
+    * date in the testdata, so "late" = shipped >90 days after the order
+    * date, bucketed by line status instead of ship mode; counts split into
+    * critical (URGENT/HIGH) vs other order priorities.
+    */
+  private val qLateLines: Q = (s, dir) => {
+    val crit = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(crit, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(crit, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  private val lateLinesSql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): left outer join
+    * with a join-side filter (priority stands in for the comment LIKE),
+    * then a second aggregation over the first — count(col) counts only
+    * non-null matches on both sides.
+    */
+  private val qCustDistribution: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val custDistributionSql =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey) c
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    * the max — revenue stays DECIMAL through the max-equality (exact in
+    * both engines), cast to double only in the output projection.
+    */
+  private val qTopSupplier: Q = (s, dir) => {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Exact.dec(col("l_extendedprice")) *
+          (lit(1).cast(org.apache.spark.sql.types.DecimalType(8, 4)) -
+            Exact.frac(col("l_discount")))).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val topSupplierSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 shape (supplier counts by part attributes): lineitem is the
+    * part↔supplier bridge; the complaints NOT-IN subquery becomes an
+    * anti join against negative-balance suppliers; COUNT(DISTINCT) after
+    * the anti join.
+    */
+  private val qSupplierCnt: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 14, 23, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = Tables.supplier(s, dir).filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc,
+        col("p_size").asc)
+  }
+
+  private val supplierCntSql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1, 14, 23, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    * average-quantity subquery becomes a join against the re-aggregated
+    * lineitem; the 0.2× threshold and the ÷7 are double steps applied
+    * identically on both sides.
+    */
+  private val qSmallQtyRevenue: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#7" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val avgQty = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("aq_partkey"))
+      .agg(Exact.avgExact(col("l_quantity")).as("avg_qty"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("aq_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((Exact.sumExact(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  private val smallQtyRevenueSql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#7' AND p_type = 'SMALL'
+      |  AND l_quantity < 0.2 * (
+      |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  /** TPC-H Q20 shape (suppliers with excess shipments): availqty doesn't
+    * exist, so the nested subquery selects suppliers whose 1997 shipped
+    * quantity of SMALL-type parts exceeds a threshold; the outer query
+    * keeps one nation's suppliers via semi join.
+    */
+  private val qExcessSuppliers: Q = (s, dir) => {
+    val smallParts = Tables.part(s, dir).filter(col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val shippers = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.sumExact(col("l_quantity")).as("shipped_qty"))
+      .filter(col("shipped_qty") > 300.0)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_4")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  private val excessSuppliersSql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_4'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+      |    GROUP BY l_suppkey
+      |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0)
+      |ORDER BY s_name""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): no commit/receipt
+    * dates, so "kept waiting" = the supplier is the UNIQUE latest shipper
+    * of a multi-supplier F-status order. The EXISTS / NOT-EXISTS pair
+    * becomes per-order distinct-supplier counts (overall and at the max
+    * ship date) computed in one aggregation pass each — timestamps compare
+    * exactly so the max-equality is deterministic.
+    */
+  private val qWaitingSuppliers: Q = (s, dir) => {
+    val lf = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val perOrder = lf.groupBy(col("l_orderkey").as("agg_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_suppkey")).as("nsupp"))
+    val late = lf.join(perOrder,
+        col("l_orderkey") === col("agg_orderkey") && col("l_shipdate") === col("max_ship"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("nsupp")).distinct()
+    val nLate = late.groupBy(col("l_orderkey").as("nl_orderkey"))
+      .agg(count(lit(1)).as("nlate"))
+    late.join(nLate, col("l_orderkey") === col("nl_orderkey"))
+      .filter(col("nlate") === 1 && col("nsupp") > 1)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  private val waitingSuppliersSql =
+    """SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |WHERE l1.l_shipdate = (SELECT MAX(l2.l_shipdate) FROM lineitem l2
+      |                       WHERE l2.l_orderkey = l1.l_orderkey)
+      |  AND EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l4
+      |                  WHERE l4.l_orderkey = l1.l_orderkey
+      |                    AND l4.l_suppkey <> l1.l_suppkey
+      |                    AND l4.l_shipdate = (SELECT MAX(l5.l_shipdate) FROM lineitem l5
+      |                                         WHERE l5.l_orderkey = l1.l_orderkey))
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   /** PageRank (operators.PageRank) over the supplier→customer shipment
     * graph (node ids disambiguated by even/odd). 5 iterations of EXACT
     * fixed-point arithmetic (scale 10¹², damping 850‰, integer division)
@@ -3574,6 +3994,18 @@ object QueryCatalog {
     "q14_promo_revenue" -> qPromoRevenue,
     "q19_brand_revenue" -> qBrandRevenue,
     "q22_idle_customers" -> qIdleCustomers,
+    "q2_min_cost_supplier" -> qMinCostSupplier,
+    "q6_forecast_revenue" -> qForecastRevenue,
+    "q8_market_share" -> qMarketShare,
+    "q9_product_profit" -> qProductProfit,
+    "q11_important_parts" -> qImportantParts,
+    "q12_late_lines" -> qLateLines,
+    "q13_cust_distribution" -> qCustDistribution,
+    "q15_top_supplier" -> qTopSupplier,
+    "q16_supplier_cnt" -> qSupplierCnt,
+    "q17_small_qty_revenue" -> qSmallQtyRevenue,
+    "q20_excess_suppliers" -> qExcessSuppliers,
+    "q21_waiting_suppliers" -> qWaitingSuppliers,
     "q_stats_moments" -> qStatsMoments,
     "q_window_misc" -> qWindowMisc,
     "q_pagerank" -> qPageRank,
@@ -3714,6 +4146,18 @@ object QueryCatalog {
     "q14_promo_revenue" -> promoRevenueSql,
     "q19_brand_revenue" -> brandRevenueSql,
     "q22_idle_customers" -> idleCustomersSql,
+    "q2_min_cost_supplier" -> minCostSupplierSql,
+    "q6_forecast_revenue" -> forecastRevenueSql,
+    "q8_market_share" -> marketShareSql,
+    "q9_product_profit" -> productProfitSql,
+    "q11_important_parts" -> importantPartsSql,
+    "q12_late_lines" -> lateLinesSql,
+    "q13_cust_distribution" -> custDistributionSql,
+    "q15_top_supplier" -> topSupplierSql,
+    "q16_supplier_cnt" -> supplierCntSql,
+    "q17_small_qty_revenue" -> smallQtyRevenueSql,
+    "q20_excess_suppliers" -> excessSuppliersSql,
+    "q21_waiting_suppliers" -> waitingSuppliersSql,
     "q_stats_moments" -> statsMomentsSql,
     "q_window_misc" -> windowMiscSql,
     "q_pagerank" -> pageRankSql,

@@ -72,6 +72,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q6 filter and projection reach the scan (classic pushdown query)") {
+    val p = plan(QueryCatalog.queries("q6_forecast_revenue")(spark, sf))
+    // the toString elides long filter lists, so match the truncated prefix
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipda"),
+      s"shipdate range not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate"),
+      s"columns not pruned to the 4 used:\n$p")
+  }
+
+  test("q21 waiting-suppliers plans without any cartesian/nested-loop join") {
+    val df = QueryCatalog.queries("q21_waiting_suppliers")(spark, sf)
+    df.count() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim should broadcast:\n$p")
+  }
+
+  test("q16 complaint-supplier exclusion is a broadcast anti join") {
+    val df = QueryCatalog.queries("q16_supplier_cnt")(spark, sf)
+    df.count() // finalize AQE
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"100-row supplier side should broadcast:\n$p")
+  }
+
   test("dim joins broadcast (checked on the final adaptive plan)") {
     val df = QueryCatalog.queries("q5_region_revenue")(spark, sf)
     df.count() // materialize so AQE finalizes the plan
