@@ -769,7 +769,12 @@ object QueryCatalog {
     val p = Tables.part(s, dir)
       .filter(col("p_brand") === "Brand#7" && col("p_type") === "SMALL")
       .select(col("p_partkey"))
+    // restrict the per-part aggregate to the probed parts BEFORE grouping:
+    // at 100 TB the correlated subquery only ever touches ~a dozen parts,
+    // so aggregating all parts first would be a full-corpus shuffle for a
+    // tiny probe (the semi join pushes into the scan as a runtime filter)
     val avgQty = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey").as("aq_partkey"))
       .agg(Exact.avgExact(col("l_quantity")).as("avg_qty"))
     Tables.lineitem(s, dir)
