@@ -1877,6 +1877,42 @@ object QueryCatalog {
       |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM bad) AS contaminated
       |FROM documents d WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination (dedup.decontaminateBloom): same
+    * exact semantics as q_decontaminate, different physical shape — the
+    * benchmark grams become ONE bloom blob (Spark's BloomFilterAggregate,
+    * exposed via graftx), the corpus grams are pruned map-side by a codegen
+    * might_contain before any shuffle, and only the survivors reach the
+    * exact join that removes false positives. Because the bloom is a
+    * prefilter, not the answer, the result is exact and shares the plain
+    * decontaminate oracle.
+    */
+  private val qBloomDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminateBloom(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Blocked fuzzy self-join (operators.FuzzyJoin): distinct part names at
+    * edit distance ≤3, blocked on the noun token — levenshtein exists in
+    * both engines so the oracle verifies the full pair set and distances
+    * exactly (blocking predicate reproduced verbatim in SQL).
+    */
+  private val qFuzzyJoin: Q = (s, dir) =>
+    operators.FuzzyJoin.selfJoin(Tables.part(s, dir), "p_name",
+        name => element_at(split(name, " "), 2), maxDist = 3)
+      .orderBy("name_a", "name_b")
+
+  private val fuzzyJoinSql =
+    """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM names a JOIN names b
+      |  ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+      | AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 3
+      |ORDER BY 1, 2""".stripMargin
+
   /** Mergeable HLL sketch store (functions.SketchStore): one sketch per
     * order-month persisted to parquet, distinct-customer questions over
     * month SUBSETS answered by unioning stored sketches (never re-scanning
@@ -4058,6 +4094,8 @@ object QueryCatalog {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rep_ngrams" -> qRepNgrams,
     "q_decontaminate" -> qDecontaminate,
+    "q_bloom_decontaminate" -> qBloomDecontaminate,
+    "q_fuzzy_join" -> qFuzzyJoin,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
@@ -4230,6 +4268,8 @@ object QueryCatalog {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_rep_ngrams" -> repNgramsSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_bloom_decontaminate" -> decontaminateSql,
+    "q_fuzzy_join" -> fuzzyJoinSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,

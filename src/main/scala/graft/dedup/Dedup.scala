@@ -77,6 +77,45 @@ object Dedup {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** Decontamination with a bloom-filter prefilter instead of a broadcast
+    * hash join — the shape for when the benchmark gram set is too large to
+    * broadcast as keys but fine as bits (the two-phase runtime-filter
+    * architecture: bloom prune first, exact join only the survivors).
+    *
+    * Phase 1 aggregates the benchmark gram fingerprints into ONE bloom
+    * filter (partial aggregation merges per-partition filters — one byte
+    * blob per partition crosses the wire). Phase 2 probes every corpus gram
+    * against the broadcast bloom — a codegen-native map-side filter that
+    * discards ~(1-fpp) of non-contaminated grams before any shuffle. Phase
+    * 3 exactly joins only the bloom survivors against the benchmark grams,
+    * so false positives are eliminated and the RESULT IS EXACT — identical
+    * to [[decontaminate]], which is what the oracle checks.
+    */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8, fpp: Double = 0.01,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.graftx.Sketches
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), n)).as("gram"))
+    val benchGrams = grams(benchmark)
+      .select(rolling_hash(col("gram")).as("g")).distinct()
+    // one aggregated scalar crosses to the driver — the same dataflow as
+    // Spark's own InjectRuntimeFilter (its ScalarSubquery is also
+    // driver-materialized, then shipped with the plan); might_contain
+    // requires a constant/scalar-subquery bloom side
+    val blob = benchGrams
+      .agg(Sketches.bloom_agg(col("g"), expectedItems, fpp).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    val survivors = grams(docs)
+      .select(col("doc_id"), rolling_hash(col("gram")).as("g"))
+      .filter(Sketches.bloom_might_contain(lit(blob), col("g")))
+    val bad = survivors.join(benchGrams, Seq("g"))
+      .select(col("doc_id")).distinct()
+    docs.join(bad.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signature of the word-shingle set — native codegen expression

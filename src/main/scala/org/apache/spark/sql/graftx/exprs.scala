@@ -416,4 +416,29 @@ object Sketches {
 
   def simhash64(c: Column, shingleLen: Int): Column =
     Bridge.toColumn(SimHashExpr(Bridge.toExpr(c), shingleLen))
+
+  /** Bloom filter over a LONG column (feed it `xxhash64(...)` keys), as a
+    * binary-typed aggregate — Spark's own runtime-filter sketch
+    * (`BloomFilterAggregate`), exposed for explicit two-phase joins where
+    * the build side is too big to broadcast as a hash relation but fine as
+    * bits (a 1B-key set at 1% fpp is ~1.2 GB of bits vs ~8 GB of keys).
+    */
+  def bloom_agg(keys: Column, expectedItems: Long, fpp: Double): Column = {
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    Bridge.toColumn(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        Bridge.toExpr(keys),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+        .toAggregateExpression())
+  }
+
+  /** Probe side of [[bloom_agg]]: true if `key` MIGHT be in the filter
+    * (no false negatives). Codegen-native (`BloomFilterMightContain`).
+    */
+  def bloom_might_contain(bloom: Column, key: Column): Column =
+    Bridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Bridge.toExpr(bloom), Bridge.toExpr(key)))
 }

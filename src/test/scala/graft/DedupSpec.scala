@@ -148,4 +148,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out(1L) && !out(2L) && !out(3L))
   }
+
+  test("bloom-prefiltered decontaminate is exact (equals the broadcast-join path)") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val plain = Dedup.decontaminate(corpus, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bloomed = Dedup.decontaminateBloom(corpus, bench, n = 8)
+    // the probe is a map-side codegen filter on the gram scan, before any join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    val out = bloomed.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == plain)
+    assert(out.values.exists(identity) && out.values.exists(!_),
+      "fixture should have both contaminated and clean docs")
+  }
 }

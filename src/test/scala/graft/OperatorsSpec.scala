@@ -383,4 +383,29 @@ class OperatorsSpec extends SparkSpec {
       .select("o_orderkey").collect().map(_.getLong(0)).sorted
     assert(pruned.sameElements(full))
   }
+
+  test("fuzzy join: equals within-block brute force, plans as equi join (no cartesian)") {
+    val q = graft.operators.FuzzyJoin.selfJoin(Tables.part(spark, sf), "p_name",
+      name => element_at(split(name, " "), 2), maxDist = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"blocked join must be an equi join:\n$plan")
+    val got = q.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // brute force over the distinct names (tiny vocabulary at sf0.001)
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ")(1) == b.split(" ")(1)
+      dist = lev(a, b) if dist <= 3
+    } yield (a, b, dist.toLong)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
 }
