@@ -1913,6 +1913,30 @@ object QueryCatalog {
       |WHERE levenshtein(a.name, b.name) <= 3
       |ORDER BY 1, 2""".stripMargin
 
+  /** Corpus-frequency boilerplate removal (pipeline.Boilerplate): the
+    * C4-style "drop lines repeated across many pages" cleanup over 2-token
+    * chunks — chunk df > 20 is boilerplate, survivors reassembled in
+    * order. Fully SQL-expressible, so the oracle checks the reassembled
+    * text verbatim.
+    */
+  private val qBoilerplate: Q = (s, dir) =>
+    pipeline.Boilerplate.removeFrequentChunks(
+        Tables.documents(s, dir), chunkLen = 2, maxDf = 20)
+      .orderBy("doc_id")
+
+  private val boilerplateSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, i, array_to_string(toks[(i-1)*2+1:(i-1)*2+2], ' ') AS chunk
+      |  FROM t, UNNEST(generate_series(1, CAST(ceil(len(toks)/2.0) AS INT))) AS u(i)),
+      |f AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY 1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN df > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  COALESCE(string_agg(chunk, ' ' ORDER BY i) FILTER (WHERE df <= 20), '')
+      |    AS kept_text
+      |FROM c JOIN f USING (chunk)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Mergeable HLL sketch store (functions.SketchStore): one sketch per
     * order-month persisted to parquet, distinct-customer questions over
     * month SUBSETS answered by unioning stored sketches (never re-scanning
@@ -3543,6 +3567,39 @@ object QueryCatalog {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Stream-static enrichment join, end-to-end (streaming.EventsStream
+    * .enrich): events stream left-joined per micro-batch against a static
+    * customer dim (restricted to even keys so the missing-key path is
+    * exercised), drained with AvailableNow to parquet, then batch-
+    * aggregated per segment. The oracle runs the same left join over the
+    * full table — the hash matches only if every streamed row was enriched
+    * exactly once with the right dim row (or kept with a null segment).
+    */
+  private val qStreamEnrich: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-senrich").toString
+    val ev = graft.streaming.EventsStream.readEvents(s, dir)
+    val dim = Tables.customer(s, dir).filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = graft.streaming.EventsStream.enrich(ev, dim)
+      .select(col("event_id"), col("event_type"), col("value"), col("c_mktsegment"))
+    val q = enriched.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("value")).as("total_value"))
+      .orderBy("segment")
+  }
+
+  private val streamEnrichSql =
+    """SELECT COALESCE(c_mktsegment, '(none)') AS segment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events LEFT JOIN customer ON user_id = c_custkey AND c_custkey % 2 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming exact dedup, end-to-end: the events table is doubled (every
     * event delivered twice), written as a single-file stream source, drained
     * through `dropDuplicatesWithinWatermark` with AvailableNow, and the sink
@@ -4012,7 +4069,7 @@ object QueryCatalog {
   val benchExcluded: Set[String] =
     Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
       "q_stream_sessions", "q_stream_upsert", "q_stream_attribution",
-      "q_stream_attribution_outer")
+      "q_stream_attribution_outer", "q_stream_enrich")
 
   val queries: Map[String, Q] = Map(
     "q_etl_backup" -> qEtlBackup,
@@ -4096,6 +4153,7 @@ object QueryCatalog {
     "q_decontaminate" -> qDecontaminate,
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_fuzzy_join" -> qFuzzyJoin,
+    "q_boilerplate" -> qBoilerplate,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
@@ -4140,6 +4198,7 @@ object QueryCatalog {
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_enrich" -> qStreamEnrich,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_attribution" -> qStreamAttribution,
@@ -4270,6 +4329,7 @@ object QueryCatalog {
     "q_decontaminate" -> decontaminateSql,
     "q_bloom_decontaminate" -> decontaminateSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_boilerplate" -> boilerplateSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
@@ -4294,6 +4354,7 @@ object QueryCatalog {
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_enrich" -> streamEnrichSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_attribution" -> streamAttributionSql,

@@ -76,4 +76,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
     merged.zip(viaFit.tables).foreach { case (m, w) => assert(m.sameElements(w)) }
   }
+
+  test("boilerplate removal drops frequent chunks, keeps order, counts exactly") {
+    // chunkLen=2 → chunks: doc1 ["x y","x y","u v"], doc2 ["x y","p q"],
+    // doc3 ["x y","r s"]; "x y" has df=3 > maxDf=2 → removed everywhere
+    val in = Seq(
+      (1L, "x y x y u v"), (2L, "x y p q"), (3L, "x y r s")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Boilerplate.removeFrequentChunks(in, chunkLen = 2, maxDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 2L, "u v")))
+    assert(out(1) == ((2L, 2L, 1L, "p q")))
+    assert(out(2) == ((3L, 2L, 1L, "r s")))
+    // partial (map-side) aggregation feeds the chunk-frequency shuffle
+    val plan = graft.pipeline.Boilerplate.removeFrequentChunks(in)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"expected partial aggregate:\n$plan")
+  }
 }
