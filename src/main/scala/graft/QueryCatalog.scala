@@ -1937,6 +1937,72 @@ object QueryCatalog {
       |FROM c JOIN f USING (chunk)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Source-preference dedup (dedup.preferredCopy): a curated overlay
+    * (every fifth doc, re-identified) collides with the web corpus; the
+    * curated copy must win every collision. The oracle replays the same
+    * rolling-hash fingerprint election in HUGEINT SQL, so both the winner
+    * choice and the survivor set are value-checked.
+    */
+  private val qSourcePrefDedup: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val overlay = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        lit("curated").as("source"))
+    val all = d.unionByName(overlay)
+    Dedup.preferredCopy(all,
+        when(col("source") === "curated", lit(0)).otherwise(lit(1)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("source")
+  }
+
+  private val sourcePrefDedupSql =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, 'curated' FROM documents WHERE doc_id % 5 = 0),
+       |f AS (
+       |  SELECT doc_id, source, ${rollingFoldSql("text")} AS fp,
+       |    CASE WHEN source = 'curated' THEN 0 ELSE 1 END AS prio
+       |  FROM all_docs),
+       |w AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn
+       |  FROM f)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM w WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Cross-source overlap matrix: distinct word bigrams per source,
+    * pairwise shared-gram counts — the dataset-curation "how much do my
+    * sources overlap" report. Equality join on the gram (hash-partitioned;
+    * per-gram fan-out bounded by source-pair cardinality, never rows²).
+    */
+  private val qSourceOverlap: Q = (s, dir) => {
+    val g = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
+      .distinct()
+    val a = g.select(col("source").as("src_a"), col("gram"))
+    val b = g.select(col("source").as("src_b"), col("gram"))
+    a.join(b, Seq("gram")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceOverlapSql =
+    """WITH s AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, unnest(list_transform(
+      |    generate_series(1, greatest(len(toks) - 1, 1)),
+      |    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      |  FROM s)
+      |SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
+      |FROM g a JOIN g b USING (gram)
+      |WHERE a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Mergeable HLL sketch store (functions.SketchStore): one sketch per
     * order-month persisted to parquet, distinct-customer questions over
     * month SUBSETS answered by unioning stored sketches (never re-scanning
@@ -4154,6 +4220,8 @@ object QueryCatalog {
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_boilerplate" -> qBoilerplate,
+    "q_source_pref_dedup" -> qSourcePrefDedup,
+    "q_source_overlap" -> qSourceOverlap,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
@@ -4330,6 +4398,8 @@ object QueryCatalog {
     "q_bloom_decontaminate" -> decontaminateSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_boilerplate" -> boilerplateSql,
+    "q_source_pref_dedup" -> sourcePrefDedupSql,
+    "q_source_overlap" -> sourceOverlapSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,

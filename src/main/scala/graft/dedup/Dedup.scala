@@ -116,6 +116,23 @@ object Dedup {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** Source-preference dedup: when the same text appears in several
+    * sources (curated set ∩ web crawl), keep exactly one copy — the one
+    * with the lowest (priority, doc_id). The winner election is a
+    * fingerprint-keyed aggregate (min over a (prio, doc_id) struct —
+    * ~24-byte shuffle rows, never text), then one semi join brings back
+    * the winning rows; the corpus shuffles its payload at most once.
+    */
+  def preferredCopy(docs: DataFrame, priority: Column): DataFrame = {
+    val winners = docs
+      .select(rolling_hash(col("text")).as("fp"), priority.as("prio"),
+        col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("prio"), col("doc_id"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"))
+    docs.join(winners, Seq("doc_id"), "left_semi")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash signature of the word-shingle set — native codegen expression

@@ -164,6 +164,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("preferred-copy winner election shuffles (fp, prio, id) only, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = Tables.documents(spark, sf)
+    val plan =
+      try graft.dedup.Dedup.preferredCopy(docs,
+          when(col("source") === "curated", lit(0)).otherwise(lit(1)))
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    // the election aggregate (pre-join) must not carry text; only the final
+    // semi join repartitions full rows, and that join is keyed by doc_id
+    val election = exchanges.filter(_.output.map(_.name).contains("fp"))
+    assert(election.nonEmpty, "expected the fingerprint election shuffle")
+    election.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"election shuffle must not carry text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("decontaminate broadcasts the benchmark grams, never a cross join") {
     val docs = Tables.documents(spark, sf)
     val q = graft.dedup.Dedup.decontaminate(
