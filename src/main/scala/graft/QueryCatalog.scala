@@ -1804,30 +1804,26 @@ object QueryCatalog {
 
   /** Within-document repetition signals (Gopher-style quality rule): the
     * fraction of all word 2-grams taken by the most frequent one, and the
-    * distinct-2-gram ratio. Two-level aggregation — explode → count per
-    * (doc, gram) → per-doc rollup — the scalable shape (never collects a
-    * doc's grams into one row). Exact integer counts + one IEEE division →
-    * full oracle.
+    * distinct-2-gram ratio. The stats are a function of each document
+    * alone, so a one-pass codegen kernel (graftx.GramStats) computes them
+    * at scan speed — ZERO shuffle, vs the two shuffles of the relational
+    * explode → count(doc,gram) → per-doc rollup it replaces (both
+    * formulations cross-checked in TextSpec). Exact integer counts + one
+    * IEEE division → full oracle.
     */
-  private val qRepNgrams: Q = (s, dir) => {
-    val toks = TextFunctions.tokens(col("text"))
-    val grams = Tables.documents(s, dir)
-      .filter(size(toks) >= 2)
+  private val qRepNgrams: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(size(TextFunctions.tokens(col("text"))) >= 2)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(toks) - lit(2)),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))).as("gram"))
-    grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_grams"),
-        count(lit(1)).as("n_distinct"),
-        max(col("n")).as("top_n"))
-      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
-        (col("top_n").cast("double") / col("n_grams").cast("double"))
+        org.apache.spark.sql.graftx.Sketches.gram_stats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st.n_grams").as("n_grams"),
+        col("st.n_distinct").as("n_distinct"),
+        (col("st.top_n").cast("double") / col("st.n_grams").cast("double"))
           .as("top_frac"),
-        (col("n_distinct").cast("double") / col("n_grams").cast("double"))
+        (col("st.n_distinct").cast("double") / col("st.n_grams").cast("double"))
           .as("distinct_frac"))
       .orderBy("doc_id")
-  }
 
   private val repNgramsSql =
     """WITH g AS (

@@ -308,6 +308,83 @@ object ByteEntropy {
   }
 }
 
+/** Per-document bigram repetition stats in ONE pass over the UTF-8 bytes:
+  * (n_grams, n_distinct, top_n) of the whitespace word-bigram bag. The
+  * equivalent relational formulation explodes every bigram and shuffles
+  * twice (doc_id×gram, then doc_id) — but the stats are a function of the
+  * document alone, so a codegen kernel computes them at scan speed with
+  * zero shuffle. Gram identity is a 64-bit rolling hash of the bigram
+  * bytes; a collision WITHIN one document would miscount (never observed;
+  * the DuckDB oracle groups by the exact gram string, so a collision
+  * would surface as a hash mismatch, not pass silently).
+  */
+case class GramStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_n", LongType, nullable = false)))
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    GramStats.compute(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftx.GramStats.compute($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "gram_stats"
+}
+
+object GramStats {
+  /** Split semantics match `split(text, " ")` with limit -1 (empty tokens
+    * kept); a bigram's hash covers the exact byte span "tok_i tok_i+1".
+    */
+  def compute(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    // token boundaries: starts(i) .. ends(i) is token i (exclusive end)
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val nGrams = (nTok - 1).toLong
+    var nDistinct = 0L
+    var topN = 0L
+    if (nGrams > 0) {
+      val counts = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      var g = 0
+      while (g < nTok - 1) {
+        var h = 0L
+        var j = starts(g)
+        val end = ends(g + 1)
+        while (j < end) { h = h * RollingHash.Base + (bytes(j) & 0xffL); j += 1 }
+        val slot = counts.get(h)
+        if (slot == null) counts.put(h, Array(1L))
+        else slot(0) += 1
+        g += 1
+      }
+      nDistinct = counts.size().toLong
+      val it = counts.values().iterator()
+      while (it.hasNext) { val c = it.next()(0); if (c > topN) topN = c }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nGrams, nDistinct, topN))
+  }
+}
+
 /** Intersection size of two SORTED long arrays via linear merge — no hash
   * set per call, no boxing. Used for Jaccard over pre-hashed token sets:
   * the generic `array_intersect` builds a hash set per row pair, which
@@ -416,6 +493,9 @@ object Sketches {
 
   def simhash64(c: Column, shingleLen: Int): Column =
     Bridge.toColumn(SimHashExpr(Bridge.toExpr(c), shingleLen))
+
+  def gram_stats(c: Column): Column =
+    Bridge.toColumn(GramStats(Bridge.toExpr(c)))
 
   /** Bloom filter over a LONG column (feed it `xxhash64(...)` keys), as a
     * binary-typed aggregate — Spark's own runtime-filter sketch

@@ -71,6 +71,37 @@ class TextSpec extends SparkSpec {
     assert(!s1.sameElements(s3))
   }
 
+  test("gram-stats kernel equals the relational explode+groupBy formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val toks = split(col("text"), " ")
+    val relational = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - lit(2)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+    val kernel = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftx.Sketches.gram_stats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_grams").as("n_grams"),
+        col("st.n_distinct").as("n_distinct"), col("st.top_n").as("top_n"))
+    assert(kernel.exceptAll(relational).isEmpty && relational.exceptAll(kernel).isEmpty)
+    // edge: empty tokens from double spaces, and a doc that is all repeats
+    val edge = Seq((1L, "x  x  x"), (2L, "a b a b a b")).toDF("doc_id", "text")
+    val k = edge.select(col("doc_id"),
+        org.apache.spark.sql.graftx.Sketches.gram_stats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_grams"), col("st.n_distinct"), col("st.top_n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "x  x  x" tokens: [x,"",x,"",x] → grams: "x ", " x", "x ", " x" → 4 grams, 2 distinct, top 2
+    assert(k(1L) == ((4L, 2L, 2L)))
+    // "a b a b a b" → 5 grams: "a b"×3, "b a"×2
+    assert(k(2L) == ((5L, 2L, 3L)))
+  }
+
   test("simhash kernel: small edit → small hamming distance") {
     val a = SketchKernels.simHash(UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again"), 2)
     val b = SketchKernels.simHash(UTF8String.fromString("the quick brown fox jumps over the lazy dog again and again more"), 2)
