@@ -1999,6 +1999,65 @@ object QueryCatalog {
       |WHERE a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Vertica-style aggregate projection (etl.AggProjection): build over
+    * pre-1997 facts, incrementally maintain with the 1997+ batch (partials
+    * appended, old facts never re-read), answer the GROUP BY from stored
+    * partials only. The oracle aggregates the raw facts directly — the
+    * hash matches only if build+maintain+merge lose nothing.
+    */
+  private val qMvProjection: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    val l = Tables.lineitem(s, dir)
+    val groups = Seq("l_returnflag", "l_linestatus")
+    val measures = Seq("l_quantity", "l_extendedprice")
+    val cut = lit("1997-01-01")
+    etl.AggProjection.build(l.filter(col("l_shipdate") < cut), groups, measures,
+      s"$tmp/proj")
+    etl.AggProjection.maintain(l.filter(col("l_shipdate") >= cut), groups,
+      measures, s"$tmp/proj")
+    etl.AggProjection.answer(s, s"$tmp/proj", groups, measures)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val mvProjectionSql =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Projection REWRITE (graftx.RewriteAggToProjection): the query below is
+    * the naive fact-table aggregate; with the rule registered, its
+    * canonicalized plan matches the MvRegistry entry and execution is
+    * rerouted to the projection partials (fact never scanned —
+    * plan-asserted in OperatorsSpec). The oracle aggregates the facts
+    * directly, hash-proving the swap is semantics-preserving.
+    */
+  private val qMvRewrite: Q = (s, dir) => {
+    import org.apache.spark.sql.graftx.{MvRegistry, RewriteAggToProjection}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvr").toString
+    val groups = Seq("l_returnflag")
+    val measures = Seq("l_extendedprice")
+    etl.AggProjection.build(Tables.lineitem(s, dir), groups, measures, s"$tmp/proj")
+    def naive = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        Exact.sumExact(col("l_extendedprice")).as("sum_l_extendedprice"))
+      .orderBy("l_returnflag")
+    val viaMv = etl.AggProjection.answer(s, s"$tmp/proj", groups, measures)
+      .orderBy("l_returnflag")
+    MvRegistry.register(naive, viaMv)
+    if (!s.experimental.extraOptimizations.contains(RewriteAggToProjection))
+      s.experimental.extraOptimizations ++= Seq(RewriteAggToProjection)
+    s.conf.set("spark.graft.mv.rewrite", "true")
+    naive // a FRESH naive plan — matched by canonical equality, not identity
+  }
+
+  private val mvRewriteSql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Mergeable HLL sketch store (functions.SketchStore): one sketch per
     * order-month persisted to parquet, distinct-customer questions over
     * month SUBSETS answered by unioning stored sketches (never re-scanning
@@ -4218,6 +4277,8 @@ object QueryCatalog {
     "q_boilerplate" -> qBoilerplate,
     "q_source_pref_dedup" -> qSourcePrefDedup,
     "q_source_overlap" -> qSourceOverlap,
+    "q_mv_projection" -> qMvProjection,
+    "q_mv_rewrite" -> qMvRewrite,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
@@ -4396,6 +4457,8 @@ object QueryCatalog {
     "q_boilerplate" -> boilerplateSql,
     "q_source_pref_dedup" -> sourcePrefDedupSql,
     "q_source_overlap" -> sourceOverlapSql,
+    "q_mv_projection" -> mvProjectionSql,
+    "q_mv_rewrite" -> mvRewriteSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,

@@ -384,6 +384,54 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned.sameElements(full))
   }
 
+  test("aggregate-projection: maintain() appends partials without re-reading facts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ap").toString
+    val l = Tables.lineitem(spark, sf)
+    val g = Seq("l_returnflag"); val m = Seq("l_quantity")
+    graft.etl.AggProjection.build(l.filter(col("l_orderkey") % 2 === 0), g, m, s"$tmp/p")
+    graft.etl.AggProjection.maintain(l.filter(col("l_orderkey") % 2 === 1), g, m, s"$tmp/p")
+    val got = graft.etl.AggProjection.answer(spark, s"$tmp/p", g, m)
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = l.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Exact.sumExact(col("l_quantity")).as("s"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want))
+  }
+
+  test("projection rewrite reroutes the naive aggregate to the MV partials") {
+    import org.apache.spark.sql.graftx.{MvRegistry, RewriteAggToProjection}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvr-spec").toString
+    val g = Seq("l_returnflag"); val m = Seq("l_extendedprice")
+    graft.etl.AggProjection.build(Tables.lineitem(spark, sf), g, m, s"$tmp/proj")
+    def naive = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Exact.sumExact(col("l_extendedprice")).as("s"))
+      .orderBy("l_returnflag")
+    val direct = naive.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    MvRegistry.clear()
+    MvRegistry.register(naive,
+      graft.etl.AggProjection.answer(spark, s"$tmp/proj", g, m).orderBy("l_returnflag"))
+    if (!spark.experimental.extraOptimizations.contains(RewriteAggToProjection))
+      spark.experimental.extraOptimizations ++= Seq(RewriteAggToProjection)
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val fresh = naive // rebuilt from scratch — matched by canonical equality
+      val rows = fresh.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.sameElements(direct), "rewritten result must equal the direct one")
+      val p = fresh.queryExecution.executedPlan.toString
+      assert(p.contains("proj"), s"expected the projection scan in:\n$p")
+      assert(!p.contains("lineitem.parquet"),
+        s"fact table must not be scanned after the rewrite:\n$p")
+    } finally {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      MvRegistry.clear()
+    }
+  }
+
   test("fuzzy join: equals within-block brute force, plans as equi join (no cartesian)") {
     val q = graft.operators.FuzzyJoin.selfJoin(Tables.part(spark, sf), "p_name",
       name => element_at(split(name, " "), 2), maxDist = 3)
