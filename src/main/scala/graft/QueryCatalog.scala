@@ -3721,6 +3721,33 @@ object QueryCatalog {
       |FROM events LEFT JOIN customer ON user_id = c_custkey AND c_custkey % 2 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CHAINED stateful streaming: exact dedup feeding a watermarked window
+    * aggregate in ONE streaming query (two stateful operators back to
+    * back — dropDuplicatesWithinWatermark then the hourly window). The
+    * doubled input must collapse to exactly-once BEFORE aggregation, and
+    * only watermark-closed windows may be emitted; the oracle is the plain
+    * closed-window aggregate of the ORIGINAL table, so both state
+    * machines' semantics are hash-checked together.
+    */
+  private val qStreamDedupHourly: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdh").toString
+    val ev = Tables.events(s, dir)
+    ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val agg = graft.streaming.EventsStream.hourlyAggOn(
+      graft.streaming.EventsStream.dedupStream(
+        s.readStream.schema(schema).parquet(s"$tmp/in")))
+    val q = agg.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Streaming exact dedup, end-to-end: the events table is doubled (every
     * event delivered twice), written as a single-file stream source, drained
     * through `dropDuplicatesWithinWatermark` with AvailableNow, and the sink
@@ -4190,7 +4217,8 @@ object QueryCatalog {
   val benchExcluded: Set[String] =
     Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
       "q_stream_sessions", "q_stream_upsert", "q_stream_attribution",
-      "q_stream_attribution_outer", "q_stream_enrich")
+      "q_stream_attribution_outer", "q_stream_enrich",
+      "q_stream_dedup_hourly")
 
   val queries: Map[String, Q] = Map(
     "q_etl_backup" -> qEtlBackup,
@@ -4324,6 +4352,7 @@ object QueryCatalog {
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_enrich" -> qStreamEnrich,
+    "q_stream_dedup_hourly" -> qStreamDedupHourly,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_attribution" -> qStreamAttribution,
@@ -4484,6 +4513,7 @@ object QueryCatalog {
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_enrich" -> streamEnrichSql,
+    "q_stream_dedup_hourly" -> eventsHourlyStreamSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_attribution" -> streamAttributionSql,

@@ -49,8 +49,14 @@ object EventsStream {
     * oracle-checked `q_events_hourly_stream`.
     */
   def hourlyAgg(events: DataFrame): DataFrame =
+    hourlyAggOn(events.withWatermark("ts", "30 minutes"))
+
+  /** The aggregation alone, for chaining after another stateful operator
+    * that already established the watermark (re-defining it is disallowed
+    * when multiple stateful operators run in one query).
+    */
+  def hourlyAggOn(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.functions.Exact.sumExact(col("value")).as("total_value"))
