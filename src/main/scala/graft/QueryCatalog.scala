@@ -2868,6 +2868,43 @@ object QueryCatalog {
       |WHERE o_custkey >= 300 AND o_custkey <= 600
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-file bloom index (sources.BloomIndex): point lookup on a column
+    * the layout is NOT clustered by — the data is hash-laid-out on
+    * o_custkey, so every file's o_orderkey min/max spans the whole domain
+    * and a StatsStore manifest prunes nothing; the bloom index prunes to
+    * the (1 + fpp·n) files that might hold the key. The `files_pruned`
+    * gate goes red if the probe stops skipping; `minmax_blind` goes red if
+    * the fixture accidentally becomes clustered (which would make the
+    * bloom demonstration vacuous).
+    */
+  private val qBloomIndex: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloomidx").toString
+    Tables.orders(s, dir)
+      .repartition(8, col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmp/data")
+    val idx = graft.sources.BloomIndex.build(s, s"$tmp/data", "o_orderkey",
+      expectedPerFile = 1L << 16).localCheckpoint()
+    val nTotal = idx.count()
+    val nScan = graft.sources.BloomIndex.survivingFiles(idx, "o_orderkey", 1234L).size
+    val ranges = graft.sources.StatsStore.collect(s, s"$tmp/data", Seq("o_orderkey"))
+      .agg(max(col("min_o_orderkey")).as("worst_min"),
+        min(col("max_o_orderkey")).as("worst_max"))
+      .head()
+    val minmaxBlind = // every file's range contains the probe key
+      ranges.getLong(0) <= 1234L && ranges.getLong(1) >= 1234L
+    graft.sources.BloomIndex.prunedRead(s, s"$tmp/data", idx, "o_orderkey", 1234L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .withColumn("files_pruned", lit(nScan < nTotal))
+      .withColumn("minmax_blind", lit(minmaxBlind))
+      .orderBy("o_orderkey")
+  }
+
+  private val bloomIndexSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  TRUE AS files_pruned, TRUE AS minmax_blind
+      |FROM orders WHERE o_orderkey = 1234 ORDER BY o_orderkey""".stripMargin
+
   /** Skew-salted join (operators.SaltedJoin): the big side's hot keys are
     * spread over `salts` shuffle partitions, the small side replicated
     * `salts`×. Salting is semantically transparent, so the oracle is the
@@ -4325,6 +4362,7 @@ object QueryCatalog {
     "q_salted_join" -> qSaltedJoin,
     "q_zorder_layout" -> qZorderLayout,
     "q_stats_pruning" -> qStatsPruning,
+    "q_bloom_index" -> qBloomIndex,
     "q_jdbc_extract" -> qJdbcExtract,
     "q_compaction" -> qCompaction,
     "q_bucketed_join" -> qBucketedJoin,
@@ -4444,6 +4482,7 @@ object QueryCatalog {
     "q_salted_join" -> saltedJoinSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q_stats_pruning" -> statsPruningSql,
+    "q_bloom_index" -> bloomIndexSql,
     "q_jdbc_extract" -> jdbcExtractSql,
     "q_compaction" -> compactionSql,
     "q_bucketed_join" -> bucketedJoinSql,

@@ -384,6 +384,29 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned.sameElements(full))
   }
 
+  test("bloom index: no false negatives, prunes files min/max cannot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bidx").toString
+    Tables.orders(spark, sf).repartition(4, col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmp/d")
+    val idx = graft.sources.BloomIndex.build(spark, s"$tmp/d", "o_orderkey",
+      expectedPerFile = 1L << 14).localCheckpoint()
+    val nFiles = idx.count()
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .orderBy("o_orderkey").limit(50).collect().map(_.getLong(0))
+    var prunedSomething = false
+    keys.foreach { k =>
+      val files = graft.sources.BloomIndex.survivingFiles(idx, "o_orderkey", k)
+      val got = graft.sources.BloomIndex.prunedRead(spark, s"$tmp/d", idx, "o_orderkey", k)
+        .count()
+      assert(got == 1, s"key $k must be found (no false negatives)")
+      if (files.size < nFiles) prunedSomething = true
+    }
+    assert(prunedSomething, "bloom probe should skip files for at least one key")
+    // absent key: may fp into a few files but never returns rows
+    assert(graft.sources.BloomIndex
+      .prunedRead(spark, s"$tmp/d", idx, "o_orderkey", 999999999L).count() == 0)
+  }
+
   test("aggregate-projection: maintain() appends partials without re-reading facts") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ap").toString
     val l = Tables.lineitem(spark, sf)
