@@ -31,6 +31,13 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = (SparkEntry.queries -- QueryCatalog.benchExcluded)
       .toSeq.sortBy(_._1).map { case (name, fn) =>
+        // Between queries: drop cached/checkpointed blocks left by fixture
+        // builds and let a GC reclaim them, OUTSIDE the timed region. With
+        // 136 queries × multiple runs in one JVM the storage otherwise
+        // accumulates until a full GC lands inside some innocent query's
+        // timing (r3 dev run: a 0.3 s query measured at 52 s).
+        spark.catalog.clearCache()
+        System.gc()
         // two timed runs, report the min: first run can absorb codegen/compile
         // for plans not touched by the warmup; min is the steady-state cost
         val times = (1 to 2).map { _ =>
