@@ -1873,6 +1873,30 @@ object QueryCatalog {
       |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM bad) AS contaminated
       |FROM documents d WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin
 
+  /** Span-level exact-substring dedup (Dedup.substringDupPairs, w=1): doc
+    * pairs sharing any identical 32-char window, with the count of distinct
+    * shared window contents — the ExactSubstr granularity (repeated SPANS,
+    * not whole near-dup documents) that suffix-array pipelines target. The
+    * kernel (graftx.SubstrAnchors) emits every window's rolling hash in one
+    * pass; the pair join keys on the window CONTENT, so hash collisions
+    * cannot corrupt the result and the oracle is pure relational SQL.
+    */
+  private val qSubstringDedup: Q = (s, dir) =>
+    Dedup.substringDupPairs(Tables.documents(s, dir), k = 32, w = 1)
+      .orderBy("doc_a", "doc_b")
+
+  /** Winnowed span-level dedup (Dedup.substringDupPairs, w=16): the scale
+    * path — anchors thinned to ~2/(w+1) density by sliding-window-minimum
+    * selection (Schleimer/Wilkes/Aiken winnowing) with the deterministic
+    * guarantee that any shared span of length >= k+w-1 (47 chars here)
+    * still collides in both docs. The oracle replays the kernel bit-for-bit
+    * (mod-2^64 window hashes, packed selection keys, window minima) in
+    * HUGEINT SQL, then runs the same content-keyed pair join.
+    */
+  private val qWinnowPairs: Q = (s, dir) =>
+    Dedup.substringDupPairs(Tables.documents(s, dir), k = 32, w = 16)
+      .orderBy("doc_a", "doc_b")
+
   /** Bloom-prefiltered decontamination (dedup.decontaminateBloom): same
     * exact semantics as q_decontaminate, different physical shape — the
     * benchmark grams become ONE bloom blob (Spark's BloomFilterAggregate,
@@ -4337,6 +4361,8 @@ object QueryCatalog {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rep_ngrams" -> qRepNgrams,
     "q_decontaminate" -> qDecontaminate,
+    "q_substring_dedup" -> qSubstringDedup,
+    "q_winnow_pairs" -> qWinnowPairs,
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_boilerplate" -> qBoilerplate,
@@ -4521,6 +4547,8 @@ object QueryCatalog {
     "q_rep_ngrams" -> repNgramsSql,
     "q_decontaminate" -> decontaminateSql,
     "q_bloom_decontaminate" -> decontaminateSql,
+    "q_substring_dedup" -> SketchOracleSql.substringDedupSql(k = 32),
+    "q_winnow_pairs" -> SketchOracleSql.winnowPairsSql(k = 32, w = 16),
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_boilerplate" -> boilerplateSql,
     "q_source_pref_dedup" -> sourcePrefDedupSql,

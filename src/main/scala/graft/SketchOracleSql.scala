@@ -224,4 +224,65 @@ object SketchOracleSql {
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Span-level exact-substring dedup, full density: doc pairs sharing any
+    * identical k-char window, with the count of distinct shared window
+    * contents. Pure relational — window extraction is `substr`, the join
+    * key is the content itself, so no hash replay is needed.
+    */
+  def substringDedupSql(k: Int): String =
+    s"""WITH w AS (
+       |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), $k) AS sub
+       |  FROM documents, LATERAL unnest(generate_series(1, length(text) - ${k - 1})) AS t(i)
+       |  WHERE length(text) >= $k
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM w a JOIN w b ON a.sub = b.sub AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Winnowed span-level dedup: full replay of the
+    * [[org.apache.spark.sql.graftx.SubstrAnchors]] kernel — per-position
+    * mod-2^64 polynomial window hashes, the packed `(h >>> 33) << 32 | pos`
+    * selection key, and the sliding-window minimum (every full window of
+    * `w` positions; the whole document if it has fewer than `w` windows) —
+    * then the same content-keyed pair join as the full-density query.
+    * Detection of sharing is hash-SELECTED but content-VERIFIED in both
+    * engines, so the hash replay can only change which pairs surface, and
+    * any kernel/SQL drift surfaces as a hash mismatch.
+    */
+  def winnowPairsSql(k: Int, w: Int): String = {
+    val base = org.apache.spark.sql.graftx.RollingHash.Base
+    // fold h := (h * Base + codepoint) mod 2^64 over the k-char window
+    // (the window string is materialized as `sub` in a prior CTE — inlining
+    // it here would put the outer position `i` inside byteList's lambda,
+    // where the lambda's own `i` shadows it)
+    val fold = s"list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      s"${byteList("sub")}), " +
+      s"(h, c) -> (${mulSplit("h", base)} + c) % $Wrap)"
+    s"""WITH wins AS (
+       |  SELECT doc_id, text, CAST(i AS BIGINT) AS i,
+       |    CAST(length(text) - ${k - 1} AS BIGINT) AS m,
+       |    substr(text, CAST(i AS INTEGER), $k) AS sub
+       |  FROM documents, LATERAL unnest(generate_series(1, length(text) - ${k - 1})) AS t(i)
+       |  WHERE length(text) >= $k
+       |), hashes AS (
+       |  SELECT doc_id, text, i, m,
+       |    CAST(($fold) // 8589934592 * 4294967296 + i AS BIGINT) AS key
+       |  FROM wins
+       |), mins AS (
+       |  SELECT doc_id, text, i, m,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+       |  FROM hashes
+       |), anchors AS (
+       |  SELECT DISTINCT doc_id,
+       |    substr(text, CAST(sel % 4294967296 AS INTEGER), $k) AS sub
+       |  FROM mins WHERE i <= greatest(1, m - ${w - 1})
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM anchors a JOIN anchors b ON a.sub = b.sub AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -300,4 +300,67 @@ object Dedup {
       .filter(col("jaccard") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Substring anchor rows for span-level dedup: one row per selected
+    * k-char window — `(doc_id, pos, sub)`, distinct per (doc, content).
+    * `w = 1` emits every window (exact); `w > 1` winnows to ~2/(w+1)
+    * density with the deterministic guarantee that any shared span of
+    * length >= k + w - 1 yields an identical anchor in both documents
+    * ([[org.apache.spark.sql.graftx.SubstrAnchors]]).
+    *
+    * The anchor substring is materialized map-side (codegen `substring` on
+    * the scan projection) so downstream joins never re-read document
+    * bodies — at 100 TB the shuffle carries (8 B id + k chars) per anchor,
+    * ~k/w bytes per corpus byte at the winnowed density.
+    */
+  def substringAnchorRows(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val anchors = org.apache.spark.sql.graftx.Sketches
+      .substr_anchors(col("text"), k, w)
+    docs.select(col("doc_id"), col("text"), explode(anchors).as("key"))
+      .select(col("doc_id"),
+        col("key").bitwiseAND(lit(0xffffffffL)).cast("int").as("pos"),
+        col("text").substr(
+          col("key").bitwiseAND(lit(0xffffffffL)).cast("int"), lit(k))
+          .as("sub"))
+  }
+
+  /** Span-level (ExactSubstr-style) duplicate pairs: documents sharing at
+    * least one identical k-char substring, with the count of distinct
+    * shared window contents. The join key is the window CONTENT itself, so
+    * results are exact regardless of hash collisions (the rolling hash in
+    * the kernel only selects which windows become anchors).
+    *
+    * `maxDocsPerAnchor > 0` drops anchors appearing in more than that many
+    * documents before pairing — the standard stop-gram cap that keeps a
+    * boilerplate chunk shared by 10^6 documents from exploding into 10^12
+    * pairs at corpus scale (dropped anchors are boilerplate, not dup
+    * signal; see Boilerplate.removeFrequentChunks for the removal path).
+    */
+  def substringDupPairs(docs: DataFrame, k: Int, w: Int = 1,
+      maxDocsPerAnchor: Int = 0): DataFrame = {
+    val anchors = org.apache.spark.sql.graftx.Sketches
+      .substr_anchors(col("text"), k, w)
+    val rows = docs
+      .select(col("doc_id"), col("text"), explode(anchors).as("key"))
+      .select(col("doc_id"),
+        col("text").substr(
+          col("key").bitwiseAND(lit(0xffffffffL)).cast("int"), lit(k))
+          .as("sub"))
+      .distinct()
+    val kept =
+      if (maxDocsPerAnchor <= 0) rows
+      else {
+        val hot = rows.groupBy(col("sub"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > lit(maxDocsPerAnchor))
+          .select(col("sub"))
+        rows.join(hot, Seq("sub"), "left_anti")
+      }
+    val a = kept.select(col("doc_id").as("doc_a"), col("sub"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("sub"))
+    a.join(b, Seq("sub"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

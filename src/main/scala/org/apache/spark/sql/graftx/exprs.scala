@@ -385,6 +385,97 @@ object GramStats {
   }
 }
 
+/** Winnowed substring anchors for span-level (ExactSubstr-style) dedup, in
+  * ONE pass over the document: the 64-bit polynomial rolling hash of every
+  * k-char window (mod 2^64, base [[RollingHash.Base]]), packed with its
+  * 1-based char position as `(h >>> 33) << 32 | pos`, then winnowed — the
+  * minimum packed key of every window of `w` consecutive positions is
+  * selected (Schleimer/Wilkes/Aiken 2003). Guarantee: any substring of
+  * length >= k + w - 1 shared by two documents yields at least one
+  * IDENTICAL selected window in both (the minimum over a w-window lying
+  * fully inside the shared span depends only on the span's content), at
+  * ~2/(w+1) the density of emitting every position. `w = 1` emits every
+  * window (exact full-density semantics).
+  *
+  * Returns `array<long>` of distinct selected packed keys in ascending
+  * position order; consumers unpack `pos = key & 0xffffffff` and join on
+  * `substring(text, pos, k)` — the hash only drives SELECTION, so a hash
+  * collision can never corrupt results, only add an anchor.
+  *
+  * The rolling-window recurrence and the monotonic-deque winnow are O(n)
+  * per document regardless of k and w.
+  */
+case class SubstrAnchors(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    SubstrAnchors.compute(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftx.SubstrAnchors.compute($c.toString(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SubstrAnchors =
+    copy(child = newChild)
+
+  override def prettyName: String = "substr_anchors"
+}
+
+object SubstrAnchors {
+
+  /** Static so generated Java can call it directly. Operates on CODE POINTS
+    * so `pos` agrees with `substring()` char indexing in Spark and DuckDB
+    * (identical to byte indexing on the ASCII corpus, asserted in specs).
+    */
+  def compute(s: String, k: Int, w: Int): ArrayData = {
+    val cps = s.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // packed key per window start: top 31 bits of the mod-2^64 poly hash,
+    // then the 1-based char position (distinct positions => no min ties)
+    val keys = new Array[Long](m)
+    var h = 0L
+    var powK = 1L // Base^(k-1) mod 2^64
+    var i = 0
+    while (i < k - 1) { powK *= RollingHash.Base; i += 1 }
+    i = 0
+    while (i < k) { h = h * RollingHash.Base + cps(i); i += 1 }
+    keys(0) = ((h >>> 33) << 32) | 1L
+    i = 1
+    while (i < m) {
+      h = (h - cps(i - 1) * powK) * RollingHash.Base + cps(i + k - 1)
+      keys(i) = ((h >>> 33) << 32) | (i + 1L)
+      i += 1
+    }
+    if (w == 1) return new GenericArrayData(keys)
+    // winnow: min key of each full window of w starts (single window if
+    // m < w), deduplicated, via a monotonic ascending deque — O(m)
+    val win = math.min(w, m)
+    val deque = new Array[Int](m) // indices, increasing key values
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    i = 0
+    while (i < m) {
+      while (tail > head && keys(deque(tail - 1)) > keys(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) {
+        val sel = keys(deque(head))
+        if (out.isEmpty || out.last != sel) out += sel
+      }
+      i += 1
+    }
+    // distinct + ascending-position order (a key can re-win after leaving)
+    val arr = out.distinct.sortBy(_ & 0xffffffffL).toArray
+    new GenericArrayData(arr)
+  }
+}
+
 /** Intersection size of two SORTED long arrays via linear merge — no hash
   * set per call, no boxing. Used for Jaccard over pre-hashed token sets:
   * the generic `array_intersect` builds a hash set per row pair, which
@@ -496,6 +587,9 @@ object Sketches {
 
   def gram_stats(c: Column): Column =
     Bridge.toColumn(GramStats(Bridge.toExpr(c)))
+
+  def substr_anchors(c: Column, k: Int, w: Int): Column =
+    Bridge.toColumn(SubstrAnchors(Bridge.toExpr(c), k, w))
 
   /** Bloom filter over a LONG column (feed it `xxhash64(...)` keys), as a
     * binary-typed aggregate — Spark's own runtime-filter sketch

@@ -164,4 +164,61 @@ class DedupSpec extends SparkSpec {
     assert(out.values.exists(identity) && out.values.exists(!_),
       "fixture should have both contaminated and clean docs")
   }
+
+  test("substring anchors: full density emits every window, content matches the slice") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val rows = Dedup.substringAnchorRows(docs, k = 4, w = 1)
+      .orderBy("pos").collect()
+    assert(rows.length == 7) // 10 - 4 + 1
+    rows.foreach { r =>
+      val pos = r.getInt(1)
+      assert(r.getString(2) == "abcdefghij".substring(pos - 1, pos + 3))
+    }
+  }
+
+  test("substring anchors: doc shorter than k yields no anchors") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    assert(Dedup.substringAnchorRows(docs, k = 4, w = 1).count() == 0)
+  }
+
+  test("winnowing guarantee: any shared span of length >= k+w-1 is detected") {
+    val (k, w) = (8, 4)
+    val span = "SHAREDSPANXY" // length 12 >= k+w-1 = 11
+    // the span sits at different offsets inside otherwise-unrelated text
+    val docs = Seq(
+      (1L, s"aquickbrownfox${span}jumpsoverthelazydog"),
+      (2L, s"zz${span}completelyotherpayloadhere1234")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(docs, k = k, w = w).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L,
+      s"shared ${span.length}-char span must surface at k=$k w=$w")
+  }
+
+  test("winnowed pairs are a subset of full-density pairs with fewer anchors") {
+    val docs = Tables.documents(spark, sf)
+    def keyset(w: Int) = Dedup.substringDupPairs(docs, k = 32, w = w)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = keyset(1)
+    val winnowed = keyset(16)
+    assert(winnowed.subsetOf(full), "winnowed selection can only drop pairs")
+    assert(winnowed.nonEmpty, "planted long-span dups must survive winnowing")
+    val fullAnchors = Dedup.substringAnchorRows(docs, k = 32, w = 1).count()
+    val winAnchors = Dedup.substringAnchorRows(docs, k = 32, w = 16).count()
+    assert(winAnchors < fullAnchors / 4,
+      s"w=16 should thin anchors to ~2/17 density ($winAnchors vs $fullAnchors)")
+  }
+
+  test("hot-anchor cap drops boilerplate anchors before pairing") {
+    val boiler = "COMMONBOILERPLATECHUNK"
+    val docs = (1L to 6L).map(i => (i, s"doc${i}unique${i}padding$boiler"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.substringDupPairs(docs, k = 8, w = 1)
+    assert(uncapped.count() == 15) // all C(6,2) pairs share the chunk
+    // every anchor here comes from the shared chunk (unique prefixes differ
+    // in length, so shared windows are exactly the boilerplate suffix) →
+    // capping at 3 docs per anchor removes all pairs
+    val capped = Dedup.substringDupPairs(docs, k = 8, w = 1, maxDocsPerAnchor = 3)
+    assert(capped.count() == 0)
+  }
 }
