@@ -2821,6 +2821,28 @@ object QueryCatalog {
        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SequenceFile round-trip (Sources.sequenceFileWrite/sequenceFile): the
+    * Sqoop --as-sequencefile format that completes S10 — typed columns
+    * (long/double/timestamp/string) through the block-compressed
+    * (LongWritable, Text-CSV) container and back, aggregated; the oracle
+    * aggregates the source directly, so the hash matches only if every
+    * field of every record survived the binary hop. Same contract as
+    * q_csv_roundtrip, different container.
+    */
+  private val qSeqfileRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seqq").toString
+    val src = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    graft.sources.Sources.sequenceFileWrite(src, "o_orderkey", s"$tmp/t")
+    graft.sources.Sources.sequenceFile(s, s"$tmp/t", src.schema)
+      .groupBy(monthSid(col("o_orderdate")).as("month_sid"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumExact(col("o_totalprice")).as("total"),
+        expr("bit_xor(o_orderkey)").as("key_xor"))
+      .orderBy("month_sid")
+  }
+
   /** Bucketed co-located join as a declared query: both sides bucketed 8
     * ways on the join key at write time, then joined through the catalog —
     * the zero-exchange plan is asserted in PlanSpec; here the RESULT is
@@ -4393,6 +4415,7 @@ object QueryCatalog {
     "q_compaction" -> qCompaction,
     "q_bucketed_join" -> qBucketedJoin,
     "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_seqfile_roundtrip" -> qSeqfileRoundtrip,
     "q_band_index_probe" -> qBandIndexProbe,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -4513,6 +4536,7 @@ object QueryCatalog {
     "q_compaction" -> compactionSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
+    "q_seqfile_roundtrip" -> csvRoundtripSql,
     "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
     "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),

@@ -88,4 +88,42 @@ object Sources {
     val row = df.agg(min(column), max(column)).head()
     (row.getLong(0), row.getLong(1))
   }
+
+  /** S10: Hadoop SequenceFile sink — the Sqoop `--as-sequencefile` shape
+    * (the one alternate format of SURVEY §2.1 S10 the columnar sinks don't
+    * cover): a splittable, block-compressed binary container of
+    * (LongWritable key, Text record) pairs, record encoding = CSV via
+    * `to_csv` so field formatting (timestamps, decimals, escaping) is
+    * symmetric with [[sequenceFile]]'s `from_csv` read-back by
+    * construction. The encode is a codegen projection; only the container
+    * write is an RDD hop.
+    */
+  def sequenceFileWrite(df: DataFrame, keyCol: String, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_csv}
+    val cols = df.columns.map(col)
+    df.select(col(keyCol).cast("long"), to_csv(struct(cols.toIndexedSeq: _*)))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .saveAsSequenceFile(path,
+        Some(classOf[org.apache.hadoop.io.compress.DefaultCodec]))
+  }
+
+  /** S10: SequenceFile source — explicit schema (no inference), records
+    * decoded by `from_csv` with the same options [[sequenceFileWrite]]
+    * encoded with. Hadoop's reader splits block-compressed sequence files
+    * at sync markers, so a 100 TB directory still fans out to one task per
+    * split, same as the text formats.
+    */
+  def sequenceFile(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_csv}
+    val values = spark.sparkContext
+      .sequenceFile(path, classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text])
+      .map(_._2.toString)
+    spark.createDataFrame(values.map(org.apache.spark.sql.Row(_)),
+        StructType(Seq(org.apache.spark.sql.types.StructField(
+          "value", org.apache.spark.sql.types.StringType))))
+      .select(from_csv(col("value"), schema, Map.empty[String, String]).as("r"))
+      .select(col("r.*"))
+  }
 }

@@ -137,4 +137,23 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == nation.count())
     assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
   }
+
+  test("sequence-file round-trip preserves typed values (S10 alternate format)") {
+    val tmp = Files.createTempDirectory("graft-seq").toString
+    val orders = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice"),
+        org.apache.spark.sql.functions.col("o_orderdate"),
+        org.apache.spark.sql.functions.col("o_orderpriority"))
+      .limit(500)
+    graft.sources.Sources.sequenceFileWrite(orders, "o_orderkey", s"$tmp/s")
+    val back = graft.sources.Sources.sequenceFile(spark, s"$tmp/s", orders.schema)
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // the container really is a Hadoop SequenceFile (magic header "SEQ")
+    val part = new java.io.File(s"$tmp/s").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val head = java.nio.file.Files.readAllBytes(part.toPath).take(3)
+    assert(new String(head, "US-ASCII") == "SEQ")
+  }
 }
