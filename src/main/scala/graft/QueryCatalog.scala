@@ -4291,6 +4291,190 @@ object QueryCatalog {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Data-quality audit (quality.DataChecks): five contract rules over
+    * orders/customer compiled into one aggregate scan + one key-only
+    * anti-join. The oracle recomputes every rule in plain SQL.
+    */
+  private val qDqChecks: Q = (s, dir) =>
+    graft.quality.DataChecks.audit(
+      Tables.orders(s, dir),
+      Seq(
+        graft.quality.DataChecks.NotNull("o_custkey"),
+        graft.quality.DataChecks.Unique("o_orderkey"),
+        graft.quality.DataChecks.InSet("o_orderstatus", Seq("O", "F", "P")),
+        graft.quality.DataChecks.InRange("o_totalprice", 0d, 1000000d),
+        graft.quality.DataChecks.ForeignKey(
+          "o_custkey", Tables.customer(s, dir), "c_custkey")))
+
+  private val dqChecksSql =
+    """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders),
+      |v AS (
+      |  SELECT 'not_null_o_custkey' AS check_name,
+      |    CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'unique_o_orderkey',
+      |    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'in_set_o_orderstatus',
+      |    CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+      |      AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'in_range_o_totalprice',
+      |    CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+      |      AND (o_totalprice < 0 OR o_totalprice > 1000000)) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'fk_o_custkey',
+      |    CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+      |      AND NOT EXISTS (SELECT 1 FROM customer c
+      |                      WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |)
+      |SELECT check_name, violations, total, violations = 0 AS pass
+      |FROM v CROSS JOIN t ORDER BY check_name""".stripMargin
+
+  /** Event-type transition matrix (first-order Markov estimate) over
+    * per-user event sequences: one `lead` window keyed by user + one
+    * count aggregate. Probabilities are exact-count ratios (single IEEE
+    * division on both sides).
+    */
+  private val qMarkovTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy("src")).cast("double"))
+      .orderBy("src", "dst")
+  }
+
+  private val markovTransitionsSql =
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events
+      |), pairs AS (
+      |  SELECT src, dst, COUNT(*) AS cnt FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY src, dst
+      |)
+      |SELECT src, dst, cnt,
+      |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE) AS prob
+      |FROM pairs ORDER BY src, dst""".stripMargin
+
+  /** BPE merge-round statistics (pipeline.BpePairs): corpus → vocabulary →
+    * weighted adjacent-char-pair counts. Top pairs with deterministic
+    * tie-break; fully SQL-expressible → exact oracle.
+    */
+  private val qBpePairs: Q = (s, dir) =>
+    graft.pipeline.BpePairs.pairCounts(Tables.documents(s, dir))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+
+  private val bpePairsSql =
+    """WITH vocab AS (
+      |  SELECT token, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  WHERE token <> '' AND length(token) >= 2
+      |  GROUP BY token
+      |), pairs AS (
+      |  SELECT substring(token, CAST(i AS INTEGER), 2) AS pair, freq
+      |  FROM vocab, unnest(generate_series(1, length(token) - 1)) AS u(i)
+      |)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
+
+  /** Deterministic interleaved sharding (pipeline.Sharding): round-robin
+    * deal over a per-language hash ranking. The oracle recomputes the
+    * assignment and the per-(shard, lang) membership fingerprints.
+    */
+  private val qShardInterleave: Q = (s, dir) =>
+    graft.pipeline.Sharding.interleave(Tables.documents(s, dir), nShards = 8)
+      .groupBy("shard", "lang")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("id_xor"))
+      .orderBy("shard", "lang")
+
+  private val shardInterleaveSql =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      |  FROM documents
+      |)
+      |SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard, lang, COUNT(*) AS n,
+      |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+      |FROM r GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin
+
+  /** Semantic dedup (dedup.SemanticDedup): LSH-blocked cosine pairs →
+    * connected components → one representative (min id) per cluster. The
+    * oracle recomputes the pair graph from the generated hyperplane SQL and
+    * resolves components with a recursive CTE; survivors are fingerprinted
+    * per label.
+    */
+  private val qSemanticDedup: Q = (s, dir) =>
+    graft.dedup.SemanticDedup.survivors(Tables.embeddings(s, dir), threshold = 0.2)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(vec_id)").as("id_xor"))
+      .orderBy("label")
+
+  private val semanticDedupSql =
+    s"""WITH RECURSIVE k AS (
+       |  SELECT vec_id, embedding, ${lshBucketSqlFor("embedding")} AS bucket FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM k a JOIN k b ON a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.2
+       |), edges AS (
+       |  SELECT va AS u, vb AS v FROM pairs UNION SELECT vb, va FROM pairs
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), dropped AS (
+       |  SELECT u FROM reach GROUP BY u HAVING MIN(v) < u
+       |)
+       |SELECT label, COUNT(*) AS n, CAST(bit_xor(vec_id) AS BIGINT) AS id_xor
+       |FROM embeddings WHERE vec_id NOT IN (SELECT u FROM dropped)
+       |GROUP BY label ORDER BY label""".stripMargin
+
+  /** Schema evolution: two parquet generations (the second adds a column)
+    * read through `mergeSchema`, missing values null-filled and defaulted.
+    * The oracle reconstructs the same view from the source — the hash
+    * matches only if both generations are read and the fill is exact.
+    * (At 100 TB prefer a declared read schema over footer merging; the
+    * merge here proves the null-fill semantics.)
+    */
+  private val qSchemaEvolution: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-schevo").toString
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderdate") < lit("1995-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/gen1")
+    o.filter(col("o_orderdate") >= lit("1995-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$tmp/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/gen1", s"$tmp/gen2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("unknown")).as("priority"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(o_orderkey)").as("key_xor"),
+        Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("priority")
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT
+      |  CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+      |       THEN o_orderpriority ELSE 'unknown' END AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -4409,6 +4593,12 @@ object QueryCatalog {
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_salted_join" -> qSaltedJoin,
     "q_zorder_layout" -> qZorderLayout,
+    "q_dq_checks" -> qDqChecks,
+    "q_markov_transitions" -> qMarkovTransitions,
+    "q_bpe_pairs" -> qBpePairs,
+    "q_shard_interleave" -> qShardInterleave,
+    "q_semantic_dedup" -> qSemanticDedup,
+    "q_schema_evolution" -> qSchemaEvolution,
     "q_stats_pruning" -> qStatsPruning,
     "q_bloom_index" -> qBloomIndex,
     "q_jdbc_extract" -> qJdbcExtract,
@@ -4530,6 +4720,12 @@ object QueryCatalog {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_salted_join" -> saltedJoinSql,
     "q_zorder_layout" -> zorderLayoutSql,
+    "q_dq_checks" -> dqChecksSql,
+    "q_markov_transitions" -> markovTransitionsSql,
+    "q_bpe_pairs" -> bpePairsSql,
+    "q_shard_interleave" -> shardInterleaveSql,
+    "q_semantic_dedup" -> semanticDedupSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
     "q_stats_pruning" -> statsPruningSql,
     "q_bloom_index" -> bloomIndexSql,
     "q_jdbc_extract" -> jdbcExtractSql,

@@ -77,6 +77,29 @@ class PipelineOpsSpec extends SparkSpec {
     merged.zip(viaFit.tables).foreach { case (m, w) => assert(m.sameElements(w)) }
   }
 
+  test("bpe pairs: counts weighted by word frequency, vocab-collapsed") {
+    // vocab: "abc"×3, "ab"×1 → pairs: ab = 3+1 = 4, bc = 3
+    val in = Seq((1L, "abc ab abc"), (2L, "abc x")).toDF("doc_id", "text")
+    val out = graft.pipeline.BpePairs.pairCounts(in)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 4L, "bc" -> 3L)) // "x" filtered: length < 2
+  }
+
+  test("shard interleave: per-lang counts balanced to within one; deterministic") {
+    val many = (1L to 103L).map(i => (i, s"t$i", if (i % 3 == 0) "fr" else "en"))
+      .toDF("doc_id", "text", "lang")
+    val a = graft.pipeline.Sharding.interleave(many, nShards = 4)
+    val counts = a.groupBy("lang", "shard").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq("en", "fr").foreach { l =>
+      val per = (0L until 4L).map(sh => counts.getOrElse((l, sh), 0L))
+      assert(per.max - per.min <= 1, s"$l unbalanced: $per")
+    }
+    // assignment independent of input partitioning
+    val b = graft.pipeline.Sharding.interleave(many.repartition(7), nShards = 4)
+    assert(a.orderBy("doc_id").collect().sameElements(b.orderBy("doc_id").collect()))
+  }
+
   test("boilerplate removal drops frequent chunks, keeps order, counts exactly") {
     // chunkLen=2 → chunks: doc1 ["x y","x y","u v"], doc2 ["x y","p q"],
     // doc3 ["x y","r s"]; "x y" has df=3 > maxDf=2 → removed everywhere

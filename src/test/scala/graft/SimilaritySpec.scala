@@ -292,4 +292,25 @@ class SimilaritySpec extends SparkSpec {
     assert(run().collect().map(_.toString).sorted
       .sameElements(res.collect().map(_.toString).sorted), "search must be deterministic")
   }
+
+  test("semantic dedup: one representative per duplicate cluster, singletons kept") {
+    // three exact copies of vec 1, two of vec 10, plus untouched originals
+    val emb = Tables.embeddings(spark, sf)
+    val dup1 = emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val dup2 = emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 2000).as("vec_id"), col("embedding"), col("label"))
+    val dup3 = emb.filter(col("vec_id") === 10)
+      .select((col("vec_id") + 3000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(dup1).unionByName(dup2).unionByName(dup3)
+    val out = graft.dedup.SemanticDedup.survivors(corpus, threshold = 0.999999)
+    val ids = out.select("vec_id").as[Long].collect().toSet
+    // copies of identical vectors share an LSH bucket and cos=1 → clustered;
+    // min-id representative survives
+    assert(ids.contains(1L) && !ids.contains(1001L) && !ids.contains(2001L))
+    assert(ids.contains(10L) && !ids.contains(3010L))
+    // everything else untouched
+    val nOrig = emb.count()
+    assert(out.count() == nOrig)
+  }
 }
