@@ -1882,7 +1882,12 @@ object QueryCatalog {
     * cannot corrupt the result and the oracle is pure relational SQL.
     */
   private val qSubstringDedup: Q = (s, dir) =>
-    Dedup.substringDupPairs(Tables.documents(s, dir), k = 32, w = 1)
+    // repartition: the SF-scale corpus is one small file = one input split;
+    // without the fan-out the whole kernel+partial-agg stage runs on one
+    // core (at real scale the scan is already parallel and this is a no-op
+    // cost — the shuffle moves each doc once)
+    Dedup.substringDupPairs(
+      Tables.documents(s, dir).repartition(col("doc_id")), k = 32, w = 1)
       .orderBy("doc_a", "doc_b")
 
   /** Winnowed span-level dedup (Dedup.substringDupPairs, w=16): the scale
@@ -1894,7 +1899,8 @@ object QueryCatalog {
     * HUGEINT SQL, then runs the same content-keyed pair join.
     */
   private val qWinnowPairs: Q = (s, dir) =>
-    Dedup.substringDupPairs(Tables.documents(s, dir), k = 32, w = 16)
+    Dedup.substringDupPairs(
+      Tables.documents(s, dir).repartition(col("doc_id")), k = 32, w = 16)
       .orderBy("doc_a", "doc_b")
 
   /** Bloom-prefiltered decontamination (dedup.decontaminateBloom): same

@@ -338,15 +338,16 @@ object Dedup {
     */
   def substringDupPairs(docs: DataFrame, k: Int, w: Int = 1,
       maxDocsPerAnchor: Int = 0): DataFrame = {
-    val anchors = org.apache.spark.sql.graftx.Sketches
-      .substr_anchors(col("text"), k, w)
+    // the kernel emits per-doc-DISTINCT window contents (SubstrAnchorSubs):
+    // the explode's required input is just doc_id, so the document body never
+    // rides through the Generate and no separate distinct pass is needed —
+    // the position-key formulation copied `text` into all ~len(text) anchor
+    // rows and re-extracted each window with an O(pos) substr, which
+    // dominated the pipeline's cost (~3× overall)
     val rows = docs
-      .select(col("doc_id"), col("text"), explode(anchors).as("key"))
       .select(col("doc_id"),
-        col("text").substr(
-          col("key").bitwiseAND(lit(0xffffffffL)).cast("int"), lit(k))
-          .as("sub"))
-      .distinct()
+        explode(org.apache.spark.sql.graftx.Sketches
+          .substr_anchor_subs(col("text"), k, w)).as("sub"))
     val kept =
       if (maxDocsPerAnchor <= 0) rows
       else {
@@ -356,9 +357,17 @@ object Dedup {
           .select(col("sub"))
         rows.join(hot, Seq("sub"), "left_anti")
       }
+    // SHUFFLE_HASH self-join on the content key: with per-doc-distinct
+    // anchor rows the join directly enumerates distinct shared contents per
+    // pair. Hashed build beats sort-merge here because the join key is the
+    // k-char content whose sort dominates SMJ (measured 3×); per-partition
+    // build memory = anchors/shuffle-partitions — the partition count is
+    // the sizing knob, same discipline as every shuffled hash join. A
+    // collect_set-of-doc-ids formulation was slower still: 10^6 string-keyed
+    // groups push ObjectHashAggregate into its sort-based fallback.
     val a = kept.select(col("doc_id").as("doc_a"), col("sub"))
     val b = kept.select(col("doc_id").as("doc_b"), col("sub"))
-    a.join(b, Seq("sub"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("sub"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
