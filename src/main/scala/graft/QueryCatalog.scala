@@ -4481,6 +4481,140 @@ object QueryCatalog {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** Winsorized (clamped) robust aggregation: per-group discrete p10/p90
+    * bounds picked by exact rank (no interpolation — the bound IS a data
+    * element, so the clamped exact-decimal sum is engine-independent),
+    * values clamped, summed. Bounds via one ranking window; the clamp join
+    * broadcasts 5 group rows.
+    */
+  private val qWinsorize: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val wOrd = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val ranked = o
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("o_orderpriority")))
+    val bounds = ranked.groupBy("o_orderpriority").agg(
+      max(when(col("rn") === ceil(lit(0.1) * col("n")), col("o_totalprice")))
+        .as("lo"),
+      max(when(col("rn") === ceil(lit(0.9) * col("n")), col("o_totalprice")))
+        .as("hi"))
+    o.join(broadcast(bounds), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        least(greatest(col("o_totalprice"), col("lo")), col("hi")).as("v"),
+        col("lo"), col("hi"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("v")).as("clamped_total"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val winsorizeSql =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders
+      |), bounds AS (
+      |  SELECT o_orderpriority,
+      |    MAX(CASE WHEN rn = CEIL(0.1 * n) THEN o_totalprice END) AS lo,
+      |    MAX(CASE WHEN rn = CEIL(0.9 * n) THEN o_totalprice END) AS hi
+      |  FROM ranked GROUP BY o_orderpriority
+      |)
+      |SELECT o.o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS clamped_total,
+      |  MAX(b.lo) AS lo, MAX(b.hi) AS hi
+      |FROM orders o JOIN bounds b USING (o_orderpriority)
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
+  /** Salted two-phase aggregation (operators.SkewAgg): the explicit
+    * hot-key-aggregate escape hatch. Salting is semantically transparent,
+    * so the oracle is the PLAIN group aggregate — the hash matches only if
+    * the salt decomposition is exact.
+    */
+  private val qSkewAgg: Q = (s, dir) =>
+    graft.operators.SkewAgg.sumCount(
+      Tables.lineitem(s, dir),
+      key = col("l_returnflag"), valueCol = col("l_extendedprice"),
+      saltFrom = col("l_orderkey"), salts = 16)
+      .orderBy("key")
+
+  private val skewAggSql =
+    """SELECT l_returnflag AS key, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PII redaction (masking) over text: emails are synthesized
+    * deterministically per doc (the corpus has none), then redacted with a
+    * regex shared by both engines; the redacted text is fingerprinted with
+    * the rolling-hash fold, so the hash matches only if the masked bytes
+    * are identical.
+    */
+  private val qRedact: Q = (s, dir) => {
+    val pattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" contact: user"),
+          col("doc_id").cast("string"), lit("@example.com")).as("with_pii"))
+      .select(col("lang"),
+        rolling_hash(regexp_replace(col("with_pii"), pattern, "<EMAIL>"))
+          .as("fp"),
+        (size(split(col("with_pii"), pattern)) - 1).cast("long").as("n_found"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_found")).as("n_redacted"),
+        expr("bit_xor(fp)").as("text_xor"))
+      .orderBy("lang")
+  }
+
+  private val redactSql = {
+    val redacted =
+      "regexp_replace(text || ' contact: user' || CAST(doc_id AS VARCHAR) " +
+        "|| '@example.com', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')"
+    val withPii =
+      "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_split_to_array($withPii,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) - 1) AS BIGINT) AS n_redacted,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql(redacted))}) AS BIGINT)
+       |    AS text_xor
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Per-key rate limiting / windowed event dedup: keep the FIRST event per
+    * (user, event_type) in each 5-minute bucket — the data-plane twin of
+    * the reference's extract-throttling knob, and the batch twin of
+    * streaming dropDuplicates-within-watermark. One window keyed by the
+    * bucket; survivors fingerprinted.
+    */
+  private val qEventThrottle: Q = (s, dir) => {
+    val bucket = (unix_millis(col("ts")) / lit(300000L)).cast("long")
+    val w = Window.partitionBy(col("user_id"), col("event_type"), bucket)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), expr("bit_xor(event_id)").as("id_xor"))
+      .orderBy("event_type")
+  }
+
+  private val eventThrottleSql =
+    """WITH ranked AS (
+      |  SELECT event_type, event_id,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type, epoch_ms(ts) // 300000
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n_kept,
+      |  CAST(bit_xor(event_id) AS BIGINT) AS id_xor
+      |FROM ranked WHERE rn = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -4605,6 +4739,10 @@ object QueryCatalog {
     "q_shard_interleave" -> qShardInterleave,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_schema_evolution" -> qSchemaEvolution,
+    "q_winsorize" -> qWinsorize,
+    "q_skew_agg" -> qSkewAgg,
+    "q_redact" -> qRedact,
+    "q_event_throttle" -> qEventThrottle,
     "q_stats_pruning" -> qStatsPruning,
     "q_bloom_index" -> qBloomIndex,
     "q_jdbc_extract" -> qJdbcExtract,
@@ -4732,6 +4870,10 @@ object QueryCatalog {
     "q_shard_interleave" -> shardInterleaveSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_schema_evolution" -> schemaEvolutionSql,
+    "q_winsorize" -> winsorizeSql,
+    "q_skew_agg" -> skewAggSql,
+    "q_redact" -> redactSql,
+    "q_event_throttle" -> eventThrottleSql,
     "q_stats_pruning" -> statsPruningSql,
     "q_bloom_index" -> bloomIndexSql,
     "q_jdbc_extract" -> jdbcExtractSql,

@@ -479,4 +479,18 @@ class OperatorsSpec extends SparkSpec {
     } yield (a, b, dist.toLong)).toSet
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
+
+  test("SkewAgg: salted two-phase aggregate equals the plain aggregate") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val salted = graft.operators.SkewAgg.sumCount(li,
+      key = col("l_returnflag"), valueCol = col("l_extendedprice"),
+      saltFrom = col("l_orderkey"), salts = 8)
+      .orderBy("key").collect()
+    val plain = li.groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("key").collect()
+    assert(salted.sameElements(plain))
+  }
 }
