@@ -4615,6 +4615,94 @@ object QueryCatalog {
       |FROM ranked WHERE rn = 1
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Hive-style directory partition pruning: orders written
+    * `partitionBy(month)`, a one-month query planned so the scan LISTS only
+    * that month's directory (Catalyst partition pruning — distinct from
+    * row-group min/max skipping). The gate counts the scan's selected
+    * partition directories out of the executed plan; the aggregate
+    * hash-matches the oracle's direct filter.
+    */
+  private val qHivePruning: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hivep").toString
+    Tables.orders(s, dir)
+      .withColumn("om", monthSid(col("o_orderdate")))
+      .write.partitionBy("om").mode("overwrite").parquet(s"$tmp/t")
+    val pruned = s.read.parquet(s"$tmp/t").filter(col("om") === 199703L)
+    val nSelected: Int = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+    pruned
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("o_totalprice")).as("total"))
+      .withColumn("one_dir_scanned", lit(nSelected == 1))
+      .orderBy("o_orderpriority")
+  }
+
+  private val hivePruningSql =
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       |  TRUE AS one_dir_scanned
+       |FROM orders WHERE $monthSidSql = 199703
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Late-data backfill via dynamic partition overwrite: a three-month
+    * partitioned table gets a correction batch for ONE month
+    * (`partitionOverwriteMode=dynamic` rewrites only the touched
+    * directory). The read-back hash matches the oracle's corrected view,
+    * and `untouched_intact` pins the other partitions' file lists
+    * byte-identical — the reference's re-copy-one-partition discipline
+    * (sqoop_etl restart semantics) as a declared query.
+    */
+  private val qBackfill: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .withColumn("om", monthSid(col("o_orderdate")))
+    o.write.partitionBy("om").mode("overwrite").parquet(s"$tmp/t")
+    def listOthers(): Seq[String] = {
+      val root = new java.io.File(s"$tmp/t")
+      root.listFiles().filter(_.getName.startsWith("om="))
+        .filterNot(_.getName == "om=199703").flatMap(_.listFiles())
+        .map(f => s"${f.getName}:${f.length}").sorted.toSeq
+    }
+    val before = listOthers()
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      o.filter(col("om") === 199703L)
+        .withColumn("o_orderpriority", lit("0-CORRECTED"))
+        .write.partitionBy("om").mode("overwrite").parquet(s"$tmp/t")
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val intact = listOthers() == before
+    // partition-dir readback infers `om` as int — restore the source type
+    s.read.parquet(s"$tmp/t")
+      .groupBy(col("om").cast("long").as("om"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(o_orderkey)").as("key_xor"))
+      .withColumn("untouched_intact", lit(intact))
+      .orderBy("om", "o_orderpriority")
+  }
+
+  private val backfillSql =
+    s"""WITH t AS (
+       |  SELECT $monthSidSql AS om,
+       |    CASE WHEN $monthSidSql = 199703 THEN '0-CORRECTED'
+       |         ELSE o_orderpriority END AS o_orderpriority,
+       |    o_orderkey
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+       |    AND o_orderdate < TIMESTAMP '1997-04-01'
+       |)
+       |SELECT om, o_orderpriority, COUNT(*) AS n,
+       |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+       |  TRUE AS untouched_intact
+       |FROM t GROUP BY om, o_orderpriority ORDER BY om, o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -4743,6 +4831,8 @@ object QueryCatalog {
     "q_skew_agg" -> qSkewAgg,
     "q_redact" -> qRedact,
     "q_event_throttle" -> qEventThrottle,
+    "q_hive_pruning" -> qHivePruning,
+    "q_backfill" -> qBackfill,
     "q_stats_pruning" -> qStatsPruning,
     "q_bloom_index" -> qBloomIndex,
     "q_jdbc_extract" -> qJdbcExtract,
@@ -4874,6 +4964,8 @@ object QueryCatalog {
     "q_skew_agg" -> skewAggSql,
     "q_redact" -> redactSql,
     "q_event_throttle" -> eventThrottleSql,
+    "q_hive_pruning" -> hivePruningSql,
+    "q_backfill" -> backfillSql,
     "q_stats_pruning" -> statsPruningSql,
     "q_bloom_index" -> bloomIndexSql,
     "q_jdbc_extract" -> jdbcExtractSql,
