@@ -4703,6 +4703,186 @@ object QueryCatalog {
        |  TRUE AS untouched_intact
        |FROM t GROUP BY om, o_orderpriority ORDER BY om, o_orderpriority""".stripMargin
 
+  /** BM25 retrieval over the inverted index ([[graft.functions.Bm25]]):
+    * fixed query terms, every matching doc scored. Per-term contributions
+    * are integer micros so the per-doc sum is exact; the oracle is
+    * generated from the same (terms, k1, b) constants.
+    */
+  private val Bm25Terms = Seq("join", "vector", "spark")
+
+  private val qBm25: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.functions.Bm25.score(
+        graft.functions.Bm25.buildIndex(docs),
+        graft.functions.Bm25.docLengths(docs), Bm25Terms)
+      .orderBy("doc_id")
+  }
+
+  private val bm25Sql = graft.functions.Bm25.oracleSql(Bm25Terms)
+
+  /** Triangle counting ([[graft.operators.Triangles]]) on the part
+    * co-occurrence graph (parts sharing an order). The oracle replays the
+    * same degree orientation in SQL, so the wedge count — the quantity the
+    * orientation exists to bound — is itself hash-checked, not just the
+    * triangle total.
+    */
+  private val qTriangles: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    graft.operators.Triangles.countTriangles(pairs, "a", "b")
+  }
+
+  private val trianglesSql =
+    """WITH canon AS (
+      |  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+      |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      |   AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT v, COUNT(*) AS d FROM (
+      |    SELECT lo AS v FROM canon UNION ALL SELECT hi FROM canon) u
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi)
+      |              THEN lo ELSE hi END AS src,
+      |         CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi)
+      |              THEN hi ELSE lo END AS dst,
+      |         CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi)
+      |              THEN dh.d ELSE dl.d END AS d_dst
+      |  FROM canon JOIN deg dl ON dl.v = canon.lo
+      |             JOIN deg dh ON dh.v = canon.hi),
+      |w AS (
+      |  SELECT e1.dst AS b, e2.dst AS c
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+      |  WHERE e1.d_dst < e2.d_dst
+      |     OR (e1.d_dst = e2.d_dst AND e1.dst < e2.dst)),
+      |tri AS (SELECT COUNT(*) AS n FROM w JOIN o ON o.src = w.b AND o.dst = w.c)
+      |SELECT CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_edges,
+      |  CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+      |  CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles""".stripMargin
+
+  /** SCD Type-2 dimension build ([[graft.etl.Scd2]]): each user's
+    * event_type change log becomes versioned validity intervals —
+    * consecutive repeats collapsed, `[valid_from, lead)` intervals,
+    * open-ended current version. Timestamps emitted as exact micros.
+    */
+  private val qScd2: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    graft.etl.Scd2.build(ev, Seq("user_id"), "event_type", "ts", Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("version"),
+        unix_micros(col("valid_from")).as("from_us"),
+        coalesce(unix_micros(col("valid_to")), lit(-1L)).as("to_us"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  private val scd2Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events
+      |), marked AS (
+      |  SELECT user_id, tus, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS prev_type
+      |  FROM ev
+      |), changed AS (
+      |  SELECT user_id, tus, event_id, event_type FROM marked
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id, event_type,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  CAST(tus AS BIGINT) AS from_us,
+      |  CAST(COALESCE(LEAD(tus) OVER w, -1) AS BIGINT) AS to_us,
+      |  (LEAD(tus) OVER w IS NULL) AS is_current
+      |FROM changed
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Bounded top-k per group via the typed [[graft.functions.TopKAgg]]
+    * Aggregator — partial-aggregation-friendly, so each map task ships at
+    * most k rows per group into the shuffle (the window formulation ships
+    * and sorts every row). Oracle = the window formulation, proving the
+    * two are equivalent.
+    */
+  private val qTopkAgg: Q = (s, dir) => {
+    val tk = udaf(new graft.functions.TopKAgg(3))
+    Tables.orders(s, dir)
+      .groupBy(monthSid(col("o_orderdate")).as("month_sid"))
+      .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("month_sid"), posexplode(col("top")))
+      .select(col("month_sid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy("month_sid", "rk")
+  }
+
+  private val topkAggSql =
+    s"""SELECT month_sid, rk, o_orderkey, o_totalprice FROM (
+       |  SELECT $monthSidSql AS month_sid,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY $monthSidSql
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+       |    o_orderkey, o_totalprice
+       |  FROM orders) t
+       |WHERE rk <= 3 ORDER BY month_sid, rk""".stripMargin
+
+  /** Bigram LM scoring with add-1 smoothing: p(w2|w1) =
+    * (c(w1,w2)+1)/(c(w1)+V) over corpus bigram counts — the 2-gram
+    * extension of q_unigram_lm's CCNet-style signal. Log-probs quantized
+    * to integer micros before the per-doc sum (order-free, engine-exact);
+    * bigram extraction is an index-zip inside codegen, counts are two
+    * word-count-shaped aggregates.
+    */
+  private val qBigramLm: Q = (s, dir) => {
+    val bg = Tables.documents(s, dir)
+      .withColumn("t", TextFunctions.tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("c12").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("v").cast("double"))) * lit(1000000.0))
+          .cast("long").as("u"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("u")).as("sum_logp_u"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logp_u"),
+        (col("sum_logp_u").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0))).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramLmSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM tok, UNNEST(range(1, len(t))) AS r(i)
+      |  WHERE len(t) >= 2
+      |), c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT tok) AS v FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln((CAST(c12 AS DOUBLE) + 1.0) /
+      |      (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0) AS BIGINT) AS u
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vocab)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(u) AS BIGINT) AS sum_logp_u,
+      |  CAST(SUM(u) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+      |    AS avg_logp
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -4716,6 +4896,11 @@ object QueryCatalog {
       "q_stream_dedup_hourly")
 
   val queries: Map[String, Q] = Map(
+    "q_bm25" -> qBm25,
+    "q_triangles" -> qTriangles,
+    "q_scd2" -> qScd2,
+    "q_topk_agg" -> qTopkAgg,
+    "q_bigram_lm" -> qBigramLm,
     "q_etl_backup" -> qEtlBackup,
     "q_partition_discovery" -> qPartitionDiscovery,
     "q_oldest_pending" -> qOldestPending,
@@ -4883,6 +5068,11 @@ object QueryCatalog {
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
+    "q_bm25" -> bm25Sql,
+    "q_triangles" -> trianglesSql,
+    "q_scd2" -> scd2Sql,
+    "q_topk_agg" -> topkAggSql,
+    "q_bigram_lm" -> bigramLmSql,
     "q_etl_backup" -> etlBackupSql,
     "q_partition_discovery" -> partitionDiscoverySql,
     "q_oldest_pending" -> (partitionDiscoverySql.replace("ORDER BY d.month_sid", "ORDER BY d.month_sid LIMIT 1")),

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over an inverted index.
+  *
+  * The index is the classic flat-postings relation `(token, doc_id, tf)`
+  * hash-partitioned by token — NOT array-aggregated posting lists, which
+  * would make stop-word rows unboundedly wide. At 100 TB the build is one
+  * explode + one aggregate (the word-count shape, map-side partials); a
+  * query touches only the partitions its terms hash to (an `isin` filter
+  * the scanner pushes down when the index is persisted bucketed by token).
+  *
+  * Scoring follows the Lucene BM25 variant: idf = ln(1 + (N - df + .5) /
+  * (df + .5)), tfNorm = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)). Each
+  * per-(doc,term) contribution is quantized to integer micros so the
+  * per-doc SUM is an exact long — order-independent across engines and
+  * partitionings; ln/division is the only double step (the established
+  * parity rule, see q_unigram_lm).
+  *
+  * Reference scope: the reference ships only generated SQL strings
+  * (sqoop_table.py:125); retrieval over the documents corpus is part of the
+  * north-star text surface.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Inverted index: one row per (token, doc_id) with the term frequency. */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Document lengths in tokens (the dl term of the BM25 normalizer). */
+  def docLengths(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+  /** Score every document matching at least one query term.
+    *
+    * Returns `(doc_id, n_terms, score_u, score)` where `score_u` is the
+    * exact long micro-score and `score` its double rendering. The postings
+    * scan is filtered to the query terms BEFORE any join (at scale: only
+    * the terms' hash buckets are read); df per term and the corpus stats
+    * (N, avgdl — two scalars) come from broadcast-sized aggregates.
+    */
+  def score(index: DataFrame, docLens: DataFrame,
+      terms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
+    val matched = index.filter(col("token").isin(terms: _*))
+    val df = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    // avgdl as exact-long-sum / count: double summation order varies with
+    // partitioning, an integer sum does not — the division is then exact
+    // and engine-independent.
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    matched
+      .join(broadcast(df), "token")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * tfNorm * lit(1000000.0)).cast("long").as("u"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("u")).as("score_u"))
+      .withColumn("score", col("score_u").cast("double") / lit(1000000.0))
+  }
+
+  /** DuckDB oracle for [[score]] over the `documents` table — generated from
+    * the same constants so the two sides cannot drift.
+    */
+  def oracleSql(terms: Seq[String], k1: Double = K1, b: Double = B): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |), t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       |idx AS (SELECT token, doc_id, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+       |m AS (SELECT * FROM idx WHERE token IN ($termList)),
+       |dfq AS (SELECT token, COUNT(*) AS df FROM m GROUP BY 1),
+       |contrib AS (
+       |  SELECT m.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |                (CAST(df AS DOUBLE) + 0.5)) *
+       |      (CAST(tf AS DOUBLE) * ${k1 + 1.0}) /
+       |        (CAST(tf AS DOUBLE) +
+       |         $k1 * (${1.0 - b} + $b * CAST(dl.dl AS DOUBLE) / avgdl)) *
+       |      1000000.0) AS BIGINT) AS u
+       |  FROM m JOIN dfq USING (token) JOIN dl USING (doc_id), stats)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  CAST(SUM(u) AS BIGINT) AS score_u,
+       |  CAST(SUM(u) AS DOUBLE) / 1000000.0 AS score
+       |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+}
