@@ -4883,6 +4883,116 @@ object QueryCatalog {
       |    AS avg_logp
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Label-propagation communities ([[graft.operators.LabelPropagation]])
+    * on the part co-occurrence graph, 3 synchronous rounds. Deterministic
+    * min-label tie-breaking makes every round replayable, so the oracle is
+    * 3 GENERATED chained CTE rounds (the q_pagerank discipline) and the
+    * final labeling is hash-checked node by node — not a modularity bound.
+    */
+  private val LpaIters = 3
+
+  private val qLabelProp: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    graft.operators.LabelPropagation.run(pairs, "a", "b", LpaIters)
+      .orderBy("node")
+  }
+
+  private val labelPropSql: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""c$i AS (
+         |  SELECT u.src AS node, p.label, COUNT(*) AS c
+         |  FROM und u JOIN l${i - 1} p ON p.node = u.dst
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, ROW_NUMBER() OVER (
+         |      PARTITION BY node ORDER BY c DESC, label) AS rk
+         |    FROM c$i) t
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |   AND x.l_partkey < y.l_partkey
+       |), und AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b, a FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM und
+       |),
+       |$rounds
+       |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin
+  }
+
+  /** Weighted sampling without replacement via the deterministic
+    * exponential race (Efraimidis–Spirakis A-ExpJ): each doc gets
+    * key = -ln(u)/w with u a pure function of doc_id (md5 bits) and
+    * w = n_chars; the k smallest keys are the sample. A pure-function
+    * race means the sample is reproducible on any engine or cluster size,
+    * and top-k by key is `TakeOrderedAndProject` — per-partition heaps,
+    * no global sort. Keys quantized to integer picos (1e12) before
+    * ranking per the ln-parity rule.
+    */
+  private val qWeightedSample: Q = (s, dir) => {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    val key = round(-log(u) / col("n_chars").cast("double") * lit(1e12))
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("key_p"))
+      .orderBy(col("key_p").asc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  /** md5-hex → integer rebuilt digit-by-digit (DuckDB has no base-16
+    * conv) — the q_hash_split device, widened to 8 hex digits.
+    */
+  private val weightedSampleSql = {
+    def hexDigit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val h = (1 to 8).map(i =>
+      s"${hexDigit(i)} * ${java.lang.Long.toString(1L << (4 * (8 - i)))}")
+      .mkString(" + ")
+    s"""SELECT doc_id, n_chars,
+       |  CAST(round(-ln((($h) + 0.5) / 4294967296.0) /
+       |    CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT) AS key_p
+       |FROM documents
+       |ORDER BY key_p, doc_id LIMIT 50""".stripMargin
+  }
+
+  /** Incremental materialized-view refresh: the persisted base MV (orders
+    * before 1998) is merged with the DELTA's partial aggregate — refresh
+    * cost is O(delta + MV), never a rescan of base facts. Count-sums and
+    * exact decimal revenue-sums are re-aggregable, so the oracle — a full
+    * recompute over all orders — must hash-match the merge exactly.
+    */
+  private val qMvIncremental: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvinc").toString
+    val o = Tables.orders(s, dir)
+    def partial(df: DataFrame) =
+      df.groupBy(monthSid(col("o_orderdate")).as("month_sid"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    partial(o.filter(col("o_orderdate") < lit("1998-01-01")))
+      .write.mode("overwrite").parquet(s"$tmp/mv")
+    s.read.parquet(s"$tmp/mv")
+      .unionAll(partial(o.filter(col("o_orderdate") >= lit("1998-01-01"))))
+      .groupBy("month_sid")
+      .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev2"))
+      .select(col("month_sid"), col("n"), col("rev2").cast("double").as("rev"))
+      .orderBy("month_sid")
+  }
+
+  private val mvIncrementalSql =
+    s"""SELECT $monthSidSql AS month_sid, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -4897,6 +5007,9 @@ object QueryCatalog {
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
+    "q_label_prop" -> qLabelProp,
+    "q_weighted_sample" -> qWeightedSample,
+    "q_mv_incremental" -> qMvIncremental,
     "q_triangles" -> qTriangles,
     "q_scd2" -> qScd2,
     "q_topk_agg" -> qTopkAgg,
@@ -5069,6 +5182,9 @@ object QueryCatalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
+    "q_label_prop" -> labelPropSql,
+    "q_weighted_sample" -> weightedSampleSql,
+    "q_mv_incremental" -> mvIncrementalSql,
     "q_triangles" -> trianglesSql,
     "q_scd2" -> scd2Sql,
     "q_topk_agg" -> topkAggSql,

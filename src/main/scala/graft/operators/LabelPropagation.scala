@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (community detection) with deterministic
+  * tie-breaking.
+  *
+  * Each round, every node adopts the most frequent label among its
+  * neighbors, ties going to the SMALLEST label — argmax-by-count with a
+  * total tie order makes every round a pure function of the previous
+  * labeling, so results are identical across engines, partitionings and
+  * cluster sizes (classic LPA's random tie-breaking is unreproducible by
+  * design; determinism is what lets the oracle replay the rounds).
+  *
+  * One round = one equality join (labels shipped to neighbors, partitioned
+  * by dst) + one count aggregate + one per-node window over that node's
+  * distinct neighbor LABELS (bounded by degree — no global sort). A fixed
+  * round count keeps the whole computation one declarative plan; communities
+  * stabilize in a few rounds on the co-occurrence graphs this targets.
+  */
+object LabelPropagation {
+
+  /** @param pairs undirected edges, any direction, duplicates tolerated
+    * @return (node, label) after `iters` synchronous rounds from
+    *         label(v) = v
+    */
+  def run(pairs: DataFrame, aCol: String, bCol: String, iters: Int): DataFrame = {
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node").orderBy(col("c").desc, col("label").asc)
+      labels = counts
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("node", "label")
+    }
+    labels
+  }
+}
