@@ -4284,6 +4284,50 @@ object QueryCatalog {
       |WHERE NOT is_tail OR end_ms + 1800000 < w
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** Streaming SCD2 through a real drain: closed dimension versions emit
+    * as the change that closes them arrives; the open tail version stays
+    * in state. The oracle is the batch SCD2 (q_scd2's SQL) restricted to
+    * closed versions — bit-identical interval bounds and version numbers.
+    */
+  private val qStreamScd2: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sscd2").toString
+    val q = graft.streaming.EventsStream.scd2Stream(s,
+        graft.streaming.EventsStream.readEvents(s, dir))
+      .writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("from_us"), col("to_us"))
+      .orderBy("user_id", "version")
+  }
+
+  private val streamScd2Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events
+      |), marked AS (
+      |  SELECT user_id, tus, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS prev_type
+      |  FROM ev
+      |), changed AS (
+      |  SELECT user_id, tus, event_id, event_type FROM marked
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |), versioned AS (
+      |  SELECT user_id, event_type,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |    CAST(tus AS BIGINT) AS from_us,
+      |    CAST(LEAD(tus) OVER w AS BIGINT) AS to_us
+      |  FROM changed
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |)
+      |SELECT user_id, event_type, version, from_us, to_us
+      |FROM versioned WHERE to_us IS NOT NULL
+      |ORDER BY user_id, version""".stripMargin
+
   private val qEventsJson: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
@@ -4883,6 +4927,32 @@ object QueryCatalog {
       |    AS avg_logp
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** BM25 over the PERSISTED index store: postings written partitioned by
+    * token bucket, the probe enumerates its terms' buckets driver-side and
+    * the scan lists only those directories (gated from the executed plan,
+    * the q_hive_pruning device). Scores must equal the in-memory q_bm25
+    * path — the store round-trip changes nothing.
+    */
+  private val qBm25Index: Q = (s, dir) => {
+    import graft.functions.Bm25
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    val docs = Tables.documents(s, dir)
+    Bm25.writeIndex(Bm25.buildIndex(docs), s"$tmp/idx")
+    val probed = Bm25.probeIndex(s, s"$tmp/idx", Bm25Terms)
+    val nSelected: Int = probed.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+    val nBuckets = Bm25Terms.map(Bm25.bucketOf(_)).distinct.size
+    Bm25.score(probed, Bm25.docLengths(docs), Bm25Terms)
+      .withColumn("pruned_scan", lit(nSelected <= nBuckets))
+      .orderBy("doc_id")
+  }
+
+  private val bm25IndexSql =
+    graft.functions.Bm25.oracleSql(Bm25Terms, gateCol = Some("pruned_scan"))
+
   /** Label-propagation communities ([[graft.operators.LabelPropagation]])
     * on the part co-occurrence graph, 3 synchronous rounds. Deterministic
     * min-label tie-breaking makes every round replayable, so the oracle is
@@ -5002,11 +5072,12 @@ object QueryCatalog {
   val benchExcluded: Set[String] =
     Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
       "q_stream_sessions", "q_stream_upsert", "q_stream_attribution",
-      "q_stream_attribution_outer", "q_stream_enrich",
+      "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_dedup_hourly")
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
+    "q_bm25_index" -> qBm25Index,
     "q_label_prop" -> qLabelProp,
     "q_weighted_sample" -> qWeightedSample,
     "q_mv_incremental" -> qMvIncremental,
@@ -5166,6 +5237,7 @@ object QueryCatalog {
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_attribution_outer" -> qStreamAttributionOuter,
+    "q_stream_scd2" -> qStreamScd2,
     "q_change_feed" -> qChangeFeed,
     "q_time_travel" -> qTimeTravel,
     "q_funnel" -> qFunnel,
@@ -5182,6 +5254,7 @@ object QueryCatalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
+    "q_bm25_index" -> bm25IndexSql,
     "q_label_prop" -> labelPropSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_mv_incremental" -> mvIncrementalSql,
@@ -5351,6 +5424,7 @@ object QueryCatalog {
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_attribution" -> streamAttributionSql,
     "q_stream_attribution_outer" -> streamAttributionOuterSql,
+    "q_stream_scd2" -> streamScd2Sql,
     "q_change_feed" -> changeFeedSql,
     "q_time_travel" -> timeTravelSql,
     "q_funnel" -> funnelSql,

@@ -78,11 +78,55 @@ object Bm25 {
       .withColumn("score", col("score_u").cast("double") / lit(1000000.0))
   }
 
+  /** Partition count for the persisted index store. */
+  val IndexBuckets = 32
+
+  /** Token → directory bucket, as a column (md5 bits, not Spark-internal
+    * hash, so the same bucket is computable driver-side in [[bucketOf]]
+    * and in oracle SQL).
+    */
+  def tokenBucket(token: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(token), 1, 4), 16, 10).cast("long") % buckets
+
+  /** Driver-side twin of [[tokenBucket]] — used to enumerate which buckets
+    * a query's terms live in BEFORE the scan, so partition pruning happens
+    * at file-listing time.
+    */
+  def bucketOf(token: String, buckets: Int = IndexBuckets): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(2).map(b => f"$b%02x").mkString, 16) % buckets
+  }
+
+  /** Persist the inverted index partitioned by token bucket
+    * (`token_bucket=NN/` directories). At 100 TB a query term touches ONE
+    * directory out of [[IndexBuckets]] — the probe never lists, let alone
+    * reads, the rest of the index.
+    */
+  def writeIndex(index: DataFrame, path: String,
+      buckets: Int = IndexBuckets): Unit =
+    index.withColumn("token_bucket", tokenBucket(col("token"), buckets))
+      .repartition(col("token_bucket"))
+      .write.partitionBy("token_bucket").mode("overwrite").parquet(path)
+
+  /** Read back only the query terms' postings: the `token_bucket` filter is
+    * a partition-directory prune (computed driver-side from the terms), the
+    * `token` filter a pushed parquet predicate within those directories.
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], buckets: Int = IndexBuckets): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("token_bucket").isin(terms.map(bucketOf(_, buckets)).distinct: _*) &&
+        col("token").isin(terms: _*))
+      .select("token", "doc_id", "tf")
+
   /** DuckDB oracle for [[score]] over the `documents` table — generated from
     * the same constants so the two sides cannot drift.
     */
-  def oracleSql(terms: Seq[String], k1: Double = K1, b: Double = B): String = {
+  def oracleSql(terms: Seq[String], k1: Double = K1, b: Double = B,
+      gateCol: Option[String] = None): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
+    val gate = gateCol.map(n => s", TRUE AS $n").getOrElse("")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
        |), t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
@@ -104,7 +148,7 @@ object Bm25 {
        |  FROM m JOIN dfq USING (token) JOIN dl USING (doc_id), stats)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
        |  CAST(SUM(u) AS BIGINT) AS score_u,
-       |  CAST(SUM(u) AS DOUBLE) / 1000000.0 AS score
+       |  CAST(SUM(u) AS DOUBLE) / 1000000.0 AS score$gate
        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

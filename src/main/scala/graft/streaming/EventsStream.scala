@@ -155,6 +155,47 @@ object EventsStream {
       }
   }
 
+  final case class ChangeEvent(user_id: Long, tus: Long, event_id: Long,
+      event_type: String)
+  final case class OpenVersion(tpe: String, fromUs: Long, version: Long)
+  final case class ClosedVersion(user_id: Long, event_type: String,
+      version: Long, from_us: Long, to_us: Long)
+
+  /** Streaming SCD Type-2 build (the streaming twin of [[graft.etl.Scd2]]):
+    * each user's attribute stream folds into versioned validity intervals;
+    * a version EMITS the moment the next change closes it (Append mode),
+    * while the open current version lives only in state. Consecutive
+    * repeats collapse exactly as in the batch builder, and the per-key
+    * version counter rides in state, so the emitted rows are a prefix of
+    * the batch build's closed versions regardless of micro-batch
+    * boundaries — what makes `q_stream_scd2` oracle-checkable.
+    */
+  def scd2Stream(spark: SparkSession, events: DataFrame): Dataset[ClosedVersion] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .as[ChangeEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenVersion, ClosedVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, batch, state: GroupState[OpenVersion]) =>
+          val evs = batch.toSeq.sortBy(e => (e.tus, e.event_id))
+          var open = state.getOption.orNull
+          val out = Seq.newBuilder[ClosedVersion]
+          evs.foreach { e =>
+            if (open == null)
+              open = OpenVersion(e.event_type, e.tus, 1L)
+            else if (e.event_type != open.tpe) {
+              out += ClosedVersion(userId, open.tpe, open.version, open.fromUs, e.tus)
+              open = OpenVersion(e.event_type, e.tus, open.version + 1)
+            }
+          }
+          if (open != null) state.update(open)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the same user's
     * clicks in the preceding 30 minutes. Both sides watermarked, and the
     * join condition bounds event-time distance — Spark uses the bound to

@@ -133,4 +133,28 @@ class StreamingSpec extends SparkSpec {
     assert(resolved() == before,
       "merge-on-read state must be unchanged by the replayed batch")
   }
+
+  test("streaming scd2 emits exactly the batch build's closed versions") {
+    val tmp = Files.createTempDirectory("graft-sscd2t").toString
+    val q = EventsStream.scd2Stream(spark, EventsStream.readEvents(spark, sf))
+      .writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "event_type", "version", "from_us", "to_us")
+      .orderBy("user_id", "version").collect().toSeq
+    val batch = graft.etl.Scd2.build(
+        Tables.events(spark, sf)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("user_id"), "event_type", "ts", Seq("event_id"))
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("event_type"), col("version"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"))
+      .orderBy("user_id", "version").collect().toSeq
+    assert(streamed == batch)
+  }
 }
