@@ -4328,6 +4328,80 @@ object QueryCatalog {
       |FROM versioned WHERE to_us IS NOT NULL
       |ORDER BY user_id, version""".stripMargin
 
+  /** transformWithState running totals through a real drain (RocksDB state
+    * store — the API requires it; provider restored after the run). Each
+    * event carries its per-user sequence number and exact ×10⁴ running
+    * total; the oracle is the running-window SQL.
+    */
+  private val qStreamRunning: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-srun").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.EventsStream.runningTotals(s,
+          graft.streaming.EventsStream.readEvents(s, dir))
+        .writeStream
+        .outputMode("append").format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.read.parquet(s"$tmp/out")
+      .select(col("event_id"), col("user_id"), col("seq"), col("running_e4"))
+      .orderBy("user_id", "seq")
+  }
+
+  private val streamRunningSql =
+    """SELECT event_id, user_id,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+      |    OVER w AS BIGINT) AS running_e4
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, seq""".stripMargin
+
+  /** Fixed-size token-window chunking with overlap (context-window prep):
+    * windows of `ChunkW` tokens every `ChunkS` — the map-only explode
+    * shape (no shuffle; chunk fingerprints via md5 of the joined window).
+    * Window starts come from `sequence`, the slice stays inside codegen.
+    */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  private val qChunking: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("t", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(ChunkS)))
+          .as("start"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        size(slice(col("t"), col("start") + 1, lit(ChunkW))).cast("long")
+          .as("chunk_len"),
+        md5(array_join(slice(col("t"), col("start") + 1, lit(ChunkW)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "start")
+  }
+
+  private val chunkingSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), st AS (
+       |  SELECT doc_id, t, CAST(i AS BIGINT) AS start
+       |  FROM tok, UNNEST(range(0, GREATEST(len(t) - 1, 0) + 1, $ChunkS)) AS r(i)
+       |)
+       |SELECT doc_id, start,
+       |  CAST(len(list_slice(t, start + 1, start + $ChunkW)) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(list_slice(t, start + 1, start + $ChunkW), ' '))
+       |    AS chunk_md5
+       |FROM st ORDER BY doc_id, start""".stripMargin
+
   private val qEventsJson: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
@@ -5073,6 +5147,7 @@ object QueryCatalog {
     Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
       "q_stream_sessions", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
+      "q_stream_running",
       "q_stream_dedup_hourly")
 
   val queries: Map[String, Q] = Map(
@@ -5238,6 +5313,8 @@ object QueryCatalog {
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_attribution_outer" -> qStreamAttributionOuter,
     "q_stream_scd2" -> qStreamScd2,
+    "q_stream_running" -> qStreamRunning,
+    "q_chunking" -> qChunking,
     "q_change_feed" -> qChangeFeed,
     "q_time_travel" -> qTimeTravel,
     "q_funnel" -> qFunnel,
@@ -5425,6 +5502,8 @@ object QueryCatalog {
     "q_stream_attribution" -> streamAttributionSql,
     "q_stream_attribution_outer" -> streamAttributionOuterSql,
     "q_stream_scd2" -> streamScd2Sql,
+    "q_stream_running" -> streamRunningSql,
+    "q_chunking" -> chunkingSql,
     "q_change_feed" -> changeFeedSql,
     "q_time_travel" -> timeTravelSql,
     "q_funnel" -> funnelSql,

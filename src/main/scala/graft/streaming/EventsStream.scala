@@ -196,6 +196,53 @@ object EventsStream {
       }
   }
 
+  final case class ValuedEvent(user_id: Long, tus: Long, event_id: Long, v4: Long)
+  final case class RunningTotal(event_id: Long, user_id: Long, seq: Long,
+      running_e4: Long)
+  final case class SeqTotal(seq: Long, totalE4: Long)
+
+  /** Per-user running sequence + exact running total via `transformWithState`
+    * (the arbitrary-state API that supersedes *GroupsWithState; requires the
+    * RocksDB state store). Every event emits its per-user sequence number
+    * and the exact ×10⁴ fixed-point running total — both pure functions of
+    * the (event-time, id)-ordered prefix, so micro-batch boundaries cannot
+    * perturb them and the drained output is oracle-checkable against a
+    * running-window SQL.
+    */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ValuedEvent, RunningTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SeqTotal] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SeqTotal]("running",
+        org.apache.spark.sql.Encoders.product[SeqTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ValuedEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RunningTotal] = {
+      val evs = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+      var s = if (state.exists()) state.get() else SeqTotal(0L, 0L)
+      val out = evs.map { e =>
+        s = SeqTotal(s.seq + 1, s.totalE4 + e.v4)
+        RunningTotal(e.event_id, key, s.seq, s.totalE4)
+      }
+      state.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[RunningTotalProcessor]] wired over the events stream. */
+  def runningTotals(spark: SparkSession, events: DataFrame): Dataset[RunningTotal] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
+        (col("value").cast("decimal(18,4)") * lit(10000)).cast("long").as("v4"))
+      .as[ValuedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stream-stream interval join: attribute each purchase to the same user's
     * clicks in the preceding 30 minutes. Both sides watermarked, and the
     * join condition bounds event-time distance — Spark uses the bound to
