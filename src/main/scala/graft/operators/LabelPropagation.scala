@@ -27,10 +27,14 @@ object LabelPropagation {
     *         label(v) = v
     */
   def run(pairs: DataFrame, aCol: String, bCol: String, iters: Int): DataFrame = {
+    // materialize the edge set once — every round joins against it, and
+    // recomputing the canonicalization per round would re-run the (often
+    // expensive) upstream pair generation `iters` times
     val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -38,11 +42,12 @@ object LabelPropagation {
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("node").orderBy(col("c").desc, col("label").asc)
+      // argmax-by-(c, -label) as a hash aggregate: lexicographic struct max
+      // ≡ the (count desc, label asc) window rank, without the per-node sort
       labels = counts
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select("node", "label")
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
     }
     labels
   }
