@@ -2227,6 +2227,62 @@ object QueryCatalog {
        |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS text_xor
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** WARC round-trip (sources.Warc): documents out to gzip'd WARC archives
+    * (the Common Crawl interchange shape — Content-Length-framed records,
+    * one non-splittable archive per partition) and parsed back, then
+    * aggregated per source with order-free content checksums. The oracle
+    * aggregates the ORIGINAL table — the hash matches only if every record,
+    * every text byte and both carried attributes survived the format hop.
+    */
+  private val qWarcRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    graft.sources.Warc.write(Tables.documents(s, dir), s"$tmp/crawl",
+      numFiles = 6)
+    graft.sources.Warc.read(s, s"$tmp/crawl")
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        rolling_hash(col("text")).as("fp"),
+        rolling_hash(col("lang")).as("lfp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        expr("bit_xor(fp)").as("text_xor"),
+        expr("bit_xor(lfp)").as("lang_xor"))
+      .orderBy("source")
+  }
+
+  private def warcRoundtripSqlGen: String =
+    s"""SELECT source, COUNT(*) AS n,
+       |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS text_xor,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("lang"))}) AS BIGINT) AS lang_xor
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Hashed-feature linear classifier inference (quality.LinearScorer):
+    * per-document exact integer score from a fastText-style bucket-weight
+    * model baked into the plan as a literal — the apply-a-trained-filter
+    * pass of a training-data pipeline, shaped as ONE map-only codegen
+    * projection. The oracle replays hash, bucket mask and weight lookup
+    * from the same constants and weight array.
+    */
+  private val qQualityClassifier: Q = (s, dir) => {
+    import graft.quality.LinearScorer
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        LinearScorer.score(col("text")).as("w_sum"))
+      .withColumn("kept", col("w_sum") > lit(0L))
+      .orderBy("doc_id")
+  }
+
+  private def qualityClassifierSqlGen: String =
+    s"""SELECT doc_id, lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  ${graft.quality.LinearScorer.scoreSql("text")} AS w_sum,
+       |  ${graft.quality.LinearScorer.scoreSql("text")} > 0 AS kept
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** The DataSource V2 connector as a declared query: scan
     * [[graft.sources.v2.SynthDocsSource]] through a doc_id range predicate
     * (pushed to the connector, where it prunes whole input partitions —
@@ -5249,6 +5305,8 @@ object QueryCatalog {
     "q_mv_projection" -> qMvProjection,
     "q_mv_rewrite" -> qMvRewrite,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_warc_roundtrip" -> qWarcRoundtrip,
+    "q_quality_classifier" -> qQualityClassifier,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5472,6 +5530,8 @@ object QueryCatalog {
     "q_mv_projection" -> mvProjectionSql,
     "q_mv_rewrite" -> mvRewriteSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
+    "q_warc_roundtrip" -> warcRoundtripSqlGen,
+    "q_quality_classifier" -> qualityClassifierSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,

@@ -64,6 +64,15 @@ object U64Sql {
 object SketchOracleSql {
   import U64Sql._
 
+  /** Rolling polynomial fold of a SQL string expression — the per-token
+    * replay of [[org.apache.spark.sql.graftx.RollingHash]]'s full-string
+    * hash, usable inside a lambda (the bound variable must not be named
+    * `i`/`h`/`b`, which the generated lambdas use internally).
+    */
+  def tokenFoldSql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteList(expr)}), " +
+      s"(h, b) -> (h * ${RollingHash.Base} + b) % $Wrap)"
+
   /** FNV-1a 64 body over a shingle string's bytes, seeded. */
   private def fnvFold(sg: String, seed: Long): String = {
     val init = u(seed ^ SketchKernels.FnvOffset)
