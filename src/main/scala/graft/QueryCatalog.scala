@@ -2283,6 +2283,59 @@ object QueryCatalog {
        |  ${graft.quality.LinearScorer.scoreSql("text")} > 0 AS kept
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real media-container metadata decode (multimodal.MediaHeaders): one
+    * payload per document — a VALID minimal PNG / JPEG / GIF / BMP / WAV
+    * whose dimensions (or rate/channels) come from integer formulas of
+    * doc_id — header-parsed back with the real wire-format codecs (CRC'd
+    * PNG chunk walk, JPEG SOF scan, ...). The query aggregates PARSED
+    * values; the oracle recomputes the formulas directly — the hash
+    * matches only if encode∘parse is the identity on all five formats for
+    * every document. Batch map-only, the extractFeatures partition shape.
+    */
+  private val qMediaHeaders: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.MediaHeaders
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + ((id * 7) % 240).toInt
+          val h = 16 + ((id * 13) % 240).toInt
+          val bytes = (id % 5) match {
+            case 0 => MediaHeaders.pngBytes(w, h)
+            case 1 => MediaHeaders.jpegBytes(w, h)
+            case 2 => MediaHeaders.gifBytes(w, h)
+            case 3 => MediaHeaders.bmpBytes(w, h)
+            case _ => MediaHeaders.wavBytes(8000 + (id % 8).toInt * 4000,
+              1 + (id % 2).toInt)
+          }
+          val m = MediaHeaders.parse(bytes).get
+          (id, m.kind, m.a, m.b)
+        }
+      }.toDF("doc_id", "kind", "a", "b")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(col("a")).cast("long").as("a_sum"),
+        sum(col("b")).cast("long").as("b_sum"),
+        min(col("a")).cast("long").as("a_min"),
+        max(col("a")).cast("long").as("a_max"))
+      .orderBy("kind")
+  }
+
+  private val mediaHeadersSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |      WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'wav' END AS kind,
+      |    CASE WHEN doc_id % 5 = 4 THEN 8000 + (doc_id % 8) * 4000
+      |      ELSE 16 + (doc_id * 7) % 240 END AS a,
+      |    CASE WHEN doc_id % 5 = 4 THEN 1 + doc_id % 2
+      |      ELSE 16 + (doc_id * 13) % 240 END AS b
+      |  FROM documents)
+      |SELECT kind, COUNT(*) AS n, CAST(SUM(a) AS BIGINT) AS a_sum,
+      |  CAST(SUM(b) AS BIGINT) AS b_sum, CAST(MIN(a) AS BIGINT) AS a_min,
+      |  CAST(MAX(a) AS BIGINT) AS a_max
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
   /** The DataSource V2 connector as a declared query: scan
     * [[graft.sources.v2.SynthDocsSource]] through a doc_id range predicate
     * (pushed to the connector, where it prunes whole input partitions —
@@ -5307,6 +5360,7 @@ object QueryCatalog {
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_warc_roundtrip" -> qWarcRoundtrip,
     "q_quality_classifier" -> qQualityClassifier,
+    "q_media_headers" -> qMediaHeaders,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5532,6 +5586,7 @@ object QueryCatalog {
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
     "q_warc_roundtrip" -> warcRoundtripSqlGen,
     "q_quality_classifier" -> qualityClassifierSqlGen,
+    "q_media_headers" -> mediaHeadersSql,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,

@@ -1,0 +1,178 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** REAL container-format metadata codecs — PNG / JPEG / GIF / BMP / WAV
+  * header encode + parse in pure JVM byte arithmetic (no media libraries).
+  *
+  * This replaces the "decode is a stub" caveat for the metadata half of the
+  * multimodal surface: dimension/sample-rate extraction over binary
+  * payloads is what a crawl-scale media pipeline runs FIRST (filter by
+  * size/aspect/duration before any expensive pixel decode), and these are
+  * the real wire formats — PNG IHDR with CRC-32-checked chunks (ISO 15948
+  * §5.3), JPEG SOF0 segment scan (ITU T.81 §B.2.2), GIF logical screen
+  * descriptor, BMP BITMAPINFOHEADER, RIFF/WAVE fmt chunk.
+  *
+  * Scale shape: `parse` is a per-row function over the first bytes of a
+  * payload, used inside the same `mapPartitions` batch plumbing as
+  * [[Multimodal.extractFeatures]] — a pure map stage, no shuffle. Pixel
+  * decode (not header decode) remains out of scope in this container and
+  * stays behind [[Multimodal.FakeCodec]].
+  */
+object MediaHeaders {
+
+  /** Parsed metadata: for images (a, b) = (width, height); for WAV
+    * (a, b) = (sample rate, channels).
+    */
+  final case class MediaInfo(kind: String, a: Int, b: Int)
+
+  // ------------------------------------------------------------- helpers
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def readBe16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  // ------------------------------------------------------------- encode
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  /** Minimal valid PNG: signature + IHDR (with real CRC-32) + IEND. */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length))
+      val tb = tag.getBytes(US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body); out.write(be32(crc.getValue.toInt))
+    }
+    // IHDR: w, h, bit depth 8, color type 2 (truecolor), deflate, none, none
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Minimal valid JPEG: SOI, APP0/JFIF, SOF0 (carries dimensions), EOI. */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    val jfif = "JFIF".getBytes(US_ASCII) ++ Array[Byte](0, 1, 1, 0) ++
+      le16(1).reverse ++ le16(1).reverse ++ Array[Byte](0, 0)
+    out.write(Array(0xff, 0xe0).map(_.toByte)) // APP0
+    out.write(be32(jfif.length + 2).drop(2))   // segment length (16-bit BE)
+    out.write(jfif)
+    // SOF0: precision 8, height, width, 3 components (id, sampling, qtable)
+    val sof = Array[Byte](8) ++ be32(h).drop(2) ++ be32(w).drop(2) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    out.write(Array(0xff, 0xc0).map(_.toByte))
+    out.write(be32(sof.length + 2).drop(2))
+    out.write(sof)
+    out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** GIF89a header: logical screen descriptor carries dimensions (LE16). */
+  def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes(US_ASCII) ++ le16(w) ++ le16(h) ++
+      Array[Byte](0, 0, 0) ++ Array[Byte](0x3b) // trailer
+
+  /** BMP with BITMAPINFOHEADER: signed-LE32 dimensions at offsets 18/22. */
+  def bmpBytes(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes(US_ASCII) ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      Array.fill[Byte](24)(0)
+
+  /** RIFF/WAVE with a canonical fmt chunk (PCM): rate LE32 at 24,
+    * channels LE16 at 22.
+    */
+  def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    "RIFF".getBytes(US_ASCII) ++ le32(36) ++ "WAVE".getBytes(US_ASCII) ++
+      "fmt ".getBytes(US_ASCII) ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * blockAlign) ++ le16(blockAlign) ++
+      le16(16) ++ "data".getBytes(US_ASCII) ++ le32(0)
+  }
+
+  // -------------------------------------------------------------- parse
+
+  private def isPng(b: Array[Byte]) =
+    b.length >= 33 && b.take(8).sameElements(PngSig)
+
+  private def isJpeg(b: Array[Byte]) =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  private def isGif(b: Array[Byte]) =
+    b.length >= 13 && (b.take(6).sameElements("GIF87a".getBytes(US_ASCII)) ||
+      b.take(6).sameElements("GIF89a".getBytes(US_ASCII)))
+
+  private def isBmp(b: Array[Byte]) =
+    b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+
+  private def isWav(b: Array[Byte]) =
+    b.length >= 28 && b.take(4).sameElements("RIFF".getBytes(US_ASCII)) &&
+      b.slice(8, 12).sameElements("WAVE".getBytes(US_ASCII))
+
+  /** JPEG segment scan for the first SOFn (baseline/progressive) marker. */
+  private def parseJpeg(b: Array[Byte]): Option[MediaInfo] = {
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no SOF seen
+      val len = readBe16(b, i + 2)
+      val isSof = marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        if (i + 9 > b.length) return None
+        return Some(MediaInfo("jpeg", readBe16(b, i + 7), readBe16(b, i + 5)))
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** PNG chunk walk: verify the IHDR CRC, then read dimensions. */
+  private def parsePng(b: Array[Byte]): Option[MediaInfo] = {
+    val len = readBe32(b, 8)
+    val tag = new String(b, 12, 4, US_ASCII)
+    if (tag != "IHDR" || len < 13 || b.length < 16 + len + 4) return None
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 4 + len)
+    if (crc.getValue.toInt != readBe32(b, 16 + len)) return None
+    Some(MediaInfo("png", readBe32(b, 16), readBe32(b, 20)))
+  }
+
+  /** Dispatch on magic bytes; None for unrecognized/truncated payloads. */
+  def parse(b: Array[Byte]): Option[MediaInfo] =
+    if (b == null) None
+    else if (isPng(b)) parsePng(b)
+    else if (isJpeg(b)) parseJpeg(b)
+    else if (isGif(b)) Some(MediaInfo("gif", readLe16(b, 6), readLe16(b, 8)))
+    else if (isBmp(b)) Some(MediaInfo("bmp", readLe32(b, 18), readLe32(b, 22)))
+    else if (isWav(b)) Some(MediaInfo("wav", readLe32(b, 24), readLe16(b, 22)))
+    else None
+}
