@@ -1939,6 +1939,109 @@ object QueryCatalog {
       |WHERE levenshtein(a.name, b.name) <= 3
       |ORDER BY 1, 2""".stripMargin
 
+  /** Subword tokenization (graftx.SubwordPieces — greedy longest-match
+    * WordPiece inference as a codegen'd native expression): per-document
+    * piece count + an order-sensitive fingerprint of the full piece
+    * sequence. The oracle REPLAYS greedy matching in a recursive CTE over
+    * the distinct words with the same vocab list literal (generated from
+    * the same Scala constants) — piece boundaries, order and count are all
+    * hash-checked, not just totals.
+    */
+  private val qSubwordTokens: Q = (s, dir) => {
+    import org.apache.spark.sql.graftx.WordPiece.subword_pieces
+    Tables.documents(s, dir)
+      .select(col("doc_id"), subword_pieces(col("text")).as("pieces"))
+      .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"),
+        rolling_hash(array_join(col("pieces"), "\u0001")).as("pieces_fp"))
+      .orderBy("doc_id")
+  }
+
+  private def subwordTokensSqlGen: String = {
+    import org.apache.spark.sql.graftx.WordPiece
+    val vocab = (WordPiece.MultiChar ++ WordPiece.SingleChar)
+      .filterNot(_ == " ")
+      .map(p => "'" + p.replace("'", "''") + "'").mkString("[", ", ", "]")
+    // greedy longest match is unique: at most one piece of each length
+    // matches at a position, so "pick the longer" is a total tie-free rule.
+    // Vocab is total over printable ASCII (QueryCatalogSpec asserts the
+    // corpus is ASCII), so list_filter below is never empty.
+    s"""WITH RECURSIVE tks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |), toks AS (
+       |  SELECT doc_id, i AS ord, tk[i] AS word
+       |  FROM tks, LATERAL unnest(generate_series(1, len(tk))) AS u(i)
+       |  WHERE tk[i] <> ''
+       |), words AS (SELECT DISTINCT word FROM toks
+       |), wp(word, pos, pieces) AS (
+       |  SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM words
+       |  UNION ALL
+       |  SELECT word, pos + length(best), list_append(pieces, best) FROM (
+       |    SELECT word, pos, pieces,
+       |      list_reduce(list_filter($vocab,
+       |          p -> substr(word, CAST(pos AS INTEGER), length(p)) = p),
+       |        (a, b) -> CASE WHEN length(b) > length(a) THEN b ELSE a END) AS best
+       |    FROM wp WHERE pos <= length(word)) s
+       |), done AS (
+       |  SELECT word, pieces FROM wp WHERE pos = length(word) + 1
+       |), agg AS (
+       |  SELECT t.doc_id, SUM(len(d.pieces)) AS n_pieces,
+       |    string_agg(array_to_string(d.pieces, chr(1)), chr(1) ORDER BY t.ord) AS allp
+       |  FROM toks t JOIN done d USING (word) GROUP BY t.doc_id)
+       |SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
+       |  ${u64ToSigned(rollingFoldSql("allp"))} AS pieces_fp
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** End-to-end entity resolution: blocked fuzzy candidate pairs
+    * (operators.FuzzyJoin) → connected components over the match graph
+    * (operators.ConnectedComponents, nodes = 64-bit name hashes so the CC
+    * loop shuffles 16-byte rows, never strings) → canonical record = the
+    * lexicographic min name per component → every record mapped to its
+    * canonical + cluster size (singletons canonicalize to themselves).
+    * The oracle replays the pair predicate verbatim and closes it with a
+    * recursive CTE — the full record-linkage pipeline, hash-checked.
+    */
+  private val qEntityResolution: Q = (s, dir) => {
+    val names = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
+    val pairs = operators.FuzzyJoin.selfJoin(Tables.part(s, dir), "p_name",
+      name => element_at(split(name, " "), 2), maxDist = 3)
+    val cc = graft.operators.ConnectedComponents(
+      pairs.select(rolling_hash(col("name_a")).as("src"),
+        rolling_hash(col("name_b")).as("dst")))
+    val withComp = names
+      .join(cc.withColumnRenamed("id", "nid"),
+        rolling_hash(col("name")) === col("nid"), "left")
+    val canon = withComp.filter(col("component").isNotNull)
+      .groupBy("component").agg(min(col("name")).as("cname"))
+    val resolved = withComp.join(canon, Seq("component"), "left")
+      .select(col("name"), coalesce(col("cname"), col("name")).as("canonical"))
+    resolved
+      .join(resolved.groupBy(col("canonical")).agg(count(lit(1)).as("n_members")),
+        Seq("canonical"))
+      .select(col("name"), col("canonical"), col("n_members"))
+      .orderBy("name")
+  }
+
+  private val entityResolutionSql =
+    """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+      |pairs AS (
+      |  SELECT a.name AS name_a, b.name AS name_b
+      |  FROM names a JOIN names b
+      |    ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+      |   AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |edges AS (SELECT name_a AS u, name_b AS v FROM pairs
+      |          UNION SELECT name_b AS u, name_a AS v FROM pairs),
+      |reach(u, v) AS (SELECT u, v FROM edges
+      |                UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (SELECT u AS name, LEAST(u, MIN(v)) AS cname FROM reach GROUP BY u),
+      |resolved AS (
+      |  SELECT n.name, COALESCE(c.cname, n.name) AS canonical
+      |  FROM names n LEFT JOIN comp c ON n.name = c.name)
+      |SELECT name, canonical,
+      |  COUNT(*) OVER (PARTITION BY canonical) AS n_members
+      |FROM resolved ORDER BY name""".stripMargin
+
   /** Corpus-frequency boilerplate removal (pipeline.Boilerplate): the
     * C4-style "drop lines repeated across many pages" cleanup over 2-token
     * chunks — chunk df > 20 is boilerplate, survivors reassembled in
@@ -5361,6 +5464,8 @@ object QueryCatalog {
     "q_warc_roundtrip" -> qWarcRoundtrip,
     "q_quality_classifier" -> qQualityClassifier,
     "q_media_headers" -> qMediaHeaders,
+    "q_entity_resolution" -> qEntityResolution,
+    "q_subword_tokens" -> qSubwordTokens,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5587,6 +5692,8 @@ object QueryCatalog {
     "q_warc_roundtrip" -> warcRoundtripSqlGen,
     "q_quality_classifier" -> qualityClassifierSqlGen,
     "q_media_headers" -> mediaHeadersSql,
+    "q_entity_resolution" -> entityResolutionSql,
+    "q_subword_tokens" -> subwordTokensSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,
