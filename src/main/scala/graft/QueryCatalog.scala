@@ -1956,17 +1956,22 @@ object QueryCatalog {
       .orderBy("doc_id")
   }
 
-  private def subwordTokensSqlGen: String = {
+  /** CTE chain replaying greedy longest-match subword tokenization over
+    * the distinct words of `src` (a CTE/table with doc_id, text): emits
+    * `toks` (doc_id, ord, word) and `done` (word, pieces). Greedy longest
+    * match is unique: at most one piece of each length matches at a
+    * position, so "pick the longer" is a total tie-free rule. Vocab is
+    * total over printable ASCII (QueryCatalogSpec asserts the corpus is
+    * ASCII), so list_filter below is never empty. Callers must open the
+    * WITH as RECURSIVE.
+    */
+  private def subwordCtes(src: String): String = {
     import org.apache.spark.sql.graftx.WordPiece
     val vocab = (WordPiece.MultiChar ++ WordPiece.SingleChar)
       .filterNot(_ == " ")
       .map(p => "'" + p.replace("'", "''") + "'").mkString("[", ", ", "]")
-    // greedy longest match is unique: at most one piece of each length
-    // matches at a position, so "pick the longer" is a total tie-free rule.
-    // Vocab is total over printable ASCII (QueryCatalogSpec asserts the
-    // corpus is ASCII), so list_filter below is never empty.
-    s"""WITH RECURSIVE tks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    s"""tks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM $src
        |), toks AS (
        |  SELECT doc_id, i AS ord, tk[i] AS word
        |  FROM tks, LATERAL unnest(generate_series(1, len(tk))) AS u(i)
@@ -1983,14 +1988,50 @@ object QueryCatalog {
        |    FROM wp WHERE pos <= length(word)) s
        |), done AS (
        |  SELECT word, pieces FROM wp WHERE pos = length(word) + 1
-       |), agg AS (
+       |)""".stripMargin
+  }
+
+  private def subwordTokensSqlGen: String =
+    s"""WITH RECURSIVE ${subwordCtes("documents")}, agg AS (
        |  SELECT t.doc_id, SUM(len(d.pieces)) AS n_pieces,
        |    string_agg(array_to_string(d.pieces, chr(1)), chr(1) ORDER BY t.ord) AS allp
        |  FROM toks t JOIN done d USING (word) GROUP BY t.doc_id)
        |SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
        |  ${u64ToSigned(rollingFoldSql("allp"))} AS pieces_fp
        |FROM agg ORDER BY doc_id""".stripMargin
-  }
+
+  /** v3 composed pipeline (pipeline.TrainingDataPipeline.summaryV3): the
+    * LEARNED-model flow — hashed-linear classifier gate → exact dedup →
+    * per-language token budget costed in SUBWORD pieces (the unit an LLM
+    * trains on). The oracle replays classifier scoring, dedup, the greedy
+    * subword tokenizer (recursive CTE) and the budget window end to end.
+    */
+  private val qTrainingPipelineV3: Q = (s, dir) =>
+    pipeline.TrainingDataPipeline.summaryV3(Tables.documents(s, dir),
+      budgets = Map("en" -> 20000L), defaultBudget = 8000L)
+
+  private def trainingPipelineV3SqlGen: String =
+    s"""WITH RECURSIVE gated AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE ${graft.quality.LinearScorer.scoreSql("text")} > 0
+       |), src AS (
+       |  SELECT g.* FROM gated g
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY text)
+       |), ${subwordCtes("src")}, np AS (
+       |  SELECT t.doc_id, CAST(SUM(len(d.pieces)) AS BIGINT) AS n_pieces
+       |  FROM toks t JOIN done d USING (word) GROUP BY t.doc_id
+       |), sel AS (
+       |  SELECT s.lang, s.doc_id,
+       |    SUM(COALESCE(n.n_pieces, 0)) OVER (PARTITION BY s.lang
+       |      ORDER BY md5(CAST(s.doc_id AS VARCHAR)), s.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM src s LEFT JOIN np n USING (doc_id)
+       |)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(MAX(cum) AS BIGINT) AS pieces_used,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+       |  MAX(cum) <= CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END AS within_budget
+       |FROM sel WHERE cum <= CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** End-to-end entity resolution: blocked fuzzy candidate pairs
     * (operators.FuzzyJoin) → connected components over the match graph
@@ -5466,6 +5507,7 @@ object QueryCatalog {
     "q_media_headers" -> qMediaHeaders,
     "q_entity_resolution" -> qEntityResolution,
     "q_subword_tokens" -> qSubwordTokens,
+    "q_training_pipeline_v3" -> qTrainingPipelineV3,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5694,6 +5736,7 @@ object QueryCatalog {
     "q_media_headers" -> mediaHeadersSql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_subword_tokens" -> subwordTokensSqlGen,
+    "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,

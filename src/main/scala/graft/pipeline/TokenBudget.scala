@@ -34,7 +34,8 @@ object TokenBudget {
     *         this doc, ≤ the lang budget)
     */
   def sample(docs: DataFrame, budgets: Map[String, Long],
-      defaultBudget: Long): DataFrame = {
+      defaultBudget: Long,
+      tokenCount: Column => Column = TextFunctions.tokenCount): DataFrame = {
     val ord = Window.partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
     val budget: Column = budgets.foldLeft(lit(defaultBudget)) {
@@ -42,7 +43,7 @@ object TokenBudget {
     }
     docs
       .select(col("lang"), col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        tokenCount(col("text")).as("n_tokens"))
       .withColumn("rk", row_number().over(ord).cast("long"))
       .withColumn("cum_tokens",
         sum(col("n_tokens")).over(ord.rowsBetween(Window.unboundedPreceding,

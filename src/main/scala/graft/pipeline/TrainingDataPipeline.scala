@@ -75,4 +75,29 @@ object TrainingDataPipeline {
         count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
       .orderBy("lang")
+
+  /** v3: the LEARNED-model flow — hashed-linear classifier gate
+    * (graft.quality.LinearScorer) → exact dedup → per-language SUBWORD
+    * token budget (costs counted in subword pieces via the codegen
+    * tokenizer, the unit an LLM actually trains on). Shuffle profile:
+    * dedup aggregate + one per-lang window; classifier and tokenizer are
+    * map-only codegen stages.
+    */
+  def summaryV3(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    import org.apache.spark.sql.graftx.WordPiece.subword_pieces
+    val gated = docs.filter(graft.quality.LinearScorer.score(col("text")) > 0)
+    val canon = dedupKeepCanonical(gated)
+    val sel = TokenBudget.sample(canon, budgets, defaultBudget,
+      t => size(subword_pieces(t)).cast("long"))
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (lang, b)) => when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    sel.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("cum_tokens")).as("pieces_used"),
+        expr("bit_xor(doc_id)").as("id_xor"))
+      .withColumn("within_budget", col("pieces_used") <= budget)
+      .orderBy("lang")
+  }
 }
