@@ -3662,6 +3662,37 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** Persisted IVF index (similarity.IvfStore): corpus written
+    * cluster-partitioned, probes prune to their nprobe inverted lists at
+    * the SCAN (partition filter, plan-asserted in IvfStoreSpec). The query
+    * emits whether the store path returns row-identical results (ids,
+    * ranks AND cosines) to the in-memory IVF search — engine-side
+    * equality surfaced as oracle-comparable data, per the ANN pattern.
+    */
+  private val qIvfStore: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = ivfCentroids(emb, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString
+    graft.similarity.IvfStore.build(emb, tmp, cents)
+    val queries = emb.filter(col("vec_id") < 5)
+    val store = graft.similarity.IvfStore.probe(queries, tmp, k = 5, nprobe = 4)
+    val mem = KMeansIvf.search(KMeansIvf.index(emb, cents), queries, cents,
+      k = 5, nprobe = 4)
+    val cols = Seq("query_id", "neighbor_id", "cos", "rk").map(col)
+    val d1 = store.select(cols: _*).exceptAll(mem.select(cols: _*))
+      .agg(count(lit(1)).as("d1"))
+    val d2 = mem.select(cols: _*).exceptAll(store.select(cols: _*))
+      .agg(count(lit(1)).as("d2"))
+    queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+      .crossJoin(broadcast(d1)).crossJoin(broadcast(d2))
+      .select(col("n_queries"),
+        (col("d1") === 0L && col("d2") === 0L).as("paths_equal"))
+  }
+
+  private val ivfStoreSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS paths_equal
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
+
   /** PQ-ADC ANN (similarity.ProductQuantizer): 8×16 codebooks (≈32×
     * compression of the float index), ADC candidate ranking by table
     * lookups, exact cosine re-rank of the survivors. Same recall contract
@@ -5508,6 +5539,7 @@ object QueryCatalog {
     "q_entity_resolution" -> qEntityResolution,
     "q_subword_tokens" -> qSubwordTokens,
     "q_training_pipeline_v3" -> qTrainingPipelineV3,
+    "q_ivf_store" -> qIvfStore,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5737,6 +5769,7 @@ object QueryCatalog {
     "q_entity_resolution" -> entityResolutionSql,
     "q_subword_tokens" -> subwordTokensSqlGen,
     "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,
+    "q_ivf_store" -> ivfStoreSql,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,

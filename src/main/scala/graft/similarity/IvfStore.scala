@@ -1,0 +1,58 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: the corpus laid out as a cluster-partitioned
+  * parquet store, so an ANN probe READS only its `nprobe` inverted lists —
+  * partition pruning at the scan, not a post-scan filter. This is the
+  * serving shape of a billion-vector index: the store is built once
+  * (quantizer fit + one partitioned write), probes touch
+  * `nprobe / k` of the directory tree no matter how big the corpus grows.
+  *
+  * Same persisted-index discipline as the BM25 store (bucket-partitioned
+  * postings) and the MinHash band index (band-partitioned store): the
+  * partition column IS the index key, and the probed key set is enumerated
+  * driver-side from a model that is O(k×dim) — never from data.
+  */
+object IvfStore {
+
+  /** Fit-once + write: corpus tagged with its inverted-list id, written
+    * partitioned by `cluster`; centroids persisted beside the vectors so
+    * probes need no refit.
+    */
+  def build(corpus: DataFrame, dir: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    KMeansIvf.index(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cluster", "values").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** The persisted quantizer (k×dim doubles — driver-sized by design). */
+  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids").orderBy("cluster")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Top-k per query against the store. The probed cluster-id set is
+    * computed driver-side (bounded by k, the quantizer size — NOT by query
+    * or corpus count) and pushed into the scan as a partition filter, so
+    * unprobed inverted lists are never read. Ranking is the same
+    * broadcast-guarded exact-cosine re-rank as the in-memory
+    * [[KMeansIvf.search]] — the two paths return identical rows.
+    */
+  def probe(queries: DataFrame, dir: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = centroids(spark, dir)
+    val probed = queries
+      .select(explode(org.apache.spark.sql.graftx.VectorExprs
+        .nearest_centroids(col("embedding"), cents, nprobe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0))
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cluster").isin(probed.map(Int.box).toSeq: _*))
+    KMeansIvf.search(vecs, queries, cents, k, nprobe)
+  }
+}
