@@ -3662,6 +3662,40 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** Avro container round-trip (sources.Avro — built on the Avro core
+    * API): a typed orders projection out to deflate containers and back
+    * with an explicit schema, aggregated per priority with an order-free
+    * key xor + exact decimal money sum. The oracle aggregates the source
+    * directly — the hash matches only if every row and value survived the
+    * binary hop. Completes S10's alternate-format set with the Kafka/
+    * Hadoop interchange container.
+    */
+  private val qAvroRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("prio"),
+      col("o_orderdate").cast("string").as("odate"))
+    graft.sources.Avro.write(src, s"$tmp/a", numFiles = 4)
+    graft.sources.Avro.read(s, s"$tmp/a", src.schema)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(o_orderkey)").as("key_xor"),
+        sum(col("o_custkey")).as("cust_sum"),
+        sum(col("price").cast("decimal(18,4)")).cast("double").as("price_sum"),
+        max(col("odate")).as("last_date"))
+      .orderBy("prio")
+  }
+
+  private val avroRoundtripSql =
+    """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+      |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+      |  CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Persisted IVF index (similarity.IvfStore): corpus written
     * cluster-partitioned, probes prune to their nprobe inverted lists at
     * the SCAN (partition filter, plan-asserted in IvfStoreSpec). The query
@@ -5540,6 +5574,7 @@ object QueryCatalog {
     "q_subword_tokens" -> qSubwordTokens,
     "q_training_pipeline_v3" -> qTrainingPipelineV3,
     "q_ivf_store" -> qIvfStore,
+    "q_avro_roundtrip" -> qAvroRoundtrip,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5770,6 +5805,7 @@ object QueryCatalog {
     "q_subword_tokens" -> subwordTokensSqlGen,
     "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,
     "q_ivf_store" -> ivfStoreSql,
+    "q_avro_roundtrip" -> avroRoundtripSql,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,

@@ -24,5 +24,7 @@ object GraftFunctions {
       exprs => BandHashes(exprs.head, 4), "scala_udf")
     reg.createOrReplaceTempFunction("byte_entropy",
       exprs => ByteEntropy(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("subword_pieces",
+      exprs => SubwordPieces(exprs.head), "scala_udf")
   }
 }
