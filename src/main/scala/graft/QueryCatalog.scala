@@ -3662,6 +3662,31 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** The pure-SQL surface end to end: graft's native expressions reached
+    * through `spark.sql(...)` text (GraftFunctions registry) over a temp
+    * view — rolling_hash fingerprints and subword_pieces token accounting
+    * per language, hash-checked like any Column-API query. Proves a SQL-
+    * only client gets the same engine.
+    */
+  private val qSqlSurface: Q = (s, dir) => {
+    org.apache.spark.sql.graftx.GraftFunctions.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("docs_sql")
+    s.sql("""SELECT lang, COUNT(*) AS n,
+      CAST(bit_xor(rolling_hash(text)) AS BIGINT) AS fp_xor,
+      CAST(SUM(size(subword_pieces(text))) AS BIGINT) AS pieces
+      FROM docs_sql GROUP BY lang ORDER BY lang""")
+  }
+
+  private def sqlSurfaceSqlGen: String =
+    s"""WITH RECURSIVE ${subwordCtes("documents")}, np AS (
+       |  SELECT t.doc_id, SUM(len(d.pieces)) AS n_pieces
+       |  FROM toks t JOIN done d USING (word) GROUP BY t.doc_id)
+       |SELECT lang, COUNT(*) AS n,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS fp_xor,
+       |  CAST(SUM(COALESCE(np.n_pieces, 0)) AS BIGINT) AS pieces
+       |FROM documents LEFT JOIN np USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Avro container round-trip (sources.Avro — built on the Avro core
     * API): a typed orders projection out to deflate containers and back
     * with an explicit schema, aggregated per priority with an order-free
@@ -5575,6 +5600,7 @@ object QueryCatalog {
     "q_training_pipeline_v3" -> qTrainingPipelineV3,
     "q_ivf_store" -> qIvfStore,
     "q_avro_roundtrip" -> qAvroRoundtrip,
+    "q_sql_surface" -> qSqlSurface,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5806,6 +5832,7 @@ object QueryCatalog {
     "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,
     "q_ivf_store" -> ivfStoreSql,
     "q_avro_roundtrip" -> avroRoundtripSql,
+    "q_sql_surface" -> sqlSurfaceSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,
