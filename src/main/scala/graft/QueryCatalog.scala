@@ -3662,6 +3662,43 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** k-core peeling (operators.KCore) over the supplier–part bipartite
+    * graph: iterative degree-< k node deletion for a FIXED round count,
+    * with convergence reported in-band. The oracle replays every round as
+    * generated CTEs (the LabelPropagation discipline) — node set, edge
+    * count and the fixed-point flag are all hash-checked.
+    */
+  private val qKCore: Q = (s, dir) => {
+    val pairs = Tables.lineitem(s, dir)
+      .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+    operators.KCore.run(pairs, "a", "b", k = KCoreK, rounds = KCoreRounds)
+  }
+
+  private val KCoreK = 20
+  private val KCoreRounds = 4
+
+  private def kcoreSqlGen: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""n$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $KCoreK),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN n$i x ON e.src = x.src JOIN n$i y ON e.dst = y.src)""".stripMargin
+    }.mkString(",\n")
+    val last = s"e$KCoreRounds"
+    val prev = s"e${KCoreRounds - 1}"
+    s"""WITH p AS (
+       |  SELECT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem
+       |), e0 AS (
+       |  SELECT DISTINCT a AS src, b AS dst FROM p WHERE a <> b
+       |  UNION SELECT b AS src, a AS dst FROM p WHERE a <> b
+       |),
+       |$rounds
+       |SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+       |  CAST(bit_xor(DISTINCT src) AS BIGINT) AS node_xor,
+       |  CAST((SELECT COUNT(*) FROM $last WHERE src < dst) AS BIGINT) AS n_edges,
+       |  (SELECT COUNT(DISTINCT src) FROM $prev) = COUNT(DISTINCT src) AS converged
+       |FROM $last""".stripMargin
+  }
+
   /** The pure-SQL surface end to end: graft's native expressions reached
     * through `spark.sql(...)` text (GraftFunctions registry) over a temp
     * view — rolling_hash fingerprints and subword_pieces token accounting
@@ -5601,6 +5638,7 @@ object QueryCatalog {
     "q_ivf_store" -> qIvfStore,
     "q_avro_roundtrip" -> qAvroRoundtrip,
     "q_sql_surface" -> qSqlSurface,
+    "q_kcore" -> qKCore,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5833,6 +5871,7 @@ object QueryCatalog {
     "q_ivf_store" -> ivfStoreSql,
     "q_avro_roundtrip" -> avroRoundtripSql,
     "q_sql_surface" -> sqlSurfaceSqlGen,
+    "q_kcore" -> kcoreSqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,

@@ -480,6 +480,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("KCore: peels the tail, keeps the dense core, reports convergence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // K4 (complete graph on 1..4) plus a pendant path 4-5-6: 2-core = K4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val r = graft.operators.KCore.run(edges, "a", "b", k = 2, rounds = 4)
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("node_xor") === (1L ^ 2L ^ 3L ^ 4L))
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Boolean]("converged"))
+    // k higher than any degree: everything peels, still converged
+    val empty = graft.operators.KCore.run(edges, "a", "b", k = 10, rounds = 3)
+      .collect().head
+    assert(empty.getAs[Long]("n_nodes") === 0L)
+    assert(empty.getAs[Boolean]("converged"))
+  }
+
   test("SkewAgg: salted two-phase aggregate equals the plain aggregate") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
