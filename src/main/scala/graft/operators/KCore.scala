@@ -35,15 +35,19 @@ object KCore {
       .localCheckpoint()
     var prevNodes = -1L
     var lastNodes = 0L
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
       val pruned = edges
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
-      prevNodes = lastNodes
-      lastNodes = pruned.select(col("src")).distinct().count()
+      // the fixed-point check only compares the LAST two rounds — earlier
+      // rounds need no extra action beyond the checkpoint materialization
+      if (i >= rounds - 1) {
+        prevNodes = lastNodes
+        lastNodes = pruned.select(col("src")).distinct().count()
+      }
       edges = pruned
     }
     val nodes = edges.select(col("src").as("node")).distinct()
