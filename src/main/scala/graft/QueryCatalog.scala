@@ -3662,6 +3662,37 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** Key-skew diagnostics: the pre-flight a 100 TB join/agg runs to decide
+    * whether to salt — per-key count distribution (median/p99/max), the
+    * hottest key's share, and the suggested salt factor
+    * (⌈max_key_rows / mean_key_rows⌉ — how many ways the hottest key must
+    * split to look average). One aggregate over the key histogram; the
+    * histogram itself is the partial-agg'd groupBy.
+    */
+  private val qSkewStats: Q = (s, dir) => {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("c"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_key_rows"),
+        expr("percentile(c, 0.5)").as("p50"),
+        expr("percentile(c, 0.99)").as("p99"))
+      .withColumn("suggested_salts",
+        ceil(col("max_key_rows") * col("n_keys") / col("n_rows")).cast("long"))
+  }
+
+  private val skewStatsSql =
+    """WITH h AS (SELECT l_suppkey AS key, COUNT(*) AS c FROM lineitem GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows,
+      |  CAST(MAX(c) AS BIGINT) AS max_key_rows,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS p50,
+      |  percentile_cont(0.99) WITHIN GROUP (ORDER BY c) AS p99,
+      |  CAST(CEIL(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE)) AS BIGINT)
+      |    AS suggested_salts
+      |FROM h""".stripMargin
+
   /** k-core peeling (operators.KCore) over the supplier–part bipartite
     * graph: iterative degree-< k node deletion for a FIXED round count,
     * with convergence reported in-band. The oracle replays every round as
@@ -5639,6 +5670,7 @@ object QueryCatalog {
     "q_avro_roundtrip" -> qAvroRoundtrip,
     "q_sql_surface" -> qSqlSurface,
     "q_kcore" -> qKCore,
+    "q_skew_stats" -> qSkewStats,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5872,6 +5904,7 @@ object QueryCatalog {
     "q_avro_roundtrip" -> avroRoundtripSql,
     "q_sql_surface" -> sqlSurfaceSqlGen,
     "q_kcore" -> kcoreSqlGen,
+    "q_skew_stats" -> skewStatsSql,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,
