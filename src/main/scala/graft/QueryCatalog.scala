@@ -3662,6 +3662,32 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** Streaming classifier gate (streaming.DocsStream): the hashed-linear
+    * quality filter applied inside Structured Streaming (codegen
+    * inference per micro-batch, stateless), drained AvailableNow to
+    * parquet, then aggregated. The oracle replays the classifier over the
+    * batch table — the hash matches only if the stream passed exactly the
+    * batch-gated rows with identical scores.
+    */
+  private val qStreamClassify: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sclass").toString
+    streaming.DocsStream.classifyDrain(s, dir, s"$tmp/out", s"$tmp/ck")
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("id_xor"),
+        sum(col("w_sum")).as("w_total"))
+      .orderBy("lang")
+  }
+
+  private def streamClassifySqlGen: String =
+    s"""SELECT lang, COUNT(*) AS n,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+       |  CAST(SUM(score) AS BIGINT) AS w_total
+       |FROM (SELECT doc_id, lang,
+       |        ${graft.quality.LinearScorer.scoreSql("text")} AS score
+       |      FROM documents) t
+       |WHERE score > 0 GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Key-skew diagnostics: the pre-flight a 100 TB join/agg runs to decide
     * whether to salt — per-key count distribution (median/p99/max), the
     * hottest key's share, and the suggested salt factor
@@ -5559,7 +5585,7 @@ object QueryCatalog {
       "q_stream_sessions", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
-      "q_stream_dedup_hourly")
+      "q_stream_dedup_hourly", "q_stream_classify")
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
@@ -5671,6 +5697,7 @@ object QueryCatalog {
     "q_sql_surface" -> qSqlSurface,
     "q_kcore" -> qKCore,
     "q_skew_stats" -> qSkewStats,
+    "q_stream_classify" -> qStreamClassify,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5905,6 +5932,7 @@ object QueryCatalog {
     "q_sql_surface" -> sqlSurfaceSqlGen,
     "q_kcore" -> kcoreSqlGen,
     "q_skew_stats" -> skewStatsSql,
+    "q_stream_classify" -> streamClassifySqlGen,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,
