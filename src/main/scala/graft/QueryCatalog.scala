@@ -3662,6 +3662,69 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** Point-in-time join — the warehouse pattern of joining facts to the
+    * SCD2 dimension version valid AT fact time: Scd2.build produces the
+    * version history, simultaneous changes collapse to their final
+    * version, and the as-of join (one shuffle + in-partition sort)
+    * attaches each purchase's state. The oracle replays SCD2 and uses
+    * DuckDB's native ASOF JOIN — tie rules must agree exactly.
+    */
+  private val qPitJoin: Q = (s, dir) => {
+    val evRaw = Tables.events(s, dir)
+    // dimension: the user's last NON-purchase activity state — so each
+    // purchase attributes to what the user was doing when they bought
+    val versions = graft.etl.Scd2
+      .build(evRaw.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")), Seq("user_id"), "event_type", "ts", Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("version"),
+        unix_micros(col("valid_from")).as("tus"))
+    val dim = versions.groupBy(col("user_id"), col("tus"))
+      .agg(max(struct(col("version"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("tus"), col("m.event_type").as("state_type"))
+    val facts = evRaw.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+    operators.AsofJoin(facts, dim, "user_id", "tus", Seq("state_type"))
+      .groupBy(coalesce(col("asof_state_type"), lit("none")).as("state_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(event_id)").as("id_xor"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
+      .orderBy("state_type")
+  }
+
+  private val pitJoinSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type, value
+      |  FROM events
+      |), marked AS (
+      |  SELECT user_id, tus, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS prev_type
+      |  FROM ev WHERE event_type <> 'purchase'
+      |), changed AS (
+      |  SELECT user_id, tus, event_id, event_type FROM marked
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |), versions AS (
+      |  SELECT user_id, event_type,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS BIGINT) AS version,
+      |    tus AS from_us
+      |  FROM changed
+      |), dim AS (
+      |  SELECT user_id, from_us, arg_max(event_type, version) AS state_type
+      |  FROM versions GROUP BY 1, 2
+      |), facts AS (
+      |  SELECT user_id, tus, event_id, CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT COALESCE(d.state_type, 'none') AS state_type, COUNT(*) AS n,
+      |  CAST(bit_xor(f.event_id) AS BIGINT) AS id_xor,
+      |  CAST(SUM(f.v) AS DOUBLE) AS val_sum
+      |FROM facts f ASOF LEFT JOIN dim d
+      |  ON f.user_id = d.user_id AND f.tus >= d.from_us
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming classifier gate (streaming.DocsStream): the hashed-linear
     * quality filter applied inside Structured Streaming (codegen
     * inference per micro-batch, stateless), drained AvailableNow to
@@ -5698,6 +5761,7 @@ object QueryCatalog {
     "q_kcore" -> qKCore,
     "q_skew_stats" -> qSkewStats,
     "q_stream_classify" -> qStreamClassify,
+    "q_pit_join" -> qPitJoin,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -5933,6 +5997,7 @@ object QueryCatalog {
     "q_kcore" -> kcoreSqlGen,
     "q_skew_stats" -> skewStatsSql,
     "q_stream_classify" -> streamClassifySqlGen,
+    "q_pit_join" -> pitJoinSql,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,
