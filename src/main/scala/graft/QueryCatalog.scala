@@ -2056,9 +2056,11 @@ object QueryCatalog {
       .groupBy("component").agg(min(col("name")).as("cname"))
     val resolved = withComp.join(canon, Seq("component"), "left")
       .select(col("name"), coalesce(col("cname"), col("name")).as("canonical"))
+    // cluster size via a window on the canonical partitioning (degree-
+    // bounded groups) — one shuffle, where groupBy+join back costs two
     resolved
-      .join(resolved.groupBy(col("canonical")).agg(count(lit(1)).as("n_members")),
-        Seq("canonical"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("canonical"))))
       .select(col("name"), col("canonical"), col("n_members"))
       .orderBy("name")
   }
