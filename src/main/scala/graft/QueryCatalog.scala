@@ -3664,6 +3664,56 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** Incremental corpus ingestion — the reference's incremental-backup
+    * discipline applied to the training pipeline: wave 1 (older docs) is
+    * deduped and its 16-byte fingerprint index PERSISTED; wave 2 processes
+    * ONLY new docs, deduping within itself and against the index (an
+    * anti join on longs — historical text is never refetched), then
+    * appends. The result is provably identical to batch-deduping the full
+    * corpus (min-id canonical + id-ordered waves commute), which is
+    * exactly what the oracle checks.
+    */
+  private val qIncrementalCorpus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val split = 250L
+    val wave1 = docs.filter(col("doc_id") < split)
+    val wave2 = docs.filter(col("doc_id") >= split)
+    // wave 1: dedup, persist canon + fingerprint index
+    Dedup.exactByFingerprint(wave1)
+      .select(col("fp"), col("canonical_id"))
+      .write.mode("overwrite").parquet(s"$tmp/fp_index")
+    wave1.join(
+        Dedup.exactByFingerprint(wave1).select(col("canonical_id").as("doc_id")),
+        "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/corpus")
+    // wave 2 (later run): known fingerprints excluded via the index —
+    // only (long, long) rows shuffle, no historical text
+    val idx = s.read.parquet(s"$tmp/fp_index").select(col("fp"))
+    val w2canon = Dedup.exactByFingerprint(wave2)
+      .join(idx, Seq("fp"), "left_anti")
+      .select(col("canonical_id").as("doc_id"))
+    wave2.join(w2canon, "doc_id")
+      .write.mode("append").parquet(s"$tmp/corpus")
+    // accounting over the incrementally-built corpus
+    s.read.parquet(s"$tmp/corpus")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("id_xor"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: batch dedup of the FULL corpus (min doc_id per text). */
+  private val incrementalCorpusSql =
+    """WITH canon AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents JOIN canon USING (doc_id)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Point-in-time join — the warehouse pattern of joining facts to the
     * SCD2 dimension version valid AT fact time: Scd2.build produces the
     * version history, simultaneous changes collapse to their final
@@ -5764,6 +5814,7 @@ object QueryCatalog {
     "q_skew_stats" -> qSkewStats,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
+    "q_incremental_corpus" -> qIncrementalCorpus,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -6000,6 +6051,7 @@ object QueryCatalog {
     "q_skew_stats" -> skewStatsSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
+    "q_incremental_corpus" -> incrementalCorpusSql,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,
