@@ -4045,6 +4045,23 @@ object QueryCatalog {
 
   private val graphAnnSql = knnGraphSql
 
+  /** Hierarchical (HNSW-shape) graph ANN (similarity.HnswAnn): nested
+    * 1-in-4 decimated layers, kNN graph per layer, search descends from
+    * the sparsest layer — entries for each layer come from the layer
+    * above, not LSH buckets. Same recall contract as `q_graph_ann`.
+    */
+  private val qAnnHnsw: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val layers = similarity.HnswAnn.build(emb, layers = 3, k = 8, rounds = 2)
+    val queries = emb.filter(col("vec_id") < 25)
+    val res = similarity.HnswAnn.search(layers, queries,
+      k = 5, beam = 12, hopsPerLayer = 2)
+    recallCheck(queries, res.select(col("query_id"), col("neighbor_id")),
+      Similarity.bruteForceTopK(emb, queries, k = 5), bound = 0.6)
+  }
+
+  private val annHnswSql = knnGraphSql
+
   // ------------------------------------------------------------ multimodal
 
   private val qMultimodalMeta: Q = (s, dir) =>
@@ -5815,6 +5832,7 @@ object QueryCatalog {
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
+    "q_ann_hnsw" -> qAnnHnsw,
     "q_jsonl_corrupt" -> qJsonlCorrupt,
     "q_seq_packing" -> qSeqPacking,
     "q_alpha_sampling" -> qAlphaSampling,
@@ -6052,6 +6070,7 @@ object QueryCatalog {
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,
+    "q_ann_hnsw" -> annHnswSql,
     "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_seq_packing" -> seqPackingSql,
     "q_alpha_sampling" -> alphaSamplingSql,

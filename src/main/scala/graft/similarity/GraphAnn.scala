@@ -36,7 +36,6 @@ object GraphAnn {
       k: Int, beam: Int, hops: Int): DataFrame = {
     val v = corpus.select(col("vec_id"), col("embedding"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-
     val qb = q.select(col("query_id"), lshBucket(col("qv")).as("bucket"))
     val cb = v.select(col("vec_id").as("cand"), lshBucket(col("embedding")).as("bucket"))
     val bucketEntries = qb.join(cb, Seq("bucket"))
@@ -44,6 +43,18 @@ object GraphAnn {
     val fixedEntries = q.select(col("query_id"))
       .crossJoin(broadcast(
         v.orderBy(col("vec_id").asc).limit(4).select(col("vec_id").as("cand"))))
+    searchFrom(graph, corpus, queries,
+      bucketEntries.unionByName(fixedEntries), k, beam, hops)
+  }
+
+  /** Beam search from caller-provided entry candidates (query_id, cand) —
+    * the layer-descent primitive [[HnswAnn]] composes: entries come from
+    * the coarser layer's result instead of LSH buckets.
+    */
+  def searchFrom(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      entries: DataFrame, k: Int, beam: Int, hops: Int): DataFrame = {
+    val v = corpus.select(col("vec_id"), col("embedding"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
     // same shuffle discipline as KnnGraph.scoreTopK: dedup + embedding
     // attach share the cand partitioning, the query attach reshuffles by
@@ -59,7 +70,7 @@ object GraphAnn {
         .select(col("query_id"), col("cand"), col("cos"))
     }
 
-    var frontier = topBeam(bucketEntries.unionByName(fixedEntries), beam)
+    var frontier = topBeam(entries, beam)
       .localCheckpoint()
     for (_ <- 1 to hops) {
       val expanded = frontier.select(col("query_id"), col("cand").as("src"))

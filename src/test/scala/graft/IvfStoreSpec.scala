@@ -25,6 +25,16 @@ class IvfStoreSpec extends SparkSpec {
       cents.map(_.toSeq).toSeq)
   }
 
+  test("HnswAnn layers are nested and geometrically sparser") {
+    import graft.similarity.HnswAnn
+    val l0 = HnswAnn.layerCorpus(emb, 0).select("vec_id").collect().map(_.getLong(0)).toSet
+    val l1 = HnswAnn.layerCorpus(emb, 1).select("vec_id").collect().map(_.getLong(0)).toSet
+    val l2 = HnswAnn.layerCorpus(emb, 2).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(l2.subsetOf(l1) && l1.subsetOf(l0))
+    assert(l1.size < l0.size && l2.size < l1.size)
+    assert(l1.nonEmpty)
+  }
+
   test("probe prunes to the probed inverted lists at the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfstore-t2").toString
     IvfStore.build(emb, tmp, cents)
