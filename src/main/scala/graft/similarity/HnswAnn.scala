@@ -39,6 +39,17 @@ object HnswAnn {
       (KnnGraph.build(c, k, rounds), c)
     }
 
+  /** Layers on top of an existing bottom-layer graph (the expensive one —
+    * callers typically already maintain the corpus kNN graph; the upper
+    * layers cost a geometric fraction of it).
+    */
+  def buildAbove(corpus: DataFrame, bottomGraph: DataFrame, layers: Int,
+      k: Int, rounds: Int): Seq[(DataFrame, DataFrame)] =
+    (bottomGraph, corpus) +: (1 until layers).map { i =>
+      val c = layerCorpus(corpus, i)
+      (KnnGraph.build(c, k, rounds), c)
+    }
+
   /** Top-k per query by layered descent: fixed entries on the sparsest
     * layer, each layer's beam seeds the next finer layer.
     */
@@ -52,8 +63,10 @@ object HnswAnn {
     var result: DataFrame = null
     for (((g, c), i) <- layerGraphs.zipWithIndex.reverse) {
       val kk = if (i == 0) k else beam
-      result = GraphAnn.searchFrom(g, c, queries, entries, kk, beam,
-        hopsPerLayer)
+      // upper layers only LOCALIZE the query — one hop each; the bottom
+      // layer does the configured refinement hops
+      val hops = if (i == 0) hopsPerLayer else 1
+      result = GraphAnn.searchFrom(g, c, queries, entries, kk, beam, hops)
       // descend: this layer's beam becomes the finer layer's entries
       // (layer members exist in every finer layer — nested decimation)
       entries = result.select(col("query_id"), col("neighbor_id").as("cand"))
