@@ -34,6 +34,10 @@ object LabelPropagation {
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      // pin the checkpoint on the JOIN key: distinct leaves (src,dst)
+      // hash partitioning, which every round's dst-join would reshuffle;
+      // partitioned by dst, only the (small) label side moves per round
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
