@@ -39,8 +39,10 @@ object Warc {
 
   private val CRLF = "\r\n"
 
-  /** Serialize one record: WARC/1.0 header block + Content-Length payload. */
-  private def record(doc: WarcDoc): Array[Byte] = {
+  /** Serialize one record: WARC/1.0 header block + Content-Length payload.
+    * Package-visible so PropertySpec can round-trip it against [[parse]].
+    */
+  private[graft] def record(doc: WarcDoc): Array[Byte] = {
     val payload = doc.text.getBytes(UTF_8)
     val header =
       s"""WARC/1.0${CRLF}WARC-Type: resource${CRLF}WARC-Record-ID: <urn:graft:doc:${doc.doc_id}>${CRLF}WARC-Target-URI: urn:graft:${doc.source}:${doc.doc_id}${CRLF}WARC-Graft-Lang: ${doc.lang}${CRLF}WARC-Graft-Source: ${doc.source}${CRLF}Content-Type: text/plain${CRLF}Content-Length: ${payload.length}${CRLF}${CRLF}"""

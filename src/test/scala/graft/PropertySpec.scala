@@ -76,4 +76,34 @@ class PropertySpec extends SparkSpec {
       assert(TypeMapping.verticaToSpark(TypeMapping.sparkToVertica(d)) == d)
     }
   }
+
+  test("WARC record framing round-trips arbitrary unicode payloads") {
+    import graft.sources.Warc
+    import graft.sources.Warc.WarcDoc
+    val payload: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\r', '\n', ' ', 'é', '中', '\t'),
+      Gen.const('W'))).map(_.mkString)
+    val doc: Gen[WarcDoc] = for {
+      id <- Gen.choose(0L, Long.MaxValue)
+      lang <- Gen.oneOf("en", "de", "zh")
+      src <- Gen.oneOf("web", "books")
+      t <- payload
+    } yield WarcDoc(id, lang, src, t)
+    for (docs <- cases(Gen.nonEmptyListOf(doc), n = 120)) {
+      // one in-memory archive: records concatenated exactly as the sink does
+      val bytes = docs.toArray.flatMap(Warc.record)
+      assert(Warc.parse(bytes).toList === docs)
+    }
+  }
+
+  test("subword tokenization is total and lossless on arbitrary text") {
+    import org.apache.spark.sql.graftx.WordPiece
+    val anyWord: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('!', '?', '~', 'é', '中'))).map(_.mkString)
+    for (w <- cases(anyWord)) {
+      val pieces = WordPiece.tokenizeWord(w)
+      assert(pieces.mkString("") === w)
+      assert(pieces.forall(_.nonEmpty))
+    }
+  }
 }
