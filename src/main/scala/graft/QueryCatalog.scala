@@ -3834,6 +3834,65 @@ object QueryCatalog {
       |    AS suggested_salts
       |FROM h""".stripMargin
 
+  /** AQE skew-join: the runtime complement of the manual SaltedJoin. A
+    * deliberately skewed fact (≈3/4 of lineitem lands on one join key) is
+    * joined to a tiny dim with broadcast DISABLED, so the planner picks a
+    * shuffled join and AQE's OptimizeSkewedJoin must split the oversized
+    * partition at runtime from map-output statistics — the 100 TB answer
+    * when the skewed keys aren't known in advance (SaltedJoin is the
+    * static answer when they are). The query executes once internally on
+    * an isolated session (tuned skew thresholds; `newSession` shares the
+    * SparkContext but not the SQLConf, so sibling queries are untouched)
+    * and emits `skew_split` — whether the final adaptive plan actually
+    * split the skewed partition — as oracle-comparable data alongside the
+    * join aggregate itself. The hash matches only if the skew handling
+    * both fired AND preserved the exact join semantics.
+    */
+  private val qAqeSkewJoin: Q = (s0, dir) => {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "16384")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    // round-robin pre-repartition models a real cluster's many map tasks:
+    // AQE splits a skewed reduce partition at MAPPER granularity, so a
+    // single-file local scan (one mapper) would leave nothing to split
+    val li = Tables.lineitem(s, dir).select(
+      when(col("l_orderkey") % 4 =!= 0, lit(0L))
+        .otherwise(col("l_orderkey") % 31 + 1).as("skew_key"),
+      col("l_extendedprice"), col("l_quantity")).repartition(8)
+    val dim = s.range(0, 32).select(col("id").as("skew_key"),
+      concat(lit("grp_"), (col("id") % 4).cast("string")).as("grp"))
+    val agg = li.join(dim, "skew_key")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("rev"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+    agg.collect() // materialize so AQE finalizes the adaptive plan
+    val split = agg.queryExecution.executedPlan.toString.contains("skew=true")
+    agg.withColumn("skew_split", lit(split)).orderBy("grp")
+  }
+
+  private val aqeSkewJoinSql =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+      |              ELSE l_orderkey % 31 + 1 END AS skew_key,
+      |         l_extendedprice, l_quantity
+      |  FROM lineitem
+      |), dim AS (
+      |  SELECT i AS skew_key, 'grp_' || CAST(i % 4 AS VARCHAR) AS grp
+      |  FROM range(0, 32) t(i)
+      |)
+      |SELECT grp, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+      |  TRUE AS skew_split
+      |FROM li JOIN dim USING (skew_key)
+      |GROUP BY grp ORDER BY grp""".stripMargin
+
   /** k-core peeling (operators.KCore) over the supplier–part bipartite
     * graph: iterative degree-< k node deletion for a FIXED round count,
     * with convergence reported in-band. The oracle replays every round as
@@ -3929,6 +3988,161 @@ object QueryCatalog {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
       |  CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Protobuf wire-format round-trip (sources.ProtoWire): a typed lineitem
+    * projection out to gzip'd length-delimited protobuf containers and
+    * back with an explicit schema. The derived `days_off` column goes
+    * negative for roughly half the rows, so the zigzag varint path is
+    * exercised on real data, not just in the spec. The oracle aggregates
+    * the source directly — the hash matches only if every row and value
+    * survived the wire encoding. Completes S10's alternate-format set with
+    * the RPC-ingest interchange framing.
+    */
+  private val qProtoRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-proto").toString
+    val src = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty"), col("l_returnflag").as("flag"),
+      datediff(to_date(col("l_shipdate")), lit("1995-06-17")).cast("long")
+        .as("days_off"))
+    graft.sources.ProtoWire.write(src, s"$tmp/p", numFiles = 4)
+    graft.sources.ProtoWire.read(s, s"$tmp/p", src.schema)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(l_orderkey)").as("key_xor"),
+        sum(col("qty").cast("decimal(18,4)")).cast("double").as("qty_sum"),
+        sum(col("days_off")).as("days_sum"),
+        min(col("days_off")).as("days_min"),
+        max(col("l_linenumber")).as("line_max"))
+      .orderBy("flag")
+  }
+
+  private val protoRoundtripSql =
+    """SELECT l_returnflag AS flag, COUNT(*) AS n,
+      |  CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum,
+      |  CAST(SUM(date_diff('day', DATE '1995-06-17',
+      |    CAST(l_shipdate AS DATE))) AS BIGINT) AS days_sum,
+      |  CAST(MIN(date_diff('day', DATE '1995-06-17',
+      |    CAST(l_shipdate AS DATE))) AS BIGINT) AS days_min,
+      |  MAX(l_linenumber) AS line_max
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Replica reconciliation (operators.Reconcile): the 100 TB upgrade of
+    * the reference's post-copy rowcount validation. A corrupted replica of
+    * orders (keys ≡7 mod 1000 dropped, prices ≡13 mod 1000 bumped) is
+    * reconciled against the source via per-bucket (count, fingerprint-xor)
+    * digests; only disagreeing buckets ship rows into the row-level diff.
+    * The oracle finds the true diff set INDEPENDENTLY — it replays the
+    * corruption and compares values directly, never fingerprints — so the
+    * hash matches only if the digest path finds exactly the real
+    * discrepancies (a fingerprint collision or bucket error would surface).
+    * Prices are quantized to integer cents before fingerprinting so the
+    * canonical rendering is engine-portable.
+    */
+  private val qReplicaReconcile: Q = (s, dir) => {
+    val n = 64
+    val src = Tables.orders(s, dir).select(col("o_orderkey").as("key"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val rep = src.filter(col("key") % 1000 =!= 7)
+      .withColumn("cents",
+        when(col("key") % 1000 === 13, col("cents") + 100L)
+          .otherwise(col("cents")))
+    def proj(df: DataFrame) = df.select(col("key"),
+      operators.Reconcile.fingerprint(col("key"), col("cents")).as("fp"))
+    val diffs = operators.Reconcile.rowDiff(proj(src), proj(rep), n)
+    val byKind = diffs.groupBy("kind")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(key)").as("key_xor"),
+        min(col("key")).as("key_min"), max(col("key")).as("key_max"))
+    val buckets = operators.Reconcile.bucketDiff(proj(src), proj(rep), n)
+      .agg(count(lit(1)).as("n"), expr("bit_xor(bucket)").as("key_xor"),
+        min(col("bucket")).as("key_min"), max(col("bucket")).as("key_max"))
+      .select(lit("bucket_mismatch").as("kind"), col("n"), col("key_xor"),
+        col("key_min"), col("key_max"))
+    byKind.unionByName(buckets).orderBy("kind")
+  }
+
+  private val replicaReconcileSql =
+    """WITH src AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), rep AS (
+      |  SELECT key, CASE WHEN key % 1000 = 13 THEN cents + 100
+      |                   ELSE cents END AS cents
+      |  FROM src WHERE key % 1000 <> 7
+      |), diffs AS (
+      |  SELECT 'only_left' AS kind, key FROM src
+      |  WHERE key NOT IN (SELECT key FROM rep)
+      |  UNION ALL
+      |  SELECT 'changed' AS kind, s.key FROM src s JOIN rep r USING (key)
+      |  WHERE s.cents <> r.cents
+      |)
+      |SELECT kind, COUNT(*) AS n, CAST(bit_xor(key) AS BIGINT) AS key_xor,
+      |  MIN(key) AS key_min, MAX(key) AS key_max
+      |FROM diffs GROUP BY kind
+      |UNION ALL
+      |SELECT 'bucket_mismatch' AS kind, COUNT(*) AS n,
+      |  CAST(bit_xor(b) AS BIGINT) AS key_xor, MIN(b) AS key_min,
+      |  MAX(b) AS key_max
+      |FROM (SELECT DISTINCT key % 64 AS b FROM diffs) t
+      |ORDER BY kind""".stripMargin
+
+  /** Dense surrogate-key dictionary (operators.DictEncode) — the
+    * scale-correct replacement for Vertica sequence/nextval (F4): sorted
+    * range-partitioned distinct terms, ids = per-partition offset + local
+    * index (the zipWithIndex shape), NO global window. Built on an
+    * even-customers wave, then extended with all customers + suppliers —
+    * `extend` must keep wave-1 ids stable (anti-join) and continue densely
+    * after max(id). The oracle replays both waves with ROW_NUMBER (fine at
+    * oracle scale); `bind_sum` multiplies each id by the numeric suffix of
+    * its term, so a single swapped assignment breaks the hash.
+    */
+  private val qDictEncode: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val wave1 = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_name").as("term"))
+    val wave2 = cust.select(col("c_name").as("term"))
+      .unionByName(supp.select(col("s_name").as("term")))
+    val dict = operators.DictEncode.extend(
+      operators.DictEncode.build(wave1, "term"), wave2, "term")
+    dict.groupBy(substring(col("term"), 1, 8).as("entity"))
+      .agg(count(lit(1)).as("n"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        expr("bit_xor(id)").as("id_xor"),
+        sum(col("id") * substring(col("term"), 10, 9).cast("long"))
+          .as("bind_sum"))
+      .orderBy("entity")
+  }
+
+  private val dictEncodeSql =
+    """WITH w1 AS (
+      |  SELECT DISTINCT c_name AS term FROM customer WHERE c_custkey % 2 = 0
+      |), d1 AS (
+      |  SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS id FROM w1
+      |), w2 AS (
+      |  SELECT c_name AS term FROM customer
+      |  UNION SELECT s_name AS term FROM supplier
+      |), nw AS (
+      |  SELECT DISTINCT term FROM w2
+      |  WHERE term NOT IN (SELECT term FROM d1) AND term <> ''
+      |), base AS (
+      |  SELECT COALESCE(MAX(id), -1) + 1 AS b FROM d1
+      |), d2 AS (
+      |  SELECT term,
+      |    (SELECT b FROM base) + ROW_NUMBER() OVER (ORDER BY term) - 1 AS id
+      |  FROM nw
+      |), dict AS (
+      |  SELECT term, id FROM d1 UNION ALL SELECT term, id FROM d2
+      |)
+      |SELECT substr(term, 1, 8) AS entity, COUNT(*) AS n,
+      |  CAST(MIN(id) AS BIGINT) AS min_id,
+      |  CAST(MAX(id) AS BIGINT) AS max_id,
+      |  CAST(bit_xor(id) AS BIGINT) AS id_xor,
+      |  CAST(SUM(id * CAST(substr(term, 10, 9) AS BIGINT)) AS BIGINT)
+      |    AS bind_sum
+      |FROM dict GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Persisted IVF index (similarity.IvfStore): corpus written
     * cluster-partitioned, probes prune to their nprobe inverted lists at
@@ -5833,9 +6047,13 @@ object QueryCatalog {
     "q_training_pipeline_v3" -> qTrainingPipelineV3,
     "q_ivf_store" -> qIvfStore,
     "q_avro_roundtrip" -> qAvroRoundtrip,
+    "q_proto_roundtrip" -> qProtoRoundtrip,
+    "q_dict_encode" -> qDictEncode,
+    "q_replica_reconcile" -> qReplicaReconcile,
     "q_sql_surface" -> qSqlSurface,
     "q_kcore" -> qKCore,
     "q_skew_stats" -> qSkewStats,
+    "q_aqe_skew_join" -> qAqeSkewJoin,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6071,9 +6289,13 @@ object QueryCatalog {
     "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,
     "q_ivf_store" -> ivfStoreSql,
     "q_avro_roundtrip" -> avroRoundtripSql,
+    "q_proto_roundtrip" -> protoRoundtripSql,
+    "q_dict_encode" -> dictEncodeSql,
+    "q_replica_reconcile" -> replicaReconcileSql,
     "q_sql_surface" -> sqlSurfaceSqlGen,
     "q_kcore" -> kcoreSqlGen,
     "q_skew_stats" -> skewStatsSql,
+    "q_aqe_skew_join" -> aqeSkewJoinSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,

@@ -512,4 +512,55 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("key").collect()
     assert(salted.sameElements(plain))
   }
+
+  test("dict encode: dense lexicographic ids, stable under extension") {
+    import spark.implicits._
+    val w1 = Seq("pear", "apple", "fig", "apple", "", "fig").toDF("term")
+    val d1 = operators.DictEncode.build(w1, "term")
+      .orderBy("id").collect().map(r => r.getString(0) -> r.getLong(1))
+    // dense 0..n-1, sorted, empties dropped, duplicates collapsed
+    assert(d1.toSeq === Seq("apple" -> 0L, "fig" -> 1L, "pear" -> 2L))
+    val w2 = Seq("fig", "banana", "quince", "apple").toDF("term")
+    val d2 = operators.DictEncode
+      .extend(operators.DictEncode.build(w1, "term"), w2, "term")
+      .orderBy("id").collect().map(r => r.getString(0) -> r.getLong(1))
+    // wave-1 ids untouched; fresh terms dense after max(id), sorted
+    assert(d2.toSeq === Seq("apple" -> 0L, "fig" -> 1L, "pear" -> 2L,
+      "banana" -> 3L, "quince" -> 4L))
+    // extending an empty dict is a plain build
+    val d0 = operators.DictEncode.extend(
+      operators.DictEncode.build(Seq.empty[String].toDF("term"), "term"),
+      w2, "term").orderBy("id").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(d0.toSeq === Seq("apple" -> 0L, "banana" -> 1L, "fig" -> 2L,
+      "quince" -> 3L))
+    // encode joins facts to ids; unseen terms stay null
+    val facts = Seq(("pear", 10), ("mystery", 20)).toDF("term", "v")
+    val enc = operators.DictEncode
+      .encode(facts, operators.DictEncode.build(w1, "term"), "term")
+      .orderBy("v").collect()
+    assert(enc(0).getLong(2) === 2L && enc(1).isNullAt(2))
+  }
+
+  test("reconcile: bucket digests find exactly the dropped/added/changed rows") {
+    import spark.implicits._
+    import operators.Reconcile
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(col("key"),
+      Reconcile.fingerprint(col("key"), col("v")).as("fp"))
+    val src = (1L to 1000L).map(k => (k, k * 3)).toDF("key", "v")
+    // replica: drop 7, change 500's value, add 2001
+    val rep = src.filter(col("key") =!= 7L)
+      .withColumn("v", when(col("key") === 500L, lit(-1L)).otherwise(col("v")))
+      .unionByName(Seq((2001L, 9L)).toDF("key", "v"))
+    val diffs = Reconcile.rowDiff(proj(src), proj(rep), nBuckets = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(diffs === Set("only_left" -> 7L, "changed" -> 500L,
+      "only_right" -> 2001L))
+    // identical replicas: zero mismatched buckets, empty diff
+    assert(Reconcile.bucketDiff(proj(src), proj(src), 16).count() === 0L)
+    assert(Reconcile.rowDiff(proj(src), proj(src), 16).count() === 0L)
+    // the mismatched-bucket set is exactly the diffs' buckets
+    val bad = Reconcile.bucketDiff(proj(src), proj(rep), 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad === Set(7L % 16, 500L % 16, 2001L % 16))
+  }
 }

@@ -215,4 +215,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
     assert(p.contains("Project"), p)
   }
+
+  test("AQE splits the skewed join partition at runtime and keeps semantics") {
+    import org.apache.spark.sql.functions._
+    val rows = QueryCatalog.queries("q_aqe_skew_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("skew_split"),
+        "OptimizeSkewedJoin did not fire on the skewed fact partition")
+    }
+    // semantics: identical to the plain (untuned) join on the main session
+    val li = Tables.lineitem(spark, sf).select(
+      when(col("l_orderkey") % 4 =!= 0, lit(0L))
+        .otherwise(col("l_orderkey") % 31 + 1).as("skew_key"),
+      col("l_extendedprice"), col("l_quantity"))
+    val dim = spark.range(0, 32).select(col("id").as("skew_key"),
+      concat(lit("grp_"), (col("id") % 4).cast("string")).as("grp"))
+    val plain = li.join(dim, "skew_key").groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("rev"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+      .orderBy("grp").collect()
+    val got = rows.map(r => (r.getAs[String]("grp"), r.getAs[Long]("n"),
+      r.getAs[Double]("rev"), r.getAs[Double]("qty"))).toSeq
+    val want = plain.map(r => (r.getAs[String]("grp"), r.getAs[Long]("n"),
+      r.getAs[Double]("rev"), r.getAs[Double]("qty"))).toSeq
+    assert(got === want)
+  }
 }
