@@ -3871,9 +3871,19 @@ object QueryCatalog {
         sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
           .as("rev"),
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
-    agg.collect() // materialize so AQE finalizes the adaptive plan
-    val split = agg.queryExecution.executedPlan.toString.contains("skew=true")
-    agg.withColumn("skew_split", lit(split)).orderBy("grp")
+    // one materializing action finalizes the adaptive plan AND yields the
+    // 4-row result; returning it as local rows avoids re-running the join
+    // when the caller executes the returned frame
+    val ordered = agg.orderBy("grp")
+    val rows = ordered.collect()
+    val split =
+      ordered.queryExecution.executedPlan.toString.contains("skew=true")
+    import scala.jdk.CollectionConverters._
+    val out = rows.map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ split)).toSeq.asJava
+    s.createDataFrame(out, org.apache.spark.sql.types.StructType(
+      agg.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "skew_split", org.apache.spark.sql.types.BooleanType, nullable = false)))
   }
 
   private val aqeSkewJoinSql =
