@@ -47,6 +47,24 @@ object Reconcile {
       .select(col("bucket"))
   }
 
+  /** Converge the replica: drop rows the source doesn't have, take the
+    * source's version of missing/changed rows. `leftFull`/`rightFull` are
+    * the full-row tables (any payload columns) keyed by `key`; `diffs` is
+    * [[rowDiff]]'s output. Ships only diff keys + their source rows — the
+    * repair volume is the damage volume, never the table volume. A second
+    * [[bucketDiff]] over the repaired replica returning zero rows closes
+    * the anti-entropy loop (asserted in OperatorsSpec).
+    */
+  def repair(leftFull: DataFrame, rightFull: DataFrame,
+      diffs: DataFrame): DataFrame = {
+    val drop = diffs.filter(col("kind") === "only_right" ||
+      col("kind") === "changed").select("key")
+    val take = diffs.filter(col("kind") === "only_left" ||
+      col("kind") === "changed").select("key")
+    rightFull.join(drop, Seq("key"), "left_anti")
+      .unionByName(leftFull.join(take, Seq("key"), "left_semi"))
+  }
+
   /** Row-level diff restricted to the mismatched buckets: (kind, key) with
     * kind ∈ only_left / only_right / changed.
     */

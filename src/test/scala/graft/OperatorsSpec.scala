@@ -562,5 +562,11 @@ class OperatorsSpec extends SparkSpec {
     val bad = Reconcile.bucketDiff(proj(src), proj(rep), 16)
       .collect().map(_.getLong(0)).toSet
     assert(bad === Set(7L % 16, 500L % 16, 2001L % 16))
+    // repair converges the replica: digests agree, values equal the source
+    val repaired = Reconcile.repair(src, rep,
+      Reconcile.rowDiff(proj(src), proj(rep), 16))
+    assert(Reconcile.bucketDiff(proj(src), proj(repaired), 16).count() === 0L)
+    assert(repaired.exceptAll(src).count() === 0L &&
+      src.exceptAll(repaired).count() === 0L)
   }
 }
