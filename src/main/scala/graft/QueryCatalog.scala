@@ -3834,6 +3834,41 @@ object QueryCatalog {
       |    AS suggested_salts
       |FROM h""".stripMargin
 
+  /** Join-cardinality estimation from per-key histograms — the planning
+    * companion of q_skew_stats. |A ⋈ B| on a key equals Σ_k cA(k)·cB(k),
+    * computable from two input-sized aggregates WITHOUT materializing the
+    * join — at 100 TB that is the difference between sizing a
+    * possibly-exploding self-join and running it to find out. Sized here:
+    * the lineitem partkey self-join (the q17 shape). Emits exact output
+    * rows, the hottest key's contribution, and the integer-math strategy
+    * verdict a driver would act on (salt the hot keys vs plain shuffle).
+    */
+  private val qJoinCardinality: Q = (s, dir) => {
+    val perKey = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("c"))
+    perKey.agg(
+        sum(col("c") * col("c")).as("join_rows"),
+        max(col("c") * col("c")).as("max_key_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("input_rows"))
+      .select(col("join_rows"), col("max_key_rows"), col("n_keys"),
+        col("input_rows"),
+        when(col("max_key_rows") * 20 > col("join_rows"), "salt_hot_keys")
+          .otherwise("shuffle_ok").as("strategy"))
+  }
+
+  private val joinCardinalitySql =
+    """WITH h AS (
+      |  SELECT l_partkey AS key, COUNT(*) AS c FROM lineitem GROUP BY 1
+      |)
+      |SELECT CAST(SUM(c * c) AS BIGINT) AS join_rows,
+      |  CAST(MAX(c * c) AS BIGINT) AS max_key_rows,
+      |  COUNT(*) AS n_keys,
+      |  CAST(SUM(c) AS BIGINT) AS input_rows,
+      |  CASE WHEN MAX(c * c) * 20 > SUM(c * c) THEN 'salt_hot_keys'
+      |       ELSE 'shuffle_ok' END AS strategy
+      |FROM h""".stripMargin
+
   /** AQE skew-join: the runtime complement of the manual SaltedJoin. A
     * deliberately skewed fact (≈3/4 of lineitem lands on one join key) is
     * joined to a tiny dim with broadcast DISABLED, so the planner picks a
@@ -6064,6 +6099,7 @@ object QueryCatalog {
     "q_kcore" -> qKCore,
     "q_skew_stats" -> qSkewStats,
     "q_aqe_skew_join" -> qAqeSkewJoin,
+    "q_join_cardinality" -> qJoinCardinality,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6306,6 +6342,7 @@ object QueryCatalog {
     "q_kcore" -> kcoreSqlGen,
     "q_skew_stats" -> skewStatsSql,
     "q_aqe_skew_join" -> aqeSkewJoinSql,
+    "q_join_cardinality" -> joinCardinalitySql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,

@@ -17,6 +17,17 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("join cardinality estimate equals the materialized self-join size") {
+    import org.apache.spark.sql.functions._
+    val a = Tables.lineitem(spark, sf).select(col("l_partkey").as("k1"))
+    val b = Tables.lineitem(spark, sf).select(col("l_partkey").as("k2"))
+    val actual = a.join(b, col("k1") === col("k2")).count()
+    val r = QueryCatalog.queries("q_join_cardinality")(spark, sf).head()
+    assert(r.getAs[Long]("join_rows") === actual)
+    assert(r.getAs[Long]("input_rows") ===
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("approx_count_distinct is within tolerance of exact (emitted check)") {
     val rows = QueryCatalog.queries("q_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
