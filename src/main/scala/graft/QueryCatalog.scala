@@ -4133,6 +4133,40 @@ object QueryCatalog {
       |FROM (SELECT DISTINCT key % 64 AS b FROM diffs) t
       |ORDER BY kind""".stripMargin
 
+  /** Embedding vectors through the protobuf wire (packed repeated fixed32
+    * — proto's layout for exactly this payload): the embeddings table out
+    * to containers and back, checked bit-for-bit via a position-weighted
+    * integer checksum over every element (ROUND(x·10⁶)·(i+1) summed —
+    * any flipped bit, lost element or reordered position breaks the hash).
+    * The oracle aggregates the source directly.
+    */
+  private val qProtoVectors: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-protovec").toString
+    val src = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    graft.sources.ProtoWire.write(src, s"$tmp/v", numFiles = 4)
+    graft.sources.ProtoWire.read(s, s"$tmp/v", src.schema)
+      .groupBy((col("vec_id") % 8).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(vec_id)").as("id_xor"),
+        sum(expr("""aggregate(
+          transform(embedding,
+            (x, i) -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                      * (CAST(i AS BIGINT) + 1)),
+          0L, (a, b) -> a + b)""")).as("vec_sum"),
+        sum(size(col("embedding")).cast("long")).as("n_elems"))
+      .orderBy("grp")
+  }
+
+  private val protoVectorsSql =
+    """SELECT vec_id % 8 AS grp, COUNT(*) AS n,
+      |  CAST(bit_xor(vec_id) AS BIGINT) AS id_xor,
+      |  CAST(SUM(list_sum(list_transform(
+      |    generate_series(1, len(embedding)),
+      |    i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |         * i))) AS BIGINT) AS vec_sum,
+      |  CAST(SUM(len(embedding)) AS BIGINT) AS n_elems
+      |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Dense surrogate-key dictionary (operators.DictEncode) — the
     * scale-correct replacement for Vertica sequence/nextval (F4): sorted
     * range-partitioned distinct terms, ids = per-partition offset + local
@@ -6093,6 +6127,7 @@ object QueryCatalog {
     "q_ivf_store" -> qIvfStore,
     "q_avro_roundtrip" -> qAvroRoundtrip,
     "q_proto_roundtrip" -> qProtoRoundtrip,
+    "q_proto_vectors" -> qProtoVectors,
     "q_dict_encode" -> qDictEncode,
     "q_replica_reconcile" -> qReplicaReconcile,
     "q_sql_surface" -> qSqlSurface,
@@ -6336,6 +6371,7 @@ object QueryCatalog {
     "q_ivf_store" -> ivfStoreSql,
     "q_avro_roundtrip" -> avroRoundtripSql,
     "q_proto_roundtrip" -> protoRoundtripSql,
+    "q_proto_vectors" -> protoVectorsSql,
     "q_dict_encode" -> dictEncodeSql,
     "q_replica_reconcile" -> replicaReconcileSql,
     "q_sql_surface" -> sqlSurfaceSqlGen,

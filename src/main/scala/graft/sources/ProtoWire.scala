@@ -24,7 +24,13 @@ import org.apache.spark.sql.types._
   * Field numbers are positional: StructType field i ↔ proto field i+1.
   * Wire mapping: Long/Int/Boolean → varint (zigzag for the integer types,
   * so negatives stay small); Double → fixed64 (little-endian IEEE-754);
-  * String/Binary → length-delimited. Proto3 semantics hold end to end:
+  * Float → fixed32; String/Binary → length-delimited. Repeated fields:
+  * Array[Long/Int/Float/Double] writes one PACKED length-delimited payload
+  * (the proto3 default for numeric repeateds — 1 tag for n elements, the
+  * layout that makes embedding vectors cheap on the wire) and the decoder
+  * also accepts unpacked per-element occurrences, per the spec's decoder
+  * rule; Array[String] is one length-delimited occurrence per element.
+  * Proto3 semantics hold end to end:
   * null values are OMITTED on the wire and decode to the proto3 default
   * (0 / 0.0 / false / "" / empty bytes); unknown field numbers are
   * SKIPPED by wire type, so a reader with an older schema tolerates a
@@ -48,7 +54,13 @@ object ProtoWire {
   private def wireTypeOf(dt: DataType): Int = dt match {
     case LongType | IntegerType | BooleanType => WireVarint
     case DoubleType => WireFixed64
+    case FloatType => WireFixed32
     case StringType | BinaryType => WireLenDelim
+    // repeated fields arrive length-delimited: packed payloads for numeric
+    // element types, one len-delim occurrence per element for strings
+    case ArrayType(LongType | IntegerType | FloatType | DoubleType, _) =>
+      WireLenDelim
+    case ArrayType(StringType, _) => WireLenDelim
     case t => throw new IllegalArgumentException(s"unsupported: $t")
   }
 
@@ -103,6 +115,23 @@ object ProtoWire {
     while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
   }
 
+  private def writeFixed32(out: ByteArrayOutputStream, bits: Int): Unit = {
+    var i = 0
+    while (i < 4) { out.write((bits >>> (8 * i)) & 0xff); i += 1 }
+  }
+
+  private def readFixed32(in: InputStream): Int = {
+    var acc = 0
+    var i = 0
+    while (i < 4) {
+      val b = in.read()
+      if (b < 0) throw new EOFException("fixed32 truncated")
+      acc |= (b & 0xff) << (8 * i)
+      i += 1
+    }
+    acc
+  }
+
   private def readFixed64(in: InputStream): Long = {
     var acc = 0L
     var i = 0
@@ -149,12 +178,43 @@ object ProtoWire {
           case DoubleType =>
             writeVarint(out, key)
             writeFixed64(out, java.lang.Double.doubleToLongBits(row.getDouble(i)))
+          case FloatType =>
+            writeVarint(out, key)
+            writeFixed32(out, java.lang.Float.floatToIntBits(row.getFloat(i)))
           case StringType =>
             val b = row.getString(i).getBytes(UTF_8)
             writeVarint(out, key); writeVarint(out, b.length.toLong); out.write(b)
           case BinaryType =>
             val b = row.getAs[Array[Byte]](i)
             writeVarint(out, key); writeVarint(out, b.length.toLong); out.write(b)
+          case ArrayType(et, _) =>
+            val xs = row.getSeq[Any](i)
+            et match {
+              case StringType => // repeated len-delim, one occurrence each
+                xs.foreach { x =>
+                  val b = x.asInstanceOf[String].getBytes(UTF_8)
+                  writeVarint(out, key); writeVarint(out, b.length.toLong)
+                  out.write(b)
+                }
+              case _ => // packed payload in one len-delim field
+                val packed = new ByteArrayOutputStream(xs.length * 4)
+                et match {
+                  case LongType =>
+                    xs.foreach(x => writeVarint(packed, zigzag(x.asInstanceOf[Long])))
+                  case IntegerType =>
+                    xs.foreach(x => writeVarint(packed, zigzag(x.asInstanceOf[Int].toLong)))
+                  case FloatType =>
+                    xs.foreach(x => writeFixed32(packed,
+                      java.lang.Float.floatToIntBits(x.asInstanceOf[Float])))
+                  case DoubleType =>
+                    xs.foreach(x => writeFixed64(packed,
+                      java.lang.Double.doubleToLongBits(x.asInstanceOf[Double])))
+                  case t => throw new IllegalArgumentException(s"unsupported: $t")
+                }
+                val b = packed.toByteArray
+                writeVarint(out, key); writeVarint(out, b.length.toLong)
+                out.write(b)
+            }
           case t => throw new IllegalArgumentException(s"unsupported: $t")
         }
       }
@@ -168,8 +228,10 @@ object ProtoWire {
     case IntegerType => 0
     case BooleanType => false
     case DoubleType => 0.0
+    case FloatType => 0.0f
     case StringType => ""
     case BinaryType => Array.emptyByteArray
+    case ArrayType(_, _) => Seq.empty[Any]
     case t => throw new IllegalArgumentException(s"unsupported: $t")
   }
 
@@ -185,17 +247,60 @@ object ProtoWire {
       val fieldNo = (key >>> 3).toInt
       val wire = (key & 7).toInt
       val slot = fieldNo - 1
-      if (slot >= 0 && slot < schema.length &&
-          wireTypeOf(schema(slot).dataType) == wire) {
+      // repeated numeric fields also accept unpacked scalar occurrences
+      // (wire 0/5/1 per element), per the proto spec's decoder rule
+      val matches = slot >= 0 && slot < schema.length &&
+        (wireTypeOf(schema(slot).dataType) == wire ||
+          (schema(slot).dataType match {
+            case ArrayType(LongType | IntegerType, _) => wire == WireVarint
+            case ArrayType(FloatType, _) => wire == WireFixed32
+            case ArrayType(DoubleType, _) => wire == WireFixed64
+            case _ => false
+          }))
+      if (matches) {
         schema(slot).dataType match {
           case LongType => vals(slot) = unzigzag(readVarint(in))
           case IntegerType => vals(slot) = unzigzag(readVarint(in)).toInt
           case BooleanType => vals(slot) = readVarint(in) != 0L
           case DoubleType =>
             vals(slot) = java.lang.Double.longBitsToDouble(readFixed64(in))
+          case FloatType =>
+            vals(slot) = java.lang.Float.intBitsToFloat(readFixed32(in))
           case StringType =>
             vals(slot) = new String(readNBytes(in, readVarint(in).toInt), UTF_8)
           case BinaryType => vals(slot) = readNBytes(in, readVarint(in).toInt)
+          case ArrayType(et, _) =>
+            val acc = vals(slot).asInstanceOf[Seq[Any]]
+            vals(slot) = et match {
+              case StringType =>
+                acc :+ new String(readNBytes(in, readVarint(in).toInt), UTF_8)
+              case LongType if wire == WireVarint => acc :+ unzigzag(readVarint(in))
+              case IntegerType if wire == WireVarint =>
+                acc :+ unzigzag(readVarint(in)).toInt
+              case FloatType if wire == WireFixed32 =>
+                acc :+ java.lang.Float.intBitsToFloat(readFixed32(in))
+              case DoubleType if wire == WireFixed64 =>
+                acc :+ java.lang.Double.longBitsToDouble(readFixed64(in))
+              case _ => // packed payload: element encodings until exhausted
+                val payload = readNBytes(in, readVarint(in).toInt)
+                val pin = new ByteArrayInputStream(payload)
+                val buf = scala.collection.mutable.ArrayBuffer[Any](acc: _*)
+                et match {
+                  case LongType =>
+                    while (pin.available() > 0) buf += unzigzag(readVarint(pin))
+                  case IntegerType =>
+                    while (pin.available() > 0) buf += unzigzag(readVarint(pin)).toInt
+                  case FloatType =>
+                    while (pin.available() > 0)
+                      buf += java.lang.Float.intBitsToFloat(readFixed32(pin))
+                  case DoubleType =>
+                    while (pin.available() > 0)
+                      buf += java.lang.Double.longBitsToDouble(readFixed64(pin))
+                  case t =>
+                    throw new IllegalArgumentException(s"unsupported: $t")
+                }
+                buf.toSeq
+            }
           case t => throw new IllegalArgumentException(s"unsupported: $t")
         }
       } else wire match { // unknown or re-typed field: skip by wire type

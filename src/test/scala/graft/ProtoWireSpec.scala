@@ -80,6 +80,60 @@ class ProtoWireSpec extends SparkSpec {
     assert(back === Row(5L, 6, 0.0, false, ""))
   }
 
+  test("repeated fields: packed numerics and per-element strings round-trip") {
+    val rs = StructType(Seq(
+      StructField("k", LongType),
+      StructField("ls", ArrayType(LongType)),
+      StructField("fs", ArrayType(FloatType)),
+      StructField("ss", ArrayType(StringType))))
+    val row = Row(7L, Seq(-1L, 0L, Long.MaxValue), Seq(1.5f, -0.0f, Float.NaN),
+      Seq("a", "", "中文"))
+    val back = ProtoWire.decodeMessage(ProtoWire.encodeMessage(row, rs), rs)
+    assert(back.getLong(0) === 7L)
+    assert(back.getSeq[Long](1) === Seq(-1L, 0L, Long.MaxValue))
+    val fs = back.getSeq[Float](2)
+    assert(fs.length === 3 && fs(0) === 1.5f &&
+      java.lang.Float.floatToIntBits(fs(1)) ===
+        java.lang.Float.floatToIntBits(-0.0f) && fs(2).isNaN)
+    assert(back.getSeq[String](3) === Seq("a", "", "中文"))
+    // empty arrays decode to empty (proto3 default), not null
+    val empty = ProtoWire.decodeMessage(
+      ProtoWire.encodeMessage(Row(1L, Seq(), Seq(), Seq()), rs), rs)
+    assert(empty === Row(1L, Seq(), Seq(), Seq()))
+  }
+
+  test("repeated numerics: decoder accepts unpacked per-element occurrences") {
+    val rs = StructType(Seq(StructField("ls", ArrayType(LongType))))
+    // hand-encode three unpacked occurrences of field 1 (wire 0 varint)
+    val out = new java.io.ByteArrayOutputStream()
+    for (v <- Seq(5L, -6L, 7L)) {
+      ProtoWire.writeVarint(out, (1L << 3) | 0)
+      ProtoWire.writeVarint(out, ProtoWire.zigzag(v))
+    }
+    val back = ProtoWire.decodeMessage(out.toByteArray, rs)
+    assert(back.getSeq[Long](0) === Seq(5L, -6L, 7L))
+  }
+
+  test("embedding vectors survive the wire bit-for-bit through Spark") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.1f, -2.5f, 3e-8f)),
+      (2L, Array[Float]()),
+      (3L, Array(Float.MinPositiveValue, 1e30f))
+    ).toDF("vec_id", "vec")
+    val tmp = java.nio.file.Files.createTempDirectory("proto-vec").toString
+    ProtoWire.write(df, s"$tmp/v", numFiles = 2)
+    val back = ProtoWire.read(spark, s"$tmp/v", df.schema)
+      .orderBy("vec_id").collect()
+    val want = df.orderBy("vec_id").collect()
+    assert(back.length === want.length)
+    back.zip(want).foreach { case (b, w) =>
+      assert(b.getLong(0) === w.getLong(0))
+      assert(b.getSeq[Float](1).map(java.lang.Float.floatToIntBits) ===
+        w.getSeq[Float](1).map(java.lang.Float.floatToIntBits))
+    }
+  }
+
   test("truncated container fails loudly, not silently") {
     val msg = ProtoWire.encodeMessage(Row(1L, 2, 3.0, true, "abcdef"), schema)
     val framed = {
@@ -95,7 +149,7 @@ class ProtoWireSpec extends SparkSpec {
 
   test("unsupported column type fails loudly, not silently") {
     import spark.implicits._
-    val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
+    val df = Seq((1L, Map("a" -> 1))).toDF("k", "m")
     intercept[IllegalArgumentException] {
       ProtoWire.write(df, "/tmp/proto-unsupported", numFiles = 1)
     }
