@@ -4133,6 +4133,47 @@ object QueryCatalog {
       |FROM (SELECT DISTINCT key % 64 AS b FROM diffs) t
       |ORDER BY kind""".stripMargin
 
+  /** Continuous protobuf ingest (ProtoWire.readStream): wave 1 of the
+    * containers is drained AvailableNow into a parquet sink; wave 2 lands
+    * and a RESTARTED drain (same checkpoint) must ingest only the new
+    * archives — the binaryFile source's processed-file log is what makes
+    * re-delivery impossible. The oracle aggregates the full source
+    * directly, so the hash matches only if the two drains together ingest
+    * every row exactly once.
+    */
+  private val qStreamProto: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sproto").toString
+    val src = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_quantity").as("qty"),
+      col("l_returnflag").as("flag"))
+    graft.sources.ProtoWire.write(
+      src.filter(col("l_orderkey") % 2 === 0), s"$tmp/in", numFiles = 3)
+    def drain(): Unit = {
+      val q = graft.sources.ProtoWire.readStream(s, s"$tmp/in", src.schema)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    graft.sources.ProtoWire.write(
+      src.filter(col("l_orderkey") % 2 =!= 0), s"$tmp/in/wave2", numFiles = 3)
+    drain()
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(l_orderkey)").as("key_xor"),
+        sum(col("qty").cast("decimal(18,4)")).cast("double").as("qty_sum"))
+      .orderBy("flag")
+  }
+
+  private val streamProtoSql =
+    """SELECT l_returnflag AS flag, COUNT(*) AS n,
+      |  CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Embedding vectors through the protobuf wire (packed repeated fixed32
     * — proto's layout for exactly this payload): the embeddings table out
     * to containers and back, checked bit-for-bit via a position-weighted
@@ -6128,6 +6169,7 @@ object QueryCatalog {
     "q_avro_roundtrip" -> qAvroRoundtrip,
     "q_proto_roundtrip" -> qProtoRoundtrip,
     "q_proto_vectors" -> qProtoVectors,
+    "q_stream_proto" -> qStreamProto,
     "q_dict_encode" -> qDictEncode,
     "q_replica_reconcile" -> qReplicaReconcile,
     "q_sql_surface" -> qSqlSurface,
@@ -6372,6 +6414,7 @@ object QueryCatalog {
     "q_avro_roundtrip" -> avroRoundtripSql,
     "q_proto_roundtrip" -> protoRoundtripSql,
     "q_proto_vectors" -> protoVectorsSql,
+    "q_stream_proto" -> streamProtoSql,
     "q_dict_encode" -> dictEncodeSql,
     "q_replica_reconcile" -> replicaReconcileSql,
     "q_sql_surface" -> sqlSurfaceSqlGen,

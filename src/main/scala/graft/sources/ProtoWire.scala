@@ -367,19 +367,43 @@ object ProtoWire {
     out.toByteArray
   }
 
-  /** Read a directory of protobuf containers with an explicit expected
-    * schema (no inference — the S7/S10 discipline). One task per file.
-    */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  private def decodeFiles(files: DataFrame, schema: StructType): DataFrame = {
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pb*").load(path)
-      .select(col("path"), col("content"))
+    import files.sparkSession.implicits._
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, content) =>
         parse(if (p.endsWith(".gz")) gunzip(content) else content, schema)
       }(encoder)
+  }
+
+  /** Read a directory of protobuf containers with an explicit expected
+    * schema (no inference — the S7/S10 discipline). One task per file.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    decodeFiles(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pb*")
+      .option("recursiveFileLookup", "true").load(path), schema)
+
+  /** Continuous ingest: the same containers as a STREAMING source — each
+    * newly-landed archive becomes a micro-batch (the binaryFile file
+    * source tracks processed files in the checkpoint, so a restart never
+    * re-ingests). This is the RPC-feed shape: producers drop sealed
+    * containers into the landing dir; decode is the identical map-only
+    * path as the batch reader.
+    */
+  def readStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    // streaming file sources require the source schema up front; the
+    // binaryFile layout is fixed by the format
+    val fileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    decodeFiles(spark.readStream.format("binaryFile").schema(fileSchema)
+      .option("pathGlobFilter", "*.pb*")
+      .option("recursiveFileLookup", "true").load(path), schema)
   }
 }
