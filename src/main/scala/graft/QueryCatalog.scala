@@ -289,6 +289,64 @@ object QueryCatalog {
       |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Spearman rank correlation per group — the robust (monotonic, outlier-
+    * insensitive) complement of q_stats_moments' Pearson. Tie-averaged
+    * ranks are kept in INTEGER form as double-ranks (2·avg_rank = min_rank
+    * + max_rank; Pearson is affine-invariant, so correlating double-ranks
+    * IS Spearman), with max_rank read off a RANGE frame over the same
+    * ordering as rank() — one sort per variable, no second exchange for
+    * the tie counts. Power sums are exact decimals, doubles only in the
+    * final closed form (the q_stats_moments discipline).
+    */
+  private val qSpearman: Q = (s, dir) => {
+    def dr(v: String): Column =
+      (rank().over(Window.partitionBy("g").orderBy(v)) +
+        count(lit(1)).over(Window.partitionBy("g").orderBy(v)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .cast("decimal(38,0)")
+    val ranked = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("qv"),
+        col("l_extendedprice").as("pv"))
+      .select(col("g"), dr("qv").as("x"), dr("pv").as("y"))
+    ranked.groupBy("g")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(col("g"), col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
+          .as("spearman_qty_price"))
+      .orderBy("g")
+  }
+
+  private val spearmanSql =
+    """WITH r AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+      |      + COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DECIMAL(38,0)) AS x,
+      |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+      |      + COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DECIMAL(38,0)) AS y
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+      |  FROM r GROUP BY g)
+      |SELECT g, CAST(n AS BIGINT) AS n_rows,
+      |  round((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+      |    AS spearman_qty_price
+      |FROM m ORDER BY g""".stripMargin
+
   /** TPC-H Q4 shape (order-priority checking): orders in a quarter with at
     * least one "late" line (shipped >60 days after the order date — the
     * testdata has no commit/receipt dates, so lateness is defined against
@@ -6177,6 +6235,7 @@ object QueryCatalog {
     "q_skew_stats" -> qSkewStats,
     "q_aqe_skew_join" -> qAqeSkewJoin,
     "q_join_cardinality" -> qJoinCardinality,
+    "q_spearman" -> qSpearman,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6422,6 +6481,7 @@ object QueryCatalog {
     "q_skew_stats" -> skewStatsSql,
     "q_aqe_skew_join" -> aqeSkewJoinSql,
     "q_join_cardinality" -> joinCardinalitySql,
+    "q_spearman" -> spearmanSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,
