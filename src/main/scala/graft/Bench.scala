@@ -11,6 +11,9 @@ object Bench {
       .replaceAll("#\\d+", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("@[0-9a-f]+", "@")
+      // per-run temp fixture dirs would churn every fixture query's
+      // fingerprint; the path identity isn't part of the plan shape
+      .replaceAll("/tmp/[^\\s,\\]]+", "/tmp/_")
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(normalized.getBytes("UTF-8"))
     d.take(6).map("%02x".format(_)).mkString
