@@ -2292,6 +2292,45 @@ object QueryCatalog {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PRE-JOIN projection — the other half of Vertica's projection concept
+    * (q_mv_projection/q_mv_rewrite cover the aggregate half): the fact
+    * DENORMALIZED with its dimension at load time, so serving queries
+    * never pay the join. The store is built once; the declared query is a
+    * FRESH naive join+aggregate whose canonical plan the rewrite rule
+    * swaps for the store scan — the join is provably gone (no join node,
+    * neither base table scanned; asserted in OperatorsSpec). The oracle
+    * answers the naive join directly, so the hash also proves the
+    * projection is semantically transparent.
+    */
+  private val qMvPrejoin: Q = (s, dir) => {
+    import org.apache.spark.sql.graftx.{MvRegistry, RewriteAggToProjection}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvpj").toString
+    Tables.orders(s, dir).join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$tmp/prejoin")
+    val store = s.read.parquet(s"$tmp/prejoin")
+    def agg(src: DataFrame) = src
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(o_orderkey)").as("key_xor"),
+        Exact.sumExact(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+    def naive = agg(Tables.orders(s, dir).join(Tables.customer(s, dir),
+      col("o_custkey") === col("c_custkey")))
+    MvRegistry.register(naive, agg(store))
+    if (!s.experimental.extraOptimizations.contains(RewriteAggToProjection))
+      s.experimental.extraOptimizations ++= Seq(RewriteAggToProjection)
+    s.conf.set("spark.graft.mv.rewrite", "true")
+    naive // fresh plan — rerouted by canonical equality, not identity
+  }
+
+  private val mvPrejoinSql =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Mergeable HLL sketch store (functions.SketchStore): one sketch per
     * order-month persisted to parquet, distinct-customer questions over
     * month SUBSETS answered by unioning stored sketches (never re-scanning
@@ -6236,6 +6275,7 @@ object QueryCatalog {
     "q_aqe_skew_join" -> qAqeSkewJoin,
     "q_join_cardinality" -> qJoinCardinality,
     "q_spearman" -> qSpearman,
+    "q_mv_prejoin" -> qMvPrejoin,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6482,6 +6522,7 @@ object QueryCatalog {
     "q_aqe_skew_join" -> aqeSkewJoinSql,
     "q_join_cardinality" -> joinCardinalitySql,
     "q_spearman" -> spearmanSql,
+    "q_mv_prejoin" -> mvPrejoinSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,

@@ -541,6 +541,30 @@ class OperatorsSpec extends SparkSpec {
     assert(enc(0).getLong(2) === 2L && enc(1).isNullAt(2))
   }
 
+  test("pre-join projection eliminates the join: no join node, bases unscanned") {
+    import org.apache.spark.sql.graftx.MvRegistry
+    MvRegistry.clear()
+    try {
+      val df = QueryCatalog.queries("q_mv_prejoin")(spark, sf)
+      // semantics: identical to the un-rewritten join aggregate
+      val direct = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(o_orderkey)").as("key_xor"),
+          graft.functions.Exact.sumExact(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment").collect()
+      assert(df.collect().sameElements(direct))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("prejoin"), s"expected the projection scan in:\n$p")
+      assert(!p.contains("Join"), s"join must be gone after the rewrite:\n$p")
+      assert(!p.contains("orders.parquet") && !p.contains("customer.parquet"),
+        s"base tables must not be scanned after the rewrite:\n$p")
+    } finally {
+      MvRegistry.clear()
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+    }
+  }
+
   test("reconcile: bucket digests find exactly the dropped/added/changed rows") {
     import spark.implicits._
     import operators.Reconcile
