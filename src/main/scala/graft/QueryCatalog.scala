@@ -289,6 +289,63 @@ object QueryCatalog {
       |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Temporal interval normalization (Teradata NORMALIZE / Postgres
+    * range_agg): overlapping validity intervals merged into maximal
+    * disjoint ones per key — the interval-END-driven variant of
+    * gaps-and-islands (an island breaks when the next START clears the
+    * running MAX of all previous ENDS, not on a fixed gap like
+    * q_sessionize). Ten-day shipment windows per supplier; emits merged
+    * interval count, covered days and an epoch-encoded boundary xor per
+    * supplier, so a single mis-merged boundary breaks the hash. One
+    * window sort per key — partitioned, no global ordering.
+    */
+  private val qIntervalMerge: Q = (s, dir) => {
+    val iv = Tables.lineitem(s, dir).select(
+      col("l_suppkey").as("k"), to_date(col("l_shipdate")).as("s"),
+      date_add(to_date(col("l_shipdate")), 10).as("e"))
+    val w = Window.partitionBy("k").orderBy("s", "e")
+    val marked = iv
+      .withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1)
+          .otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("k"), col("isl"))
+      .agg(min(col("s")).as("st"), max(col("e")).as("en"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(datediff(col("en"), col("st"))).cast("long").as("covered_days"),
+        expr("""bit_xor(CAST(datediff(en, DATE'1990-01-01') AS BIGINT)
+          * 100000 + CAST(datediff(st, DATE'1990-01-01') AS BIGINT))""")
+          .as("bounds_xor"))
+      .orderBy("k")
+  }
+
+  private val intervalMergeSql =
+    """WITH iv AS (
+      |  SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+      |         CAST(l_shipdate AS DATE) + 10 AS e
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT k, s, e, MAX(e) OVER (PARTITION BY k ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv
+      |), i AS (
+      |  SELECT k, s, e,
+      |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY k ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM m
+      |), g AS (
+      |  SELECT k, isl, MIN(s) AS st, MAX(e) AS en FROM i GROUP BY k, isl
+      |)
+      |SELECT k, COUNT(*) AS n_intervals,
+      |  CAST(SUM(en - st) AS BIGINT) AS covered_days,
+      |  CAST(bit_xor(CAST(en - DATE '1990-01-01' AS BIGINT) * 100000
+      |    + CAST(st - DATE '1990-01-01' AS BIGINT)) AS BIGINT) AS bounds_xor
+      |FROM g GROUP BY k ORDER BY k""".stripMargin
+
   /** Spearman rank correlation per group — the robust (monotonic, outlier-
     * insensitive) complement of q_stats_moments' Pearson. Tie-averaged
     * ranks are kept in INTEGER form as double-ranks (2·avg_rank = min_rank
@@ -6276,6 +6333,7 @@ object QueryCatalog {
     "q_join_cardinality" -> qJoinCardinality,
     "q_spearman" -> qSpearman,
     "q_mv_prejoin" -> qMvPrejoin,
+    "q_interval_merge" -> qIntervalMerge,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6523,6 +6581,7 @@ object QueryCatalog {
     "q_join_cardinality" -> joinCardinalitySql,
     "q_spearman" -> spearmanSql,
     "q_mv_prejoin" -> mvPrejoinSql,
+    "q_interval_merge" -> intervalMergeSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,
