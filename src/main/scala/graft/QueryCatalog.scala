@@ -2362,11 +2362,11 @@ object QueryCatalog {
   private val qMvPrejoin: Q = (s, dir) => {
     import org.apache.spark.sql.graftx.{MvRegistry, RewriteAggToProjection}
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvpj").toString
-    Tables.orders(s, dir).join(Tables.customer(s, dir),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
-      .write.mode("overwrite").parquet(s"$tmp/prejoin")
-    val store = s.read.parquet(s"$tmp/prejoin")
+    etl.PrejoinProjection.build(Tables.orders(s, dir),
+      Tables.customer(s, dir), col("o_custkey") === col("c_custkey"),
+      Seq(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment")),
+      s"$tmp/prejoin")
+    val store = etl.PrejoinProjection.answer(s, s"$tmp/prejoin")
     def agg(src: DataFrame) = src
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(o_orderkey)").as("key_xor"),

@@ -565,6 +565,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pre-join projection maintain: incremental loads equal a full rebuild") {
+    import graft.etl.PrejoinProjection
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pjm").toString
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cols = Seq(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
+    val on = col("o_custkey") === col("c_custkey")
+    val orders = Tables.orders(spark, sf)
+    // wave 1 build + wave 2 maintain (delta-only join, no re-read)
+    PrejoinProjection.build(orders.filter(col("o_orderkey") % 3 === 0),
+      dim, on, cols, s"$tmp/inc")
+    PrejoinProjection.maintain(orders.filter(col("o_orderkey") % 3 =!= 0),
+      dim, on, cols, s"$tmp/inc")
+    PrejoinProjection.build(orders, dim, on, cols, s"$tmp/full")
+    val inc = PrejoinProjection.answer(spark, s"$tmp/inc")
+    val full = PrejoinProjection.answer(spark, s"$tmp/full")
+    assert(inc.count() === full.count())
+    assert(inc.exceptAll(full).count() === 0L &&
+      full.exceptAll(inc).count() === 0L)
+  }
+
   test("reconcile: bucket digests find exactly the dropped/added/changed rows") {
     import spark.implicits._
     import operators.Reconcile
