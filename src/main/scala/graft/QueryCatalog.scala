@@ -289,6 +289,65 @@ object QueryCatalog {
       |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Key purge across a table family (etl.Purge) — right-to-be-forgotten
+    * with a CASCADE: a deletion batch of customers removes their orders
+    * (by o_custkey) and those orders' lineitems (by l_orderkey, resolved
+    * BEFORE the first purge lands). Each table is one broadcast anti-join
+    * rewrite with the atomic-swap discipline; the emitted before/after
+    * counts plus a content xor over the SURVIVORS hash-match only if
+    * exactly the condemned rows — and nothing else — are gone.
+    */
+  private val qKeyPurge: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-purge").toString
+    Tables.orders(s, dir).write.parquet(s"$tmp/orders")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .write.parquet(s"$tmp/lineitem")
+    val users = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 97 === 5).select(col("c_custkey"))
+    val doomedOrders = s.read.parquet(s"$tmp/orders")
+      .join(broadcast(users), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    // resolve the cascade BEFORE the first purge mutates orders
+    doomedOrders.cache().count()
+    val so = etl.Purge.purge(s, s"$tmp/orders", "o_custkey", users)
+    val sl = etl.Purge.purge(s, s"$tmp/lineitem", "l_orderkey", doomedOrders)
+    val ro = s.read.parquet(s"$tmp/orders")
+      .agg(expr("bit_xor(o_orderkey)").as("content_xor"))
+      .select(lit("orders").as("tbl"), lit(so.rowsBefore).as("rows_before"),
+        lit(so.rowsAfter).as("rows_after"), col("content_xor"))
+    val rl = s.read.parquet(s"$tmp/lineitem")
+      .agg(expr("bit_xor(l_orderkey * 7 + l_linenumber)").as("content_xor"))
+      .select(lit("lineitem").as("tbl"), lit(sl.rowsBefore).as("rows_before"),
+        lit(sl.rowsAfter).as("rows_after"), col("content_xor"))
+    rl.unionByName(ro).orderBy("tbl")
+  }
+
+  private val keyPurgeSql =
+    """WITH pu AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 5
+      |), po AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM pu)
+      |), ro AS (
+      |  SELECT * FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM pu)
+      |), rl AS (
+      |  SELECT * FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)
+      |)
+      |SELECT 'lineitem' AS tbl,
+      |  (SELECT COUNT(*) FROM lineitem) AS rows_before,
+      |  (SELECT COUNT(*) FROM rl) AS rows_after,
+      |  (SELECT CAST(bit_xor(l_orderkey * 7 + l_linenumber) AS BIGINT)
+      |     FROM rl) AS content_xor
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM ro),
+      |  (SELECT CAST(bit_xor(o_orderkey) AS BIGINT) FROM ro)
+      |ORDER BY tbl""".stripMargin
+
   /** Temporal interval normalization (Teradata NORMALIZE / Postgres
     * range_agg): overlapping validity intervals merged into maximal
     * disjoint ones per key — the interval-END-driven variant of
@@ -6334,6 +6393,7 @@ object QueryCatalog {
     "q_spearman" -> qSpearman,
     "q_mv_prejoin" -> qMvPrejoin,
     "q_interval_merge" -> qIntervalMerge,
+    "q_key_purge" -> qKeyPurge,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6582,6 +6642,7 @@ object QueryCatalog {
     "q_spearman" -> spearmanSql,
     "q_mv_prejoin" -> mvPrejoinSql,
     "q_interval_merge" -> intervalMergeSql,
+    "q_key_purge" -> keyPurgeSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,

@@ -586,6 +586,29 @@ class OperatorsSpec extends SparkSpec {
       full.exceptAll(inc).count() === 0L)
   }
 
+  test("purge: drops exactly the condemned keys, leaves the store atomic") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-purge-spec").toString
+    (1L to 100L).map(k => (k, s"v$k")).toDF("key", "v")
+      .write.parquet(s"$tmp/t")
+    val keys = Seq(3L, 7L, 7L, 999L).toDF("key") // dup + absent tolerated
+    val st = graft.etl.Purge.purge(spark, s"$tmp/t", "key", keys)
+    assert(st.rowsBefore === 100L && st.rowsAfter === 98L)
+    val left = spark.read.parquet(s"$tmp/t").select("key")
+      .collect().map(_.getLong(0)).toSet
+    assert(!left.contains(3L) && !left.contains(7L) && left.size === 98)
+    // no stray temp/old dirs after the swap
+    val names = new java.io.File(tmp).listFiles().map(_.getName).toSet
+    assert(names === Set("t"))
+    // purgeAll: one batch across a family, per-table key columns
+    (1L to 50L).map(k => (k, k * 2)).toDF("fk", "w")
+      .write.parquet(s"$tmp/t2")
+    val all = graft.etl.Purge.purgeAll(spark,
+      Seq(s"$tmp/t" -> "key", s"$tmp/t2" -> "fk"), Seq(10L, 11L).toDF("k"))
+    assert(all.map(s => (s.table, s.rowsBefore, s.rowsAfter)) ===
+      Seq(("t", 98L, 96L), ("t2", 50L, 48L)))
+  }
+
   test("reconcile: bucket digests find exactly the dropped/added/changed rows") {
     import spark.implicits._
     import operators.Reconcile
