@@ -2447,6 +2447,55 @@ object QueryCatalog {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** HLL intersection estimate (SketchStore.estimateIntersection):
+    * customer overlap between the year's two halves answered from STORED
+    * month sketches by inclusion–exclusion — sketches union exactly but
+    * can't intersect, so this is the standard estimator and its error
+    * compounds across three estimates. Exact overlap counts are the
+    * oracle-reproducible columns; the estimator's accuracy (within 10% of
+    * the exact union) is emitted as in-engine booleans, per the
+    * established sketch contract.
+    */
+  private val qSketchIntersect: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(monthSid(col("o_orderdate")).as("month_sid"), col("o_custkey"))
+    val sk = SketchStore.build(o, col("month_sid"), col("o_custkey"))
+      .withColumnRenamed("g", "month_sid")
+    val h1 = sk.filter(col("month_sid") % 100 <= 6)
+    val h2 = sk.filter(col("month_sid") % 100 > 6)
+    val est = SketchStore.estimateIntersection(h1, h2)
+    val exact = o.select(col("o_custkey"),
+        (col("month_sid") % 100 <= 6).as("inH1"))
+      .groupBy("o_custkey")
+      .agg(max(when(col("inH1"), 1).otherwise(0)).as("a"),
+        max(when(!col("inH1"), 1).otherwise(0)).as("b"))
+      .agg(sum(col("a")).as("exact_a"), sum(col("b")).as("exact_b"),
+        sum(col("a") * col("b")).as("exact_both"),
+        count(lit(1)).as("exact_union"))
+    exact.crossJoin(broadcast(est)).select(
+      col("exact_a"), col("exact_b"), col("exact_both"), col("exact_union"),
+      (abs(col("est_a") - col("exact_a")) <= col("exact_union") * 0.1)
+        .as("ok_a"),
+      (abs(col("est_b") - col("exact_b")) <= col("exact_union") * 0.1)
+        .as("ok_b"),
+      (abs(col("est_intersection") - col("exact_both"))
+        <= col("exact_union") * 0.1).as("ok_intersection"))
+  }
+
+  private val sketchIntersectSql =
+    """WITH pm AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END) AS a,
+      |    MAX(CASE WHEN month(o_orderdate) > 6 THEN 1 ELSE 0 END) AS b
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT CAST(SUM(a) AS BIGINT) AS exact_a,
+      |  CAST(SUM(b) AS BIGINT) AS exact_b,
+      |  CAST(SUM(a * b) AS BIGINT) AS exact_both,
+      |  COUNT(*) AS exact_union,
+      |  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_intersection
+      |FROM pm""".stripMargin
+
   /** Mergeable HLL sketch store (functions.SketchStore): one sketch per
     * order-month persisted to parquet, distinct-customer questions over
     * month SUBSETS answered by unioning stored sketches (never re-scanning
@@ -6394,6 +6443,7 @@ object QueryCatalog {
     "q_mv_prejoin" -> qMvPrejoin,
     "q_interval_merge" -> qIntervalMerge,
     "q_key_purge" -> qKeyPurge,
+    "q_sketch_intersect" -> qSketchIntersect,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6643,6 +6693,7 @@ object QueryCatalog {
     "q_mv_prejoin" -> mvPrejoinSql,
     "q_interval_merge" -> intervalMergeSql,
     "q_key_purge" -> keyPurgeSql,
+    "q_sketch_intersect" -> sketchIntersectSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,

@@ -30,4 +30,19 @@ object SketchStore {
     sketches.agg(
       count(lit(1)).as("n_groups"),
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("est"))
+
+  /** Inclusion–exclusion intersection estimate between two sketch subsets:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL sketches union exactly but
+    * can't intersect directly, so the error compounds across the three
+    * estimates — the practical tool for "how much do these partitions
+    * overlap" when the overlap isn't tiny relative to the union.
+    */
+  def estimateIntersection(a: DataFrame, b: DataFrame): DataFrame = {
+    def est(df: DataFrame, name: String) = df.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as(name))
+    est(a, "est_a").crossJoin(est(b, "est_b"))
+      .crossJoin(est(a.unionByName(b), "est_union"))
+      .withColumn("est_intersection",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
 }
