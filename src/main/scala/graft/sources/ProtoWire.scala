@@ -270,21 +270,30 @@ object ProtoWire {
             vals(slot) = new String(readNBytes(in, readVarint(in).toInt), UTF_8)
           case BinaryType => vals(slot) = readNBytes(in, readVarint(in).toInt)
           case ArrayType(et, _) =>
-            val acc = vals(slot).asInstanceOf[Seq[Any]]
-            vals(slot) = et match {
+            // repeated slots accumulate into a builder during the parse
+            // (converted to Seq once, at the end) — appending to an
+            // immutable Seq per occurrence would be quadratic for long
+            // unpacked runs
+            val buf = vals(slot) match {
+              case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] => b
+              case _ =>
+                val b = scala.collection.mutable.ArrayBuffer[Any]()
+                vals(slot) = b
+                b
+            }
+            et match {
               case StringType =>
-                acc :+ new String(readNBytes(in, readVarint(in).toInt), UTF_8)
-              case LongType if wire == WireVarint => acc :+ unzigzag(readVarint(in))
+                buf += new String(readNBytes(in, readVarint(in).toInt), UTF_8)
+              case LongType if wire == WireVarint => buf += unzigzag(readVarint(in))
               case IntegerType if wire == WireVarint =>
-                acc :+ unzigzag(readVarint(in)).toInt
+                buf += unzigzag(readVarint(in)).toInt
               case FloatType if wire == WireFixed32 =>
-                acc :+ java.lang.Float.intBitsToFloat(readFixed32(in))
+                buf += java.lang.Float.intBitsToFloat(readFixed32(in))
               case DoubleType if wire == WireFixed64 =>
-                acc :+ java.lang.Double.longBitsToDouble(readFixed64(in))
+                buf += java.lang.Double.longBitsToDouble(readFixed64(in))
               case _ => // packed payload: element encodings until exhausted
                 val payload = readNBytes(in, readVarint(in).toInt)
                 val pin = new ByteArrayInputStream(payload)
-                val buf = scala.collection.mutable.ArrayBuffer[Any](acc: _*)
                 et match {
                   case LongType =>
                     while (pin.available() > 0) buf += unzigzag(readVarint(pin))
@@ -299,7 +308,6 @@ object ProtoWire {
                   case t =>
                     throw new IllegalArgumentException(s"unsupported: $t")
                 }
-                buf.toSeq
             }
           case t => throw new IllegalArgumentException(s"unsupported: $t")
         }
@@ -312,7 +320,10 @@ object ProtoWire {
       }
       key = readVarintOrEof(in)
     }
-    Row.fromSeq(vals.toIndexedSeq)
+    Row.fromSeq(vals.toIndexedSeq.map {
+      case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] => b.toSeq
+      case v => v
+    })
   }
 
   // ---- container source/sink ---------------------------------------------
