@@ -1512,6 +1512,39 @@ object QueryCatalog {
   /** Exact interpolated percentiles (median / p90) — both engines implement
     * the linear-interpolation definition, so doubles match bit-for-bit.
     */
+  /** Equi-depth histogram (optimizer-statistics flavor, next to
+    * q_histogram's equal-width): decile boundaries from ONE exact-
+    * percentile aggregate, then a map-only bucketing pass against the
+    * broadcast 9-double boundary array — never an NTILE global window
+    * (the SURVEY §7 hazard; at 100 TB swap the boundary pass to
+    * approx_percentile and the shape is unchanged). Boundary ties bucket
+    * by `<=` in both engines, so counts are exact, not approximately
+    * equal — the oracle replays boundaries and buckets identically.
+    */
+  private val qEquidepthHist: Q = (s, dir) => {
+    val bounds = Tables.orders(s, dir).agg(
+      array((1 to 9).map(i =>
+        expr(s"percentile(o_totalprice, 0.$i)")): _*).as("bs"))
+    Tables.orders(s, dir).crossJoin(broadcast(bounds))
+      .select(expr("size(filter(bs, x -> x <= o_totalprice))").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val equidepthHistSql = {
+    val pcts = (1 to 9).map(i =>
+      s"percentile_cont(0.$i) WITHIN GROUP (ORDER BY o_totalprice)")
+      .mkString(", ")
+    s"""WITH bs AS (SELECT [$pcts] AS b FROM orders)
+       |SELECT CAST(len(list_filter(b, x -> x <= o_totalprice)) AS INT)
+       |    AS bucket,
+       |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       |FROM orders, bs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val qPercentiles: Q = (s, dir) =>
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
@@ -6444,6 +6477,7 @@ object QueryCatalog {
     "q_interval_merge" -> qIntervalMerge,
     "q_key_purge" -> qKeyPurge,
     "q_sketch_intersect" -> qSketchIntersect,
+    "q_equidepth_hist" -> qEquidepthHist,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6694,6 +6728,7 @@ object QueryCatalog {
     "q_interval_merge" -> intervalMergeSql,
     "q_key_purge" -> keyPurgeSql,
     "q_sketch_intersect" -> sketchIntersectSql,
+    "q_equidepth_hist" -> equidepthHistSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,
