@@ -4248,6 +4248,55 @@ object QueryCatalog {
   private val KCoreK = 20
   private val KCoreRounds = 4
 
+  /** Single-source shortest paths (operators.ShortestPaths): Bellman–Ford
+    * over the quantity-weighted supplier–part bipartite graph from
+    * supplier #0, a fixed hop bound, convergence in-band. The oracle
+    * replays every relaxation round as generated CTEs (the KCore
+    * discipline) including the convergence comparison of the final two
+    * rounds; `path_xor` binds every reached node to its exact distance.
+    */
+  private val qShortestPaths: Q = (s, dir) => {
+    val base = Tables.lineitem(s, dir)
+      .groupBy((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val edges = base.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(base.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    operators.ShortestPaths.run(edges, source = 0L, rounds = SsspRounds)
+  }
+
+  private val SsspRounds = 4
+
+  private def shortestPathsSqlGen: String = {
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM d${i - 1} d JOIN e ON d.node = e.src
+         |    UNION ALL SELECT node, dist FROM d${i - 1}
+         |  ) t GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val r = SsspRounds
+    s"""WITH e0 AS (
+       |  SELECT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b,
+       |         CAST(MIN(l_quantity) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2
+       |), e AS (
+       |  SELECT a AS src, b AS dst, w FROM e0
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM e0
+       |), d0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |),
+       |$rounds
+       |SELECT COUNT(*) AS n_reached,
+       |  CAST(SUM(dist) AS BIGINT) AS dist_sum,
+       |  CAST(MAX(dist) AS BIGINT) AS dist_max,
+       |  CAST(bit_xor(node * 100000 + dist) AS BIGINT) AS path_xor,
+       |  (SELECT COUNT(*) FROM d${r - 1}) = (SELECT COUNT(*) FROM d$r)
+       |    AND (SELECT CAST(SUM(dist) AS BIGINT) FROM d${r - 1})
+       |      = (SELECT CAST(SUM(dist) AS BIGINT) FROM d$r) AS converged
+       |FROM d$r""".stripMargin
+  }
+
   private def kcoreSqlGen: String = {
     val rounds = (1 to KCoreRounds).map { i =>
       s"""n$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $KCoreK),
@@ -6478,6 +6527,7 @@ object QueryCatalog {
     "q_key_purge" -> qKeyPurge,
     "q_sketch_intersect" -> qSketchIntersect,
     "q_equidepth_hist" -> qEquidepthHist,
+    "q_shortest_paths" -> qShortestPaths,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6729,6 +6779,7 @@ object QueryCatalog {
     "q_key_purge" -> keyPurgeSql,
     "q_sketch_intersect" -> sketchIntersectSql,
     "q_equidepth_hist" -> equidepthHistSql,
+    "q_shortest_paths" -> shortestPathsSqlGen,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,

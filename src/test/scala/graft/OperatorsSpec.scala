@@ -586,6 +586,21 @@ class OperatorsSpec extends SparkSpec {
       full.exceptAll(inc).count() === 0L)
   }
 
+  test("shortest paths: hand-checked distances, indirect beats direct, converges") {
+    import spark.implicits._
+    // 0 →1→ 2 →1→ 4, plus a direct 0 →5→ 4 that must LOSE; 6→8 unreachable
+    val edges = Seq((0L, 2L, 1L), (2L, 4L, 1L), (0L, 4L, 5L), (6L, 8L, 1L))
+      .toDF("src", "dst", "w")
+    val r = operators.ShortestPaths.run(edges, source = 0L, rounds = 4).head()
+    assert(r.getAs[Long]("n_reached") === 3L) // 0, 2, 4
+    assert(r.getAs[Long]("dist_sum") === 3L)  // 0 + 1 + 2
+    assert(r.getAs[Long]("dist_max") === 2L)  // 4 via 2, not the direct 5
+    assert(r.getAs[Boolean]("converged"))
+    val expectedXor = Seq(0L * 100000 + 0, 2L * 100000 + 1, 4L * 100000 + 2)
+      .reduce(_ ^ _)
+    assert(r.getAs[Long]("path_xor") === expectedXor)
+  }
+
   test("purge: drops exactly the condemned keys, leaves the store atomic") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-purge-spec").toString
