@@ -1512,6 +1512,39 @@ object QueryCatalog {
   /** Exact interpolated percentiles (median / p90) — both engines implement
     * the linear-interpolation definition, so doubles match bit-for-bit.
     */
+  /** Deterministic MODE per group — most frequent value with ties to the
+    * SMALLEST value (SQL's MODE leaves ties unspecified; a total tie
+    * order is what makes the answer reproducible across engines and
+    * partitionings — the LabelPropagation argmax discipline). Two hash
+    * aggregates, both map-side combinable: value counts, then a
+    * lexicographic struct-max — never a per-group sort.
+    */
+  private val qModeAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg(max(struct(col("c"), (-col("v")).as("nv"))).as("m"),
+        sum(col("c")).as("n_rows"))
+      .select(col("g"), (-col("m.nv")).as("mode_qty"),
+        col("m.c").as("mode_count"), col("n_rows"))
+      .orderBy("g")
+
+  private val modeAggSql =
+    """WITH c AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+      |         COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2
+      |), r AS (
+      |  SELECT g, v, c, ROW_NUMBER() OVER (PARTITION BY g
+      |    ORDER BY c DESC, v ASC) AS rk,
+      |    SUM(c) OVER (PARTITION BY g) AS n_rows
+      |  FROM c
+      |)
+      |SELECT g, v AS mode_qty, c AS mode_count,
+      |  CAST(n_rows AS BIGINT) AS n_rows
+      |FROM r WHERE rk = 1 ORDER BY g""".stripMargin
+
   /** Equi-depth histogram (optimizer-statistics flavor, next to
     * q_histogram's equal-width): decile boundaries from ONE exact-
     * percentile aggregate, then a map-only bucketing pass against the
@@ -6528,6 +6561,7 @@ object QueryCatalog {
     "q_sketch_intersect" -> qSketchIntersect,
     "q_equidepth_hist" -> qEquidepthHist,
     "q_shortest_paths" -> qShortestPaths,
+    "q_mode_agg" -> qModeAgg,
     "q_stream_classify" -> qStreamClassify,
     "q_pit_join" -> qPitJoin,
     "q_incremental_corpus" -> qIncrementalCorpus,
@@ -6780,6 +6814,7 @@ object QueryCatalog {
     "q_sketch_intersect" -> sketchIntersectSql,
     "q_equidepth_hist" -> equidepthHistSql,
     "q_shortest_paths" -> shortestPathsSqlGen,
+    "q_mode_agg" -> modeAggSql,
     "q_stream_classify" -> streamClassifySqlGen,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_corpus" -> incrementalCorpusSql,
