@@ -1555,9 +1555,11 @@ object QueryCatalog {
     * equal — the oracle replays boundaries and buckets identically.
     */
   private val qEquidepthHist: Q = (s, dir) => {
+    // ONE percentile aggregate returning all 9 boundaries — nine separate
+    // percentile() exprs would each buffer the column independently
     val bounds = Tables.orders(s, dir).agg(
-      array((1 to 9).map(i =>
-        expr(s"percentile(o_totalprice, 0.$i)")): _*).as("bs"))
+      expr(s"percentile(o_totalprice, array(${(1 to 9)
+        .map(i => s"0.$i").mkString(", ")}))").as("bs"))
     Tables.orders(s, dir).crossJoin(broadcast(bounds))
       .select(expr("size(filter(bs, x -> x <= o_totalprice))").as("bucket"),
         col("o_totalprice"))
@@ -1568,10 +1570,9 @@ object QueryCatalog {
   }
 
   private val equidepthHistSql = {
-    val pcts = (1 to 9).map(i =>
-      s"percentile_cont(0.$i) WITHIN GROUP (ORDER BY o_totalprice)")
-      .mkString(", ")
-    s"""WITH bs AS (SELECT [$pcts] AS b FROM orders)
+    val pcts = (1 to 9).map(i => s"0.$i").mkString(", ")
+    s"""WITH bs AS (SELECT percentile_cont([$pcts])
+       |    WITHIN GROUP (ORDER BY o_totalprice) AS b FROM orders)
        |SELECT CAST(len(list_filter(b, x -> x <= o_totalprice)) AS INT)
        |    AS bucket,
        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
