@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.collection.concurrent.TrieMap
+
+/** JVM-local cache for deterministic on-disk query fixtures (input tables,
+  * persisted indexes) — the [[graft.similarity.ModelCache]] discipline
+  * applied to build-once artifacts. In production these are built when data
+  * lands (a bucketed layout, an IVF store, a band index) and every query
+  * reuses them; only the declared-query harness would rebuild them per run.
+  * Builds are deterministic, so a cached fixture is byte-equivalent to a
+  * rebuilt one and correctness cannot depend on cache hits. What stays
+  * timed in Bench is the OPERATOR over the fixture (the purge rewrite, the
+  * compaction, the streaming drain, the probe) — not the test-input
+  * generation.
+  *
+  * Queries that MUTATE their fixture take a [[mutableCopy]] per run; the
+  * pristine build is what is cached.
+  */
+object Fixtures {
+  private val cache = TrieMap.empty[String, String]
+
+  /** Build-once directory fixture: `build` populates a fresh temp dir the
+    * first time `key` is seen in this JVM; later calls return the same dir.
+    */
+  def getOrBuild(key: String)(build: String => Unit): String =
+    cache.getOrElseUpdate(key, {
+      val dir = Files.createTempDirectory("graft-fx").toString
+      build(dir)
+      dir
+    })
+
+  /** Fresh mutable copy of a fixture tree (for operators that rewrite or
+    * swap files in place). Local file copy — no Spark job.
+    */
+  def mutableCopy(src: String): String = {
+    val dstRoot = Files.createTempDirectory("graft-fxcopy")
+    copyTree(src, dstRoot.toString)
+    dstRoot.toString
+  }
+
+  /** Recursive copy of `src`'s contents into existing-or-created `dst`. */
+  def copyTree(src: String, dst: String): Unit = {
+    val s = Paths.get(src)
+    val d = Paths.get(dst)
+    Files.createDirectories(d)
+    val walk = Files.walk(s)
+    try walk.forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
+  /** Test hook. */
+  def clear(): Unit = cache.clear()
+}

@@ -337,6 +337,28 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Stream-side key purge — the in-flight half of the right-to-be-forgotten
+    * mutation ([[graft.etl.Purge]] is the at-rest half): condemned keys are
+    * filtered out of the ingest stream itself, so they never land in new
+    * files at all. The condemned set is a static DataFrame broadcast into a
+    * stream-static anti join — stateless, map-only per micro-batch (no
+    * streaming state, no watermark), so it is safe at any input rate and the
+    * broadcast is bounded by the deletion-request batch (thousands of keys,
+    * never fact-sized). Drained AvailableNow, the reference's
+    * process-pending-then-stop loop (sqoop_etl.py:77-83).
+    */
+  def purgeDrain(spark: SparkSession, sfDir: String, condemned: DataFrame,
+      outDir: String, checkpoint: String): Unit = {
+    val keyCol = condemned.columns.head
+    val q = readEvents(spark, sfDir)
+      .join(broadcast(condemned.select(col(keyCol).as("user_id")).distinct()),
+        Seq("user_id"), "left_anti")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Drain-then-stop run, the reference's loop semantics: AvailableNow
     * processes everything present, checkpoints, stops.
     */

@@ -98,4 +98,104 @@ class QueryCatalogSpec extends SparkSpec {
     assert(a.forall(_.features.length == 8))
     assert(a.forall(m => m.byteLen > 0 && m.sha.length == 64))
   }
+
+  test("MATCH-clause pattern counts equal a driver-side greedy-regex replay") {
+    import org.apache.spark.sql.functions._
+    val got = QueryCatalog.queries("q_event_match")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("matched_len")))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("sym"))
+      .collect()
+    val expect = ev.groupBy(_.getAs[Long]("user_id")).toSeq.flatMap { case (u, rs) =>
+      val s = rs.sortBy(r => (r.getAs[Long]("tms"), r.getAs[Long]("event_id")))
+        .map(_.getAs[String]("sym")).mkString
+      val ms = "v+cp".r.findAllIn(s).toSeq
+      if (ms.isEmpty) None
+      else Some(u -> ((ms.size.toLong, ms.map(_.length.toLong).sum)))
+    }
+    assert(got == expect.toMap)
+    assert(got.nonEmpty)
+  }
+
+  test("conditional change/true events equal a driver-side running replay") {
+    import org.apache.spark.sql.functions._
+    val got = QueryCatalog.queries("q_change_events")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        ((r.getAs[Long]("cce"), r.getAs[Long]("cte")))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(29)) === 1)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
+        col("event_type"), col("value")).collect()
+    val expect = ev.groupBy(_.getAs[Long]("user_id")).toSeq.flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("tms"), r.getAs[Long]("event_id")))
+      var cce = 0L; var cte = 0L; var prev: String = null
+      sorted.map { r =>
+        val t = r.getAs[String]("event_type")
+        if (prev != null && prev != t) cce += 1
+        if (r.getAs[Double]("value") > 600.0) cte += 1
+        prev = t
+        (u, r.getAs[Long]("event_id")) -> ((cce, cte))
+      }
+    }
+    assert(got == expect.toMap)
+    assert(got.nonEmpty)
+  }
+
+  test("timeseries interpolation equals a driver-side replay, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000L
+    val t0 = 1704067200000L
+    val got = QueryCatalog.queries("q_timeseries_interp")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("slice_ms")) ->
+        (if (r.isNullAt(2)) None else Some(r.getAs[Double]("v_interp")))).toMap
+    val pts = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_id"), col("value")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) =>
+        u -> rs.groupBy(_.getAs[Long]("tms")).toSeq.map { case (t, g) =>
+          t -> g.maxBy(_.getAs[Long]("event_id")).getAs[Double]("value")
+        }.sortBy(_._1)
+      }
+    val expect = pts.toSeq.flatMap { case (u, series) =>
+      (0 to 30).map { i =>
+        val t = t0 + i * day
+        val before = series.filter(_._1 <= t).lastOption
+        val after = series.filter(_._1 > t).headOption
+        val v = (before, after) match {
+          case (Some((pt, pv)), Some((nt, nv))) =>
+            Some(pv + (nv - pv) * ((t - pt).toDouble / (nt - pt).toDouble))
+          case _ => None
+        }
+        (u, t) -> v
+      }
+    }
+    assert(got == expect.toMap)
+    assert(got.values.exists(_.isDefined))
+  }
+
+  test("regression slope/intercept match driver-side OLS") {
+    import org.apache.spark.sql.functions._
+    val rows = QueryCatalog.queries("q_regression")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("double").as("x"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("y"))
+      .collect().groupBy(_.getAs[String]("n_name"))
+    rows.foreach { r =>
+      val g = data(r.getAs[String]("n_name"))
+      val n = g.length.toDouble
+      val (sx, sy) = (g.map(_.getAs[Double]("x")).sum, g.map(_.getAs[Double]("y")).sum)
+      val sxx = g.map(v => v.getAs[Double]("x") * v.getAs[Double]("x")).sum
+      val sxy = g.map(v => v.getAs[Double]("x") * v.getAs[Double]("y")).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-6 * math.max(1.0, math.abs(slope)))
+      assert(r.getAs[Long]("n") == g.length.toLong)
+    }
+  }
 }

@@ -157,4 +157,23 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "version").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("stream-side purge equals the batch anti-join and survives a re-drain") {
+    val tmp = Files.createTempDirectory("graft-spurge").toString
+    val condemned = Tables.events(spark, sf).select(col("user_id"))
+      .filter(pmod(col("user_id"), lit(19)) === 3).distinct()
+    EventsStream.purgeDrain(spark, sf, condemned, s"$tmp/out", s"$tmp/ck")
+    def surviving() = spark.read.parquet(s"$tmp/out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val got = surviving()
+    val expect = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(19)) =!= 3)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // re-drain against the same checkpoint: no new input → no duplicates
+    EventsStream.purgeDrain(spark, sf, condemned, s"$tmp/out", s"$tmp/ck")
+    assert(surviving() == expect)
+    assert(spark.read.parquet(s"$tmp/out").count() == expect.size)
+  }
 }
