@@ -6806,6 +6806,123 @@ object QueryCatalog {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS residual_pii
       |FROM scr GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Jaro–Winkler similarity through the custom codegen expression
+    * (graftx.JaroWinkler — Spark has levenshtein but not JW): consecutive
+    * customer names (high-similarity, exercises the Winkler prefix boost)
+    * and name-vs-mktsegment (low-similarity, no-boost path), both checked
+    * against DuckDB's jaro_winkler_similarity to the last bit. Map-only
+    * compute; the key-shift self-join is the only shuffle.
+    */
+  private val qJaroWinkler: Q = (s, dir) => {
+    import org.apache.spark.sql.graftx.JaroWinkler.jaro_winkler
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val a = c.filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"), col("c_name").as("name_a"),
+        col("c_mktsegment").as("seg_a"))
+    val b = c.select((col("c_custkey") - 1).as("k"), col("c_name").as("name_b"))
+    a.join(b, "k")
+      .select(col("k"),
+        jaro_winkler(col("name_a"), col("name_b")).as("jw_name"),
+        jaro_winkler(col("name_a"), col("seg_a")).as("jw_cross"))
+      .orderBy("k")
+  }
+
+  private val jaroWinklerSql =
+    """SELECT a.c_custkey AS k,
+      |  jaro_winkler_similarity(a.c_name, b.c_name) AS jw_name,
+      |  jaro_winkler_similarity(a.c_name, a.c_mktsegment) AS jw_cross
+      |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      |WHERE a.c_custkey <= 200 ORDER BY k""".stripMargin
+
+  /** Chi-square independence test (orderpriority × orderstatus): the
+    * contingency table with expected counts and per-cell χ² contributions.
+    * All counts are exact map-combinable aggregates; the double arithmetic
+    * happens once per cell on identical exact inputs, so contributions are
+    * bit-equal across engines (the total statistic is one small sum the
+    * caller can take — emitting per-cell keeps the compare exact).
+    */
+  private val qChisq: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+    val cells = o.groupBy(col("pri"), col("st")).agg(count(lit(1)).as("obs"))
+    val rowT = o.groupBy(col("pri")).agg(count(lit(1)).as("row_n"))
+    val colT = o.groupBy(col("st")).agg(count(lit(1)).as("col_n"))
+    val tot = o.agg(count(lit(1)).as("n"))
+    cells.join(broadcast(rowT), "pri").join(broadcast(colT), "st")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("row_n").cast("double") * col("col_n") / col("n"))
+      .withColumn("contrib",
+        (col("obs") - col("expected")) * (col("obs") - col("expected")) /
+          col("expected"))
+      .select(col("pri"), col("st"), col("obs"), col("expected"), col("contrib"))
+      .orderBy("pri", "st")
+  }
+
+  private val chisqSql =
+    """WITH c AS (
+      |  SELECT o_orderpriority AS pri, o_orderstatus AS st, COUNT(*) AS obs
+      |  FROM orders GROUP BY 1, 2
+      |), r AS (
+      |  SELECT o_orderpriority AS pri, COUNT(*) AS row_n FROM orders GROUP BY 1
+      |), cl AS (
+      |  SELECT o_orderstatus AS st, COUNT(*) AS col_n FROM orders GROUP BY 1
+      |), t AS (SELECT COUNT(*) AS n FROM orders),
+      |e AS (
+      |  SELECT pri, st, obs, CAST(row_n AS DOUBLE) * col_n / n AS expected
+      |  FROM c JOIN r USING (pri) JOIN cl USING (st) CROSS JOIN t
+      |)
+      |SELECT pri, st, obs, expected,
+      |  (obs - expected) * (obs - expected) / expected AS contrib
+      |FROM e ORDER BY pri, st""".stripMargin
+
+  /** Group-aware train/test split — the leakage-safe ML split: the md5
+    * bucket is computed on the GROUP key (user), so every user's events
+    * land wholly in one split; `leaky_users` is the in-band audit (count
+    * of users straddling splits — 0 by construction, and the oracle
+    * recomputes it independently). Same md5-bucket replay discipline as
+    * q_hash_split.
+    */
+  private val qGroupSplit: Q = (s, dir) => {
+    val bucket =
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    val ev = Tables.events(s, dir)
+      .withColumn("split", when(bucket < 8, "train").otherwise("test"))
+    val leaks = ev.groupBy(col("user_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("leaky_users"))
+    ev.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("bit_xor(event_id)").as("id_xor"))
+      .crossJoin(broadcast(leaks))
+      .orderBy("split")
+  }
+
+  private val groupSplitSql = {
+    def hexDigit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1)"
+    val bucket = s"((${hexDigit(1)}*4096 + ${hexDigit(2)}*256 + " +
+      s"${hexDigit(3)}*16 + ${hexDigit(4)}) % 10)"
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id,
+       |    CASE WHEN $bucket < 8 THEN 'train' ELSE 'test' END AS split
+       |  FROM events
+       |), l AS (
+       |  SELECT COUNT(*) AS leaky_users FROM (
+       |    SELECT user_id FROM ev GROUP BY user_id
+       |    HAVING COUNT(DISTINCT split) > 1) t
+       |)
+       |SELECT split, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  CAST(bit_xor(event_id) AS BIGINT) AS id_xor, leaky_users
+       |FROM ev CROSS JOIN l GROUP BY split, leaky_users
+       |ORDER BY split""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7033,6 +7150,9 @@ object QueryCatalog {
     "q_stream_purge" -> qStreamPurge,
     "q_profile" -> qProfile,
     "q_pii_scrub" -> qPiiScrub,
+    "q_jaro_winkler" -> qJaroWinkler,
+    "q_chisq" -> qChisq,
+    "q_group_split" -> qGroupSplit,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7259,5 +7379,8 @@ object QueryCatalog {
     "q_stream_purge" -> streamPurgeSql,
     "q_profile" -> profileSql,
     "q_pii_scrub" -> piiScrubSql,
+    "q_jaro_winkler" -> jaroWinklerSql,
+    "q_chisq" -> chisqSql,
+    "q_group_split" -> groupSplitSql,
     "q_events_json" -> eventsJsonSql)
 }

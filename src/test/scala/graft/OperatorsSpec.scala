@@ -652,4 +652,32 @@ class OperatorsSpec extends SparkSpec {
     assert(repaired.exceptAll(src).count() === 0L &&
       src.exceptAll(repaired).count() === 0L)
   }
+
+  test("profile: exact and approx variants agree (NDV within HLL tolerance), no Expand in exact plan") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+    val nums = Seq("l_quantity", "l_extendedprice")
+    val strs = Seq("l_returnflag")
+    val exact = operators.Profile.profile(li, nums, strs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = operators.Profile.profileApprox(li, nums, strs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == (nums ++ strs).toSet)
+    (nums ++ strs).foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      assert(e.getLong(1) == a.getLong(1) && e.getLong(2) == a.getLong(2))
+      val (ndvE, ndvA) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(ndvA - ndvE) <= math.max(2L, (ndvE * 0.1).toLong),
+        s"$c ndv exact=$ndvE approx=$ndvA")
+      assert(e.get(4) == a.get(4) && e.get(5) == a.get(5) &&
+        e.get(6) == a.get(6) && e.get(7) == a.get(7))
+    }
+    // the exact variant must not plan the multi-distinct Expand
+    val plan = operators.Profile.profile(li, nums, strs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "exact profile planned an Expand")
+    // dimension sanity on a known column
+    assert(exact("l_returnflag").getLong(3) == li.select(col("l_returnflag"))
+      .distinct().count())
+  }
 }

@@ -108,4 +108,24 @@ class TextSpec extends SparkSpec {
     val c = SketchKernels.simHash(UTF8String.fromString("completely unrelated text about database query planning internals"), 2)
     assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
   }
+
+  test("jaro-winkler matches textbook values, interpreted and codegen paths agree") {
+    import org.apache.spark.sql.graftx.JaroWinkler
+    assert(JaroWinkler.jw("martha", "marhta") == 0.9611111111111111)
+    assert(JaroWinkler.jw("dwayne", "duane") == 0.8400000000000001)
+    assert(JaroWinkler.jw("", "abc") == 0.0)
+    assert(JaroWinkler.jw("abc", "") == 0.0)
+    assert(JaroWinkler.jw("abc", "abc") == 1.0)
+    assert(JaroWinkler.jw("ab", "ba") == 0.0) // window 0: no matches
+    // below the 0.7 boost threshold the prefix must NOT be rewarded
+    assert(JaroWinkler.jw("aaxxxxxx", "aayyyyyy") == 0.5)
+    // symmetric
+    assert(JaroWinkler.jw("prefix one", "prefix two") ==
+      JaroWinkler.jw("prefix two", "prefix one"))
+    // the Expression path (whole-stage codegen) computes the same value
+    val got = spark.range(1)
+      .select(JaroWinkler.jaro_winkler(lit("martha"), lit("marhta")).as("v"))
+      .head().getDouble(0)
+    assert(got == 0.9611111111111111)
+  }
 }
