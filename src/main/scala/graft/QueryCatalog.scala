@@ -6923,6 +6923,88 @@ object QueryCatalog {
        |ORDER BY split""".stripMargin
   }
 
+  /** BPE-style merge induction over the corpus — the vocabulary-training
+    * half of the tokenizer story (graftx.SubwordPieces is the inference
+    * half): R rounds of (count adjacent token pairs) → (pick the most
+    * frequent, count-desc/lexicographic tie-break) → (merge its
+    * occurrences left-to-right, non-overlapping). Token state rides as a
+    * double-space-joined string, so a round's merge is ONE codegen
+    * `replace` — the double separator makes non-overlapping left-to-right
+    * replacement exact (a single-space join would let adjacent matches
+    * share a boundary space and under-merge).
+    *
+    * Scale shape: pair counting is a map-side-combinable aggregate whose
+    * shuffle is bounded by the distinct-pair vocabulary, never corpus
+    * rows; the per-round argmax ships exactly ONE row to the driver
+    * (TakeOrdered — the ConnectedComponents convergence discipline); the
+    * merge is a map-only projection; `localCheckpoint` truncates lineage
+    * per round. Production BPE trainers run these same rounds over a
+    * corpus sample — here the slice is doc_id < 200 so the oracle can
+    * replay every round as a generated MATERIALIZED CTE (chosen pair,
+    * its count, and the post-merge corpus token total, all hash-compared
+    * per round).
+    */
+  private val BpeRounds = 6
+
+  private val qBpeTrain: Q = (s, dir) => {
+    var seqs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "  ").as("seq"))
+      .localCheckpoint()
+    val rows = (1 to BpeRounds).map { r =>
+      val best = seqs.select(explode(expr(
+          "zip_with(slice(split(seq, '  '), 1, size(split(seq, '  ')) - 1), " +
+            "slice(split(seq, '  '), 2, size(split(seq, '  ')) - 1), " +
+            "(a, b) -> struct(a, b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).head()
+      val (a, b, cnt) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      def q(t: String) = t.replace("'", "''")
+      seqs = seqs.select(col("doc_id"),
+        expr(s"trim(replace(concat('  ', seq, '  '), " +
+          s"' ${q(a)}  ${q(b)} ', ' ${q(a)}_${q(b)} '))").as("seq"))
+        .localCheckpoint()
+      val tokens = seqs
+        .agg(sum(size(split(col("seq"), "  "))).cast("long")).head().getLong(0)
+      (r, s"${a}_$b", cnt, tokens)
+    }
+    import s.implicits._
+    rows.toDF("round", "merged", "cnt", "corpus_tokens").orderBy("round")
+  }
+
+  private val bpeTrainSql = {
+    val parts = Seq("WITH r0 AS MATERIALIZED (SELECT doc_id, " +
+      "replace(text, ' ', '  ') AS seq FROM documents WHERE doc_id < 200)") ++
+      (1 to BpeRounds).flatMap { i =>
+        val prev = s"r${i - 1}"
+        Seq(
+          s"""b$i AS MATERIALIZED (
+             |  SELECT a, b, COUNT(*) AS cnt FROM (
+             |    SELECT u.p[1] AS a, u.p[2] AS b FROM (
+             |      SELECT UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+             |      FROM (SELECT string_split(seq, '  ') AS toks FROM $prev) t) u
+             |  ) GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+             |)""".stripMargin,
+          s"""r$i AS MATERIALIZED (
+             |  SELECT doc_id, trim(replace('  ' || seq || '  ',
+             |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+             |    ' ' || (SELECT a FROM b$i) || '_' || (SELECT b FROM b$i) || ' ')) AS seq
+             |  FROM $prev
+             |)""".stripMargin)
+      }
+    val outRows = (1 to BpeRounds).map { i =>
+      s"""SELECT $i AS round,
+         |  (SELECT a || '_' || b FROM b$i) AS merged,
+         |  (SELECT cnt FROM b$i) AS cnt,
+         |  (SELECT CAST(SUM(len(string_split(seq, '  '))) AS BIGINT) FROM r$i)
+         |    AS corpus_tokens""".stripMargin
+    }
+    parts.mkString(",\n") + "\n" + outRows.mkString("\nUNION ALL\n") +
+      "\nORDER BY round"
+  }
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7153,6 +7235,7 @@ object QueryCatalog {
     "q_jaro_winkler" -> qJaroWinkler,
     "q_chisq" -> qChisq,
     "q_group_split" -> qGroupSplit,
+    "q_bpe_train" -> qBpeTrain,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7382,5 +7465,6 @@ object QueryCatalog {
     "q_jaro_winkler" -> jaroWinklerSql,
     "q_chisq" -> chisqSql,
     "q_group_split" -> groupSplitSql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_events_json" -> eventsJsonSql)
 }

@@ -26,5 +26,7 @@ object GraftFunctions {
       exprs => ByteEntropy(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("subword_pieces",
       exprs => SubwordPieces(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
   }
 }

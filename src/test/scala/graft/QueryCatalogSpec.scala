@@ -42,9 +42,11 @@ class QueryCatalogSpec extends SparkSpec {
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_sql")
     val out = spark.sql(
       """SELECT doc_id, rolling_hash(text) AS fp, simhash64(text) AS sh,
-        |  size(minhash_sig(text)) AS k
+        |  size(minhash_sig(text)) AS k,
+        |  jaro_winkler(text, text) AS jw
         |FROM docs_sql""".stripMargin).collect()
     assert(out.length == 5 && out.forall(_.getInt(3) == 24))
+    assert(out.forall(_.getDouble(4) == 1.0))
   }
 
   test("flagship entry returns rows") {
@@ -174,6 +176,34 @@ class QueryCatalogSpec extends SparkSpec {
     }
     assert(got == expect.toMap)
     assert(got.values.exists(_.isDefined))
+  }
+
+  test("BPE merge induction matches a driver-side round replay") {
+    import org.apache.spark.sql.functions.col
+    val got = QueryCatalog.queries("q_bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    var docs: Map[Long, Vector[String]] = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').toVector).toMap
+    val expect = (1 to got.size).map { rnd =>
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      docs.values.foreach(toks =>
+        toks.zip(toks.tail).foreach(p => cnt(p) += 1))
+      val ((a, b), c) = cnt.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+      val merged = a + "_" + b
+      docs = docs.map { case (d, toks) =>
+        val nt = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { t =>
+          if (nt.nonEmpty && nt.last == a && t == b) nt(nt.size - 1) = merged
+          else nt += t
+        }
+        d -> nt.toVector
+      }
+      (rnd, merged, c, docs.values.map(_.size.toLong).sum)
+    }
+    assert(got == expect)
+    assert(got.nonEmpty && got.forall(_._3 > 0))
   }
 
   test("regression slope/intercept match driver-side OLS") {
