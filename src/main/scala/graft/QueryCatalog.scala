@@ -7005,6 +7005,99 @@ object QueryCatalog {
       "\nORDER BY round"
   }
 
+  /** The learned BPE merge list (same rounds as q_bpe_train), cached per
+    * (JVM, sfDir) — training is deterministic, so a cached merge list is
+    * identical to a refit one (the ModelCache contract).
+    */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    graft.similarity.ModelCache.getOrFit(s"bpe:$dir") {
+      var seqs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(regexp_replace(col("text"), " ", "  ").as("seq"))
+        .localCheckpoint()
+      (1 to BpeRounds).map { _ =>
+        val best = seqs.select(explode(expr(
+            "zip_with(slice(split(seq, '  '), 1, size(split(seq, '  ')) - 1), " +
+              "slice(split(seq, '  '), 2, size(split(seq, '  ')) - 1), " +
+              "(a, b) -> struct(a, b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).head()
+        val (a, b) = (best.getString(0), best.getString(1))
+        seqs = seqs.select(
+          expr(s"trim(replace(concat('  ', seq, '  '), " +
+            s"' $a  $b ', ' ${a}_$b '))").as("seq")).localCheckpoint()
+        (a, b)
+      }
+    }
+
+  /** Train-on-sample, apply-at-scale — the production tokenizer pattern:
+    * the merge list induced by q_bpe_train's rounds (cached build-once)
+    * is applied to EVERY document as a chain of R codegen replaces — one
+    * map-only projection over the corpus, no shuffle until the per-lang
+    * accounting. The oracle re-derives the same merges from its own
+    * round CTEs and applies the same chain, so tokenization (total and
+    * merged-token counts per language) must agree exactly.
+    */
+  private val qBpeApply: Q = (s, dir) => {
+    val merges = bpeMerges(s, dir)
+    // the R-merge chain as nested SQL text — one codegen projection
+    // (tokens are verified [a-z0-9_]; no escaping needed)
+    val seqSql = merges.foldLeft("replace(text, ' ', '  ')") {
+      case (inner, (a, b)) =>
+        s"trim(replace(concat('  ', $inner, '  '), ' $a  $b ', ' ${a}_$b '))"
+    }
+    Tables.documents(s, dir)
+      .select(col("lang"), expr(s"split($seqSql, '  ')").as("toks"))
+      .select(col("lang"), size(col("toks")).cast("long").as("n_toks"),
+        expr("size(filter(toks, t -> contains(t, '_')))").cast("long")
+          .as("n_merged"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_merged")).as("merged_tokens"))
+      .orderBy("lang")
+  }
+
+  private val bpeApplySql = {
+    // the same training CTEs as bpeTrainSql, then application to ALL docs
+    val trainParts = Seq("WITH r0 AS MATERIALIZED (SELECT doc_id, " +
+      "replace(text, ' ', '  ') AS seq FROM documents WHERE doc_id < 200)") ++
+      (1 to BpeRounds).flatMap { i =>
+        val prev = s"r${i - 1}"
+        Seq(
+          s"""b$i AS MATERIALIZED (
+             |  SELECT a, b, COUNT(*) AS cnt FROM (
+             |    SELECT u.p[1] AS a, u.p[2] AS b FROM (
+             |      SELECT UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+             |      FROM (SELECT string_split(seq, '  ') AS toks FROM $prev) t) u
+             |  ) GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+             |)""".stripMargin,
+          s"""r$i AS MATERIALIZED (
+             |  SELECT doc_id, trim(replace('  ' || seq || '  ',
+             |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+             |    ' ' || (SELECT a FROM b$i) || '_' || (SELECT b FROM b$i) || ' ')) AS seq
+             |  FROM $prev
+             |)""".stripMargin)
+      }
+    val applyParts = Seq(
+      "a0 AS MATERIALIZED (SELECT lang, replace(text, ' ', '  ') AS seq FROM documents)") ++
+      (1 to BpeRounds).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT lang, trim(replace('  ' || seq || '  ',
+           |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+           |    ' ' || (SELECT a FROM b$i) || '_' || (SELECT b FROM b$i) || ' ')) AS seq
+           |  FROM a${i - 1}
+           |)""".stripMargin
+      }
+    (trainParts ++ applyParts).mkString(",\n") +
+      s"""
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(seq, '  '))) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(len(list_filter(string_split(seq, '  '), t -> contains(t, '_'))))
+         |    AS BIGINT) AS merged_tokens
+         |FROM a$BpeRounds GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7236,6 +7329,7 @@ object QueryCatalog {
     "q_chisq" -> qChisq,
     "q_group_split" -> qGroupSplit,
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_apply" -> qBpeApply,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7466,5 +7560,6 @@ object QueryCatalog {
     "q_chisq" -> chisqSql,
     "q_group_split" -> groupSplitSql,
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_apply" -> bpeApplySql,
     "q_events_json" -> eventsJsonSql)
 }
