@@ -7098,6 +7098,56 @@ object QueryCatalog {
          |FROM a$BpeRounds GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Rolling z-score anomaly detection — the monitoring companion of
+    * q_ewma: per user, a trailing 10-event window's mean/std computed
+    * from EXACT decimal sums (Σx, Σx² — order-independent), the z-score
+    * and variance arithmetic done in double once per row, so both
+    * engines produce bit-identical scores. Only full windows score
+    * (row ≥ 10); emitted rows are the |z| > 2 outliers. Partitioned by
+    * user — no global window, one shuffle.
+    */
+  private val qAnomaly: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tms").asc, col("event_id").asc)
+    val trail = w.rowsBetween(-9, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tms"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sx", sum(col("value").cast("decimal(18,4)")).over(trail)
+        .cast("double"))
+      .withColumn("sxx",
+        sum((col("value").cast("decimal(18,4)") *
+          col("value").cast("decimal(18,4)"))).over(trail).cast("double"))
+      .filter(col("rn") >= 10)
+      .withColumn("mean", col("sx") / 10.0d)
+      .withColumn("variance",
+        (col("sxx") - col("sx") * col("sx") / 10.0d) / 9.0d)
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 2.0d)
+      .select(col("user_id"), col("event_id"), col("tms"), col("z"))
+      .orderBy("user_id", "tms", "event_id")
+  }
+
+  private val anomalySql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms, value,
+      |    row_number() OVER w AS rn,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER t AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+      |      OVER t AS DOUBLE) AS sxx
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
+      |  t AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      |), scored AS (
+      |  SELECT user_id, event_id, tms,
+      |    (value - sx / 10.0) / sqrt((sxx - sx * sx / 10.0) / 9.0) AS z
+      |  FROM e WHERE rn >= 10
+      |)
+      |SELECT user_id, event_id, tms, z FROM scored
+      |WHERE abs(z) > 2.0 ORDER BY user_id, tms, event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7330,6 +7380,7 @@ object QueryCatalog {
     "q_group_split" -> qGroupSplit,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_apply" -> qBpeApply,
+    "q_anomaly" -> qAnomaly,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7561,5 +7612,6 @@ object QueryCatalog {
     "q_group_split" -> groupSplitSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_apply" -> bpeApplySql,
+    "q_anomaly" -> anomalySql,
     "q_events_json" -> eventsJsonSql)
 }
