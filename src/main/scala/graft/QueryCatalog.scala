@@ -7148,6 +7148,65 @@ object QueryCatalog {
       |SELECT user_id, event_id, tms, z FROM scored
       |WHERE abs(z) > 2.0 ORDER BY user_id, tms, event_id""".stripMargin
 
+  /** Delta compaction for the merge-on-read store — the VACUUM/OPTIMIZE
+    * analogue (etl.MergeOnRead.compact): base ∪ accumulated deltas
+    * (upserts over two versions + tombstones) folded back into a single
+    * resolved base with an atomic rename swap, delta dir removed, read
+    * amplification reset to zero. The fixture (base + two delta batches
+    * derived from orders) is build-once; each run compacts a fresh copy.
+    * The oracle recomputes the resolved state from the delta RULES
+    * (latest-wins by version, tombstones drop), so the hash matches only
+    * if compaction applied exactly the merge-on-read semantics;
+    * `delta_dir_removed` and `max_version` ride in-band.
+    */
+  private val qDeltaCompact: Q = (s, dir) => {
+    val fx = Fixtures.getOrBuild(s"mor:$dir") { f =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+      o.select(col("k"), col("v"), lit(0L).as("version"), lit("u").as("op"))
+        .write.parquet(s"$f/base")
+      o.filter(col("k") % 7 === 0)
+        .select(col("k"),
+          (col("v") + lit(10).cast("decimal(18,2)")).cast("decimal(18,2)").as("v"),
+          lit(1L).as("version"), lit("u").as("op"))
+        .write.parquet(s"$f/delta")
+      o.filter(col("k") % 13 === 0)
+        .select(col("k"), col("v"), lit(2L).as("version"), lit("d").as("op"))
+        .unionByName(
+          o.filter(col("k") % 11 === 0 && col("k") % 13 =!= 0)
+            .select(col("k"),
+              (col("v") + lit(20).cast("decimal(18,2)")).cast("decimal(18,2)").as("v"),
+              lit(2L).as("version"), lit("u").as("op")))
+        .write.mode("append").parquet(s"$f/delta")
+    }
+    val tmp = Fixtures.mutableCopy(fx)
+    etl.MergeOnRead.compact(s, s"$tmp/base", s"$tmp/delta", Seq("k"), "version")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val deltaGone = !fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/delta"))
+    s.read.parquet(s"$tmp/base")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v")).cast("double").as("val_sum"),
+        expr("bit_xor(k)").as("key_xor"),
+        max(col("version")).cast("long").as("max_version"))
+      .withColumn("delta_dir_removed", lit(deltaGone))
+  }
+
+  private val deltaCompactSql =
+    """WITH final AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0
+      |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 20
+      |         WHEN o_orderkey % 7 = 0
+      |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |)
+      |SELECT COUNT(*) AS n_rows, CAST(SUM(v) AS DOUBLE) AS val_sum,
+      |  CAST(bit_xor(k) AS BIGINT) AS key_xor,
+      |  CAST(0 AS BIGINT) AS max_version, TRUE AS delta_dir_removed
+      |FROM final""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7381,6 +7440,7 @@ object QueryCatalog {
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_apply" -> qBpeApply,
     "q_anomaly" -> qAnomaly,
+    "q_delta_compact" -> qDeltaCompact,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7613,5 +7673,6 @@ object QueryCatalog {
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_anomaly" -> anomalySql,
+    "q_delta_compact" -> deltaCompactSql,
     "q_events_json" -> eventsJsonSql)
 }
