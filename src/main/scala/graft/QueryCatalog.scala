@@ -7207,6 +7207,74 @@ object QueryCatalog {
       |  CAST(0 AS BIGINT) AS max_version, TRUE AS delta_dir_removed
       |FROM final""".stripMargin
 
+  /** Temperature-scaled source mixing — the corpus-mixing step of an LLM
+    * data pipeline: per-source sampling rates ∝ size^α (α = 0.5, the
+    * up-weight-the-tail exponent), applied as a deterministic md5-bucket
+    * acceptance test per document. Weights are floored to integer micros
+    * BEFORE the cross-source sum so the normalization constant is exact —
+    * a raw double Σ√size would be summation-order dependent and could
+    * flip a rate at the 10⁻¹⁵ boundary between engines. Two tiny
+    * aggregates + one broadcast join; the corpus pass is map-only.
+    */
+  private val qSourceMixing: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("w",
+        floor(sqrt(col("chars").cast("double")) * lit(1000000.0d)).cast("long"))
+    val tot = stats.agg(sum(col("w")).as("sumw"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .withColumn("rate10k", least(
+        floor(lit(30000.0d) * col("w") / col("sumw") / col("chars") *
+          lit(10000.0d)).cast("long"),
+        lit(10000L)))
+      .select(col("source"), col("rate10k"))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    docs.withColumn("bucket", bucket)
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"), col("rate10k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("rate10k"), 1).otherwise(0))
+          .cast("long").as("picked_docs"),
+        sum(when(col("bucket") < col("rate10k"), col("n_chars"))
+          .otherwise(lit(0L))).cast("long").as("picked_chars"),
+        expr("bit_xor(CASE WHEN bucket < rate10k THEN doc_id ELSE 0 END)")
+          .as("id_xor"))
+      .orderBy("source")
+  }
+
+  private val sourceMixingSql = {
+    def hexDigit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val bucket = s"((${hexDigit(1)}*4096 + ${hexDigit(2)}*256 + " +
+      s"${hexDigit(3)}*16 + ${hexDigit(4)}) % 10000)"
+    s"""WITH stats AS (
+       |  SELECT source, SUM(n_chars) AS chars,
+       |    CAST(floor(sqrt(CAST(SUM(n_chars) AS DOUBLE)) *
+       |      CAST(1000000 AS DOUBLE)) AS BIGINT) AS w
+       |  FROM documents GROUP BY source
+       |), tot AS (SELECT SUM(w) AS sumw FROM stats),
+       |rates AS (
+       |  SELECT source, LEAST(CAST(floor(CAST(30000 AS DOUBLE) * w / sumw
+       |    / chars * CAST(10000 AS DOUBLE)) AS BIGINT), 10000) AS rate10k
+       |  FROM stats CROSS JOIN tot
+       |), d AS (
+       |  SELECT d.source, d.doc_id, d.n_chars, r.rate10k,
+       |    $bucket AS bucket
+       |  FROM documents d JOIN rates r USING (source)
+       |)
+       |SELECT source, rate10k, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN bucket < rate10k THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS picked_docs,
+       |  CAST(SUM(CASE WHEN bucket < rate10k THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS picked_chars,
+       |  CAST(bit_xor(CASE WHEN bucket < rate10k THEN doc_id ELSE 0 END)
+       |    AS BIGINT) AS id_xor
+       |FROM d GROUP BY source, rate10k ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7441,6 +7509,7 @@ object QueryCatalog {
     "q_bpe_apply" -> qBpeApply,
     "q_anomaly" -> qAnomaly,
     "q_delta_compact" -> qDeltaCompact,
+    "q_source_mixing" -> qSourceMixing,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7674,5 +7743,6 @@ object QueryCatalog {
     "q_bpe_apply" -> bpeApplySql,
     "q_anomaly" -> anomalySql,
     "q_delta_compact" -> deltaCompactSql,
+    "q_source_mixing" -> sourceMixingSql,
     "q_events_json" -> eventsJsonSql)
 }
