@@ -7275,6 +7275,51 @@ object QueryCatalog {
        |FROM d GROUP BY source, rate10k ORDER BY source""".stripMargin
   }
 
+  /** Multi-column zone map: orders Z-ORDERED on (custkey, order-day), a
+    * per-file (min,max) manifest on BOTH columns, and a conjunctive range
+    * query that opens only files whose intervals intersect BOTH
+    * predicates — skipping compounds across columns, which is the whole
+    * point of the Z-layout (either column alone leaves more files alive).
+    * `files_pruned` and `conj_beats_single` ride in-band; the hash
+    * matches the oracle's direct filter only if pruning kept a superset.
+    */
+  private val qZoneMap: Q = (s, dir) => {
+    val tmp = Fixtures.getOrBuild(s"zonemap:$dir") { f =>
+      val o = Tables.orders(s, dir).withColumn("oday",
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      graft.sources.ZOrder.write(o, "o_custkey", "oday", s"$f/data",
+        numFiles = 16)
+    }
+    val stats = graft.sources.StatsStore
+      .collect(s, s"$tmp/data", Seq("o_custkey", "oday")).localCheckpoint()
+    val nTotal = stats.count()
+    val preds = Seq(("o_custkey", 300L, 600L), ("oday", 1200L, 1400L))
+    val nCust = graft.sources.StatsStore
+      .survivingFiles(stats, "o_custkey", 300L, 600L).size
+    val nDay = graft.sources.StatsStore
+      .survivingFiles(stats, "oday", 1200L, 1400L).size
+    val nConj = graft.sources.StatsStore.survivingFilesAll(stats, preds).size
+    graft.sources.StatsStore.prunedReadAll(s, s"$tmp/data", stats, preds)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumExact(col("o_totalprice")).as("total"),
+        expr("bit_xor(o_orderkey)").as("key_xor"))
+      .withColumn("files_pruned", lit(nConj < nTotal))
+      .withColumn("conj_beats_single", lit(nConj <= math.min(nCust, nDay)))
+      .orderBy("o_orderpriority")
+  }
+
+  private val zoneMapSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+      |  TRUE AS files_pruned, TRUE AS conj_beats_single
+      |FROM orders
+      |WHERE o_custkey BETWEEN 300 AND 600
+      |  AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+      |    BETWEEN 1200 AND 1400
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7510,6 +7555,7 @@ object QueryCatalog {
     "q_anomaly" -> qAnomaly,
     "q_delta_compact" -> qDeltaCompact,
     "q_source_mixing" -> qSourceMixing,
+    "q_zone_map" -> qZoneMap,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7744,5 +7790,6 @@ object QueryCatalog {
     "q_anomaly" -> anomalySql,
     "q_delta_compact" -> deltaCompactSql,
     "q_source_mixing" -> sourceMixingSql,
+    "q_zone_map" -> zoneMapSql,
     "q_events_json" -> eventsJsonSql)
 }

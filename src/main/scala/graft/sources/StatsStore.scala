@@ -49,4 +49,32 @@ object StatsStore {
       else spark.read.parquet(files: _*)
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
+
+  /** Conjunctive (multi-column zone-map) pruning: a file survives only if
+    * EVERY predicate's interval intersects that file's [min, max] — so
+    * skipping compounds across columns. With a Z-ORDER layout both
+    * per-file ranges are tight, and the conjunction prunes strictly more
+    * than either column alone.
+    */
+  def survivingFilesAll(stats: DataFrame,
+      preds: Seq[(String, Long, Long)]): Seq[String] = {
+    val cond = preds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    stats.filter(cond).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Conjunctive-range read over only the surviving files (superset
+    * guarantee — the full predicate is still applied to rows read).
+    */
+  def prunedReadAll(spark: SparkSession, dataPath: String, stats: DataFrame,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    val files = survivingFilesAll(stats, preds)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _))
+  }
 }
