@@ -7320,6 +7320,62 @@ object QueryCatalog {
       |    BETWEEN 1200 AND 1400
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Personalized PageRank (random walk with restart) over the same
+    * bipartite supplier→customer graph as q_pagerank, teleporting only to
+    * every-10th supplier (node % 20 = 0 under the 2k/2k+1 encoding) —
+    * ranks become proximity to that cohort, the recommendation primitive.
+    * Fixed-point integer rounds, replayed bit-exact by the generated
+    * oracle (teleport term gated by the same node predicate).
+    */
+  private val qPpr: Q = (s, dir) => {
+    val edges = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"))
+    operators.PageRank
+      .runPersonalized(edges, pmod(col("node"), lit(20)) === 0, iters = 5,
+        dedup = true)
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(50)
+  }
+
+  private val pprSql: String = {
+    val scale = 1000000000000L
+    val damping = 850L
+    val iters = 5
+    val iterCtes = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.node % 20 = 0 THEN (SELECT b FROM params) ELSE 0 END)
+         |      + COALESCE(c.cs, 0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((p.r * $damping) // (1000 * od.od)) AS cs
+         |    FROM it${i - 1} p JOIN edges e ON p.node = e.src
+         |    JOIN outdeg od ON od.src = e.src
+         |    GROUP BY e.dst) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), outdeg AS (
+       |  SELECT src, COUNT(*) AS od FROM edges GROUP BY src
+       |), params AS (
+       |  SELECT ($scale * ${1000 - damping}) // (1000 * COUNT(*)) AS b,
+       |         $scale // COUNT(*) AS r0
+       |  FROM nodes WHERE node % 20 = 0
+       |), it0 AS (
+       |  SELECT node,
+       |    CASE WHEN node % 20 = 0 THEN (SELECT r0 FROM params) ELSE 0 END AS r
+       |  FROM nodes
+       |),
+       |$iterCtes
+       |SELECT node, CAST(r AS BIGINT) AS r FROM it$iters
+       |ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7556,6 +7612,7 @@ object QueryCatalog {
     "q_delta_compact" -> qDeltaCompact,
     "q_source_mixing" -> qSourceMixing,
     "q_zone_map" -> qZoneMap,
+    "q_ppr" -> qPpr,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7791,5 +7848,6 @@ object QueryCatalog {
     "q_delta_compact" -> deltaCompactSql,
     "q_source_mixing" -> sourceMixingSql,
     "q_zone_map" -> zoneMapSql,
+    "q_ppr" -> pprSql,
     "q_events_json" -> eventsJsonSql)
 }

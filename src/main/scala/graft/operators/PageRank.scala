@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed PageRank over an edge list — graph analytics for entity
@@ -67,6 +67,47 @@ object PageRank {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("cs"), lit(0L))).as("r"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Personalized PageRank (random walk with restart): teleport mass
+    * returns only to the source set, so ranks measure proximity TO the
+    * sources rather than global importance — the recommendation /
+    * similar-entities primitive. `isSource` is a predicate over
+    * `col("node")`, evaluated once on the materialized node set. Same
+    * fixed-point integer arithmetic, shuffle shape and checkpoint cadence
+    * as [[run]] — one extra boolean column rides the node table; nodes
+    * outside the source set start (and teleport) at 0.
+    */
+  def runPersonalized(edges: DataFrame, isSource: Column, iters: Int,
+      dampingPermille: Long = 850L, scale: Long = 1000000000000L,
+      dedup: Boolean = false, checkpointEvery: Int = 3): DataFrame = {
+    val bySrc = edges.repartition(col("src"))
+    val e = if (dedup) bySrc.distinct() else bySrc
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val contribSrc = e.join(outdeg, Seq("src")).localCheckpoint()
+    val nodes = contribSrc.select(col("src").as("node"))
+      .unionByName(contribSrc.select(col("dst").as("node"))).distinct()
+      .withColumn("is_src", isSource)
+      .localCheckpoint()
+    val nS = nodes.filter(col("is_src")).count()
+    require(nS > 0, "personalized PageRank needs a non-empty source set")
+    val base = (scale * (1000L - dampingPermille)) / (1000L * nS)
+    var ranks = nodes
+      .select(col("node"),
+        when(col("is_src"), lit(scale / nS)).otherwise(lit(0L)).as("r"))
+    for (i <- 1 to iters) {
+      val contribs = contribSrc
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"(r * $dampingPermille) div (1000 * outdeg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_src"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("cs"), lit(0L))).as("r"))
       if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks

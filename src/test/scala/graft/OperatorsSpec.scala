@@ -653,6 +653,24 @@ class OperatorsSpec extends SparkSpec {
       src.exceptAll(repaired).count() === 0L)
   }
 
+  test("personalized pagerank: zero rank off the source's reachable set, base on sources") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // chain 10→11→12 plus a component 20→21 unreachable from the source
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+    val r = operators.PageRank
+      .runPersonalized(edges, col("node") === 10L, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(20L) == 0L && r(21L) == 0L) // teleport never lands there
+    assert(r(10L) > 0L && r(11L) > 0L && r(12L) > 0L)
+    assert(r(10L) > r(12L)) // proximity decays along the chain
+    // full-graph teleport (plain pagerank) would give 20/21 mass; the
+    // personalized run must not
+    val plain = operators.PageRank.run(edges, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(plain(21L) > 0L)
+  }
+
   test("profile: exact and approx variants agree (NDV within HLL tolerance), no Expand in exact plan") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)
