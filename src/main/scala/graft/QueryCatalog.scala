@@ -7376,6 +7376,41 @@ object QueryCatalog {
        |ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
+  /** Min-max feature scaling per group — the normalization step before
+    * model features: scaled = (x − min)/(max − min) with min/max exact
+    * (no arithmetic, just selection) and one double expression per row,
+    * identical in both engines. Emitted for a deterministic customer
+    * sample; the stats join is a broadcast of one row per group.
+    */
+  private val qFeatureScale: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_name"),
+        col("o_totalprice").as("p"))
+    val stats = o.groupBy(col("n_name"))
+      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+    o.filter(col("o_custkey") <= 50)
+      .join(broadcast(stats), "n_name")
+      .select(col("o_orderkey"), col("n_name"),
+        ((col("p") - col("mn")) / (col("mx") - col("mn"))).as("scaled"))
+      .orderBy("o_orderkey")
+  }
+
+  private val featureScaleSql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey, n_name, o_totalprice AS p
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |), s AS (
+      |  SELECT n_name, MIN(p) AS mn, MAX(p) AS mx FROM o GROUP BY n_name
+      |)
+      |SELECT o_orderkey, o.n_name, (p - mn) / (mx - mn) AS scaled
+      |FROM o JOIN s USING (n_name)
+      |WHERE o_custkey <= 50 ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Pipelines excluded from Bench timing (they write files in a many-job
@@ -7613,6 +7648,7 @@ object QueryCatalog {
     "q_source_mixing" -> qSourceMixing,
     "q_zone_map" -> qZoneMap,
     "q_ppr" -> qPpr,
+    "q_feature_scale" -> qFeatureScale,
     "q_events_json" -> qEventsJson)
 
   val oracleSql: Map[String, String] = Map(
@@ -7849,5 +7885,6 @@ object QueryCatalog {
     "q_source_mixing" -> sourceMixingSql,
     "q_zone_map" -> zoneMapSql,
     "q_ppr" -> pprSql,
+    "q_feature_scale" -> featureScaleSql,
     "q_events_json" -> eventsJsonSql)
 }
