@@ -310,11 +310,13 @@ object QueryCatalog {
     val tmp = Fixtures.mutableCopy(fx)
     val users = Tables.customer(s, dir)
       .filter(col("c_custkey") % 97 === 5).select(col("c_custkey"))
+    // resolve the cascade BEFORE the first purge mutates orders —
+    // localCheckpoint (not cache) so eviction can never recompute the
+    // plan against the swapped/renamed orders directory
     val doomedOrders = s.read.parquet(s"$tmp/orders")
       .join(broadcast(users), col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"))
-    // resolve the cascade BEFORE the first purge mutates orders
-    doomedOrders.cache().count()
+      .localCheckpoint()
     val so = etl.Purge.purge(s, s"$tmp/orders", "o_custkey", users)
     val sl = etl.Purge.purge(s, s"$tmp/lineitem", "l_orderkey", doomedOrders)
     val ro = s.read.parquet(s"$tmp/orders")
@@ -4821,54 +4823,116 @@ object QueryCatalog {
       |  sha256(text) AS sha
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Feature extraction through the batch-codec path, projected to scalar
-    * columns: the float features come back as their exact source bytes
-    * (`round(f*255)` inverts `b/255f` losslessly) joined to one string, so
-    * the result is hashable and the whole row is reproducible by the oracle,
-    * which re-runs the same FNV-1a fold in HUGEINT mod-2^64 arithmetic.
+  /** REAL payload decode ([[graft.multimodal.PixelCodec]]): one payload per
+    * document — a valid PNG (deflated IDAT, per-scanline filter `(id+y)%5`
+    * so all five unfilter branches fire), 24-bit BMP (bottom-up padded BGR
+    * rows) or 16-bit PCM WAV — whose every pixel/sample value is an integer
+    * formula of (doc_id, position). The query decodes the payloads with the
+    * real codecs and emits integer statistics (count/sum/min/max and the
+    * position-weighted sum Σ(i+1)·vᵢ); the oracle recomputes the formulas
+    * directly. The hash matches only if decode ∘ encode is the identity on
+    * every value of every payload — inflate, unfilter, row un-padding,
+    * BGR→RGB, PCM sign-extension all proven bit-for-bit.
     */
-  private val qMultimodalFeatures: Q = (s, dir) =>
-    Multimodal.extractFeatures(Multimodal.withPayload(Tables.documents(s, dir)))
-      .toDF()
-      .select(
-        col("docId").as("doc_id"),
-        col("byteLen").as("byte_len"),
-        col("sha"), col("kind"), col("width"), col("height"),
-        concat_ws(",",
-          transform(col("features"),
-            f => round(f.cast("double") * lit(255.0)).cast("int"))).as("feat_bytes"))
-      .orderBy("doc_id")
-
-  /** FNV-1a 64 fold (mirrors Multimodal.FakeCodec.decode): per byte
-    * `h = (h XOR b) * prime (mod 2^64)`. The XOR only touches the low 8 bits
-    * (b < 256), so it's `h - h%256 + xor(h%256, b)` in pure arithmetic.
-    */
-  private def fnvFoldSql(text: String): String =
-    s"""list_reduce(
-       |    list_prepend(CAST('${Multimodal.FakeCodec.FnvOffset}' AS HUGEINT), ${byteListSql(text)}),
-       |    (h, b) -> ((h - h % 256 +
-       |        CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-       |      * ${Multimodal.FakeCodec.FnvPrime}) % $U64)""".stripMargin
+  private val qMultimodalFeatures: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 4 + ((id * 7) % 29).toInt
+          val h = 4 + ((id * 13) % 23).toInt
+          val bytes = (id % 3) match {
+            case 0 =>
+              val pix = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+              PixelCodec.encodePng(w, h, 3, pix, y => ((id + y) % 5).toInt)
+            case 1 =>
+              val pix = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+              PixelCodec.encodeBmp(w, h, pix)
+            case _ =>
+              val n = 64 + (id % 192).toInt
+              val samples = Array.tabulate(n)(i => ((id * 31 + i * 7) % 65536).toInt - 32768)
+              PixelCodec.encodeWav(8000 + (id % 8).toInt * 4000, 1, samples)
+          }
+          (id, bytes)
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.decodeStats(payloads).orderBy("doc_id")
+  }
 
   private val multimodalFeaturesSql =
-    s"""WITH f AS (
-       |  SELECT doc_id, text, ${fnvFoldSql("text")} AS h FROM documents
-       |), s AS (
-       |  SELECT doc_id, text, h,
-       |    CASE WHEN h >= $I64Min THEN h - $U64 ELSE h END AS hs
-       |  FROM f
-       |)
-       |SELECT doc_id,
-       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       |  sha256(text) AS sha,
-       |  CASE WHEN length(text) = 0 THEN 'empty'
-       |       WHEN ascii(text[1]) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-       |  CAST(64 + abs(hs % 193) AS INT) AS width,
-       |  CAST(64 + abs((CASE WHEN hs >= 0 THEN hs // 256
-       |                      ELSE -((-hs + 255) // 256) END) % 193) AS INT) AS height,
-       |  array_to_string(list_transform(generate_series(0, 7),
-       |    i -> CAST((h // CAST(power(2, i*7) AS HUGEINT)) % 256 AS INT)), ',') AS feat_bytes
-       |FROM s ORDER BY doc_id""".stripMargin
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
+      |    CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 4000
+      |         ELSE 4 + (doc_id * 7) % 29 END AS width,
+      |    CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 4 + (doc_id * 13) % 23 END AS height,
+      |    CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 3 END AS channels,
+      |    CASE WHEN doc_id % 3 = 2 THEN 64 + doc_id % 192
+      |         ELSE (4 + (doc_id * 7) % 29) * (4 + (doc_id * 13) % 23) * 3 END AS n
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, kind, width, height, channels, n,
+      |    list_transform(generate_series(0, n - 1),
+      |      i -> CASE WHEN kind = 'wav'
+      |            THEN (doc_id * 31 + i * 7) % 65536 - 32768
+      |            ELSE (doc_id * 31 + i * 7) % 256 END) AS vals
+      |  FROM p
+      |)
+      |SELECT doc_id, kind, CAST(width AS INT) AS width,
+      |  CAST(height AS INT) AS height, CAST(channels AS INT) AS channels,
+      |  CAST(n AS BIGINT) AS n_vals,
+      |  CAST(list_sum(vals) AS BIGINT) AS v_sum,
+      |  CAST(list_min(vals) AS BIGINT) AS v_min,
+      |  CAST(list_max(vals) AS BIGINT) AS v_max,
+      |  CAST(list_sum(list_transform(generate_series(1, n), i -> i * vals[i])) AS BIGINT) AS v_wsum
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  /** End-to-end pixel pipeline: encode a formula-pixel PNG per document,
+    * [[Multimodal.resize]] it (real decode → nearest-neighbor resample →
+    * PNG re-encode), decode the RESULT again and emit integer stats. The
+    * oracle replays the nearest-neighbor index map in closed form —
+    * output (x,y,c) reads source ((x·w)//8, (y·h)//8, c) — so the hash
+    * matches only if decode→scale→encode→decode agrees with the formula on
+    * all 192 values per document. Two full codec round-trips per row, all
+    * map-only.
+    */
+  private val qMediaResize: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 4 + ((id * 7) % 29).toInt
+          val h = 4 + ((id * 13) % 23).toInt
+          val pix = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+          (id, PixelCodec.encodePng(w, h, 3, pix, y => ((id + y) % 5).toInt))
+        }
+      }.toDF("doc_id", "payload")
+    val resized = Multimodal.resize(payloads, 8, 8).toDF()
+      .select(col("docId").as("doc_id"), col("payload"))
+    Multimodal.decodeStats(resized).orderBy("doc_id")
+  }
+
+  private val mediaResizeSql =
+    """WITH p AS (
+      |  SELECT doc_id, 4 + (doc_id * 7) % 29 AS w, 4 + (doc_id * 13) % 23 AS h
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 191), i ->
+      |      (doc_id * 31 +
+      |        ((((i // 24) * h // 8) * w + (((i % 24) // 3) * w // 8)) * 3
+      |          + i % 3) * 7) % 256) AS vals
+      |  FROM p
+      |)
+      |SELECT doc_id, 'png' AS kind, 8 AS width, 8 AS height, 3 AS channels,
+      |  CAST(192 AS BIGINT) AS n_vals,
+      |  CAST(list_sum(vals) AS BIGINT) AS v_sum,
+      |  CAST(list_min(vals) AS BIGINT) AS v_min,
+      |  CAST(list_max(vals) AS BIGINT) AS v_max,
+      |  CAST(list_sum(list_transform(generate_series(1, 192), i -> i * vals[i])) AS BIGINT) AS v_wsum
+      |FROM v ORDER BY doc_id""".stripMargin
 
   /** Frame sampling through the batch demux plumbing: every 2nd 256-byte
     * "frame" becomes a row (per-partition flatMap — a 2-hour video never
@@ -6961,7 +7025,7 @@ object QueryCatalog {
         .limit(1).head()
       val (a, b, cnt) =
         (best.getString(0), best.getString(1), best.getLong(2))
-      def q(t: String) = t.replace("'", "''")
+      def q(t: String) = sqlTok(t)
       seqs = seqs.select(col("doc_id"),
         expr(s"trim(replace(concat('  ', seq, '  '), " +
           s"' ${q(a)}  ${q(b)} ', ' ${q(a)}_${q(b)} '))").as("seq"))
@@ -7009,6 +7073,14 @@ object QueryCatalog {
     * (JVM, sfDir) — training is deterministic, so a cached merge list is
     * identical to a refit one (the ModelCache contract).
     */
+  /** Escape a learned token for a Spark SQL string literal: backslash
+    * first, then quote-doubling — the ONE sanitizer for all three BPE
+    * paths (train loop, merge-list fit, apply chain), so a corpus token
+    * containing `'` or `\` can't break parsing in any of them.
+    */
+  private def sqlTok(t: String): String =
+    t.replace("\\", "\\\\").replace("'", "''")
+
   private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     graft.similarity.ModelCache.getOrFit(s"bpe:$dir") {
       var seqs = Tables.documents(s, dir).filter(col("doc_id") < 200)
@@ -7026,7 +7098,8 @@ object QueryCatalog {
         val (a, b) = (best.getString(0), best.getString(1))
         seqs = seqs.select(
           expr(s"trim(replace(concat('  ', seq, '  '), " +
-            s"' $a  $b ', ' ${a}_$b '))").as("seq")).localCheckpoint()
+            s"' ${sqlTok(a)}  ${sqlTok(b)} ', ' ${sqlTok(a)}_${sqlTok(b)} '))")
+            .as("seq")).localCheckpoint()
         (a, b)
       }
     }
@@ -7042,10 +7115,10 @@ object QueryCatalog {
   private val qBpeApply: Q = (s, dir) => {
     val merges = bpeMerges(s, dir)
     // the R-merge chain as nested SQL text — one codegen projection
-    // (tokens are verified [a-z0-9_]; no escaping needed)
     val seqSql = merges.foldLeft("replace(text, ' ', '  ')") {
       case (inner, (a, b)) =>
-        s"trim(replace(concat('  ', $inner, '  '), ' $a  $b ', ' ${a}_$b '))"
+        s"trim(replace(concat('  ', $inner, '  '), " +
+          s"' ${sqlTok(a)}  ${sqlTok(b)} ', ' ${sqlTok(a)}_${sqlTok(b)} '))"
     }
     Tables.documents(s, dir)
       .select(col("lang"), expr(s"split($seqSql, '  ')").as("toks"))
@@ -7526,6 +7599,7 @@ object QueryCatalog {
     "q_warc_roundtrip" -> qWarcRoundtrip,
     "q_quality_classifier" -> qQualityClassifier,
     "q_media_headers" -> qMediaHeaders,
+    "q_media_resize" -> qMediaResize,
     "q_entity_resolution" -> qEntityResolution,
     "q_subword_tokens" -> qSubwordTokens,
     "q_training_pipeline_v3" -> qTrainingPipelineV3,
@@ -7730,6 +7804,7 @@ object QueryCatalog {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_lsh" -> annLshSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_media_resize" -> mediaResizeSql,
     "q_salted_join" -> saltedJoinSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q_dq_checks" -> dqChecksSql,

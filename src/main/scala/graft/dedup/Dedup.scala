@@ -20,10 +20,12 @@ import org.apache.spark.sql.graftx.RollingHash.rolling_hash
 object Dedup {
 
   /** Exact dedup keyed by the raw text — oracle-parity/reference variant
-    * only. At 100 TB grouping on multi-KB strings shuffles document bodies;
-    * [[exactByFingerprint]] is the flagship path (16-byte shuffle rows).
+    * only, deliberately NOT public API: at 100 TB grouping on multi-KB
+    * strings shuffles document bodies. [[exactByFingerprint]] is the
+    * flagship path (16-byte shuffle rows); this stays `private[graft]` so
+    * the text-keyed formulation exists only for spec parity checks.
     */
-  def exact(docs: DataFrame): DataFrame =
+  private[graft] def exactTextKeyed(docs: DataFrame): DataFrame =
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))

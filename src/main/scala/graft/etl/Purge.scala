@@ -37,8 +37,19 @@ object Purge {
     fs.delete(tmp, true); fs.delete(old, true)
     try kept.write.parquet(tmp.toString)
     catch { case e: Throwable => fs.delete(tmp, true); throw e }
-    fs.rename(p, old)
-    fs.rename(tmp, p)
+    // Hadoop rename signals failure by RETURNING FALSE, not throwing —
+    // check each step and restore the original on partial failure so the
+    // swap is all-or-nothing (never a stranded table under .purge.old).
+    if (!fs.rename(p, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"purge: rename $p -> $old failed")
+    }
+    if (!fs.rename(tmp, p)) {
+      val restored = fs.rename(old, p)
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"purge: rename $tmp -> $p failed (original restored: $restored)")
+    }
     fs.delete(old, true)
     Stats(p.getName, nBefore, spark.read.parquet(path).count())
   }

@@ -16,9 +16,9 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *
   * Scale shape: `parse` is a per-row function over the first bytes of a
   * payload, used inside the same `mapPartitions` batch plumbing as
-  * [[Multimodal.extractFeatures]] — a pure map stage, no shuffle. Pixel
-  * decode (not header decode) remains out of scope in this container and
-  * stays behind [[Multimodal.FakeCodec]].
+  * [[Multimodal.extractFeatures]] — a pure map stage, no shuffle. Full
+  * payload decode (PNG IDAT inflate + unfilter, BMP pixel arrays, WAV PCM)
+  * lives in [[PixelCodec]].
   */
 object MediaHeaders {
 

@@ -24,11 +24,12 @@ object TrainingDataPipeline {
     docs.filter(TextFunctions.qualityLabel(col("text")) === "ok")
 
   /** Exact dedup keeping the lowest doc_id per identical text (joins the
-    * canonical ids back to recover full rows; the aggregate carries only
-    * (text-hash, id) pairs at scale via [[Dedup.exactByFingerprint]]).
+    * canonical ids back to recover full rows). Fingerprint-keyed: the
+    * aggregate shuffles only (hash, id) pairs, never document bodies.
     */
   def dedupKeepCanonical(docs: DataFrame): DataFrame = {
-    val canon = Dedup.exact(docs).select(col("canonical_id").as("doc_id"))
+    val canon = Dedup.exactByFingerprint(docs)
+      .select(col("canonical_id").as("doc_id"))
     docs.join(canon, "doc_id")
   }
 

@@ -32,13 +32,20 @@ object Avro {
   private def avroSchema(schema: StructType): Schema = {
     val fields = SchemaBuilder.record("GraftRow").namespace("graft").fields()
     schema.fields.foldLeft(fields) { (b, f) =>
-      f.dataType match {
-        case LongType    => b.requiredLong(f.name)
-        case IntegerType => b.requiredInt(f.name)
-        case DoubleType  => b.requiredDouble(f.name)
-        case BooleanType => b.requiredBoolean(f.name)
-        case StringType  => b.requiredString(f.name)
-        case t => throw new IllegalArgumentException(s"unsupported: $t")
+      // nullable StructFields map to the standard ["null", T] union (with
+      // null default) so a null cell encodes instead of throwing mid-task
+      (f.dataType, f.nullable) match {
+        case (LongType, false)    => b.requiredLong(f.name)
+        case (IntegerType, false) => b.requiredInt(f.name)
+        case (DoubleType, false)  => b.requiredDouble(f.name)
+        case (BooleanType, false) => b.requiredBoolean(f.name)
+        case (StringType, false)  => b.requiredString(f.name)
+        case (LongType, true)     => b.optionalLong(f.name)
+        case (IntegerType, true)  => b.optionalInt(f.name)
+        case (DoubleType, true)   => b.optionalDouble(f.name)
+        case (BooleanType, true)  => b.optionalBoolean(f.name)
+        case (StringType, true)   => b.optionalString(f.name)
+        case (t, _) => throw new IllegalArgumentException(s"unsupported: $t")
       }
     }.endRecord()
   }

@@ -293,7 +293,7 @@ object EventsStream {
 
   /** Streaming exact dedup: drop events with a duplicate `event_id` arriving
     * within the watermark horizon — state is bounded by (horizon × arrival
-    * rate), the streaming analogue of `Dedup.exact`.
+    * rate), the streaming analogue of `Dedup.exactByFingerprint`.
     */
   def dedupStream(events: DataFrame): DataFrame =
     events

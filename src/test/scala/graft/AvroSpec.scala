@@ -25,6 +25,21 @@ class AvroSpec extends SparkSpec {
     assert(head.toSeq === Seq[Byte]('O', 'b', 'j', 1))
   }
 
+  test("nullable columns encode as null-unions and round-trip nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, None),
+      (3L, Some(""), Some(-1.0))
+    ).toDF("k", "s", "d") // Option columns => nullable fields
+    assert(df.schema("s").nullable && df.schema("d").nullable)
+    val tmp = java.nio.file.Files.createTempDirectory("avro-t2").toString
+    Avro.write(df, s"$tmp/n", numFiles = 1)
+    val back = Avro.read(spark, s"$tmp/n", df.schema)
+    assert(back.orderBy("k").collect().toSeq === df.orderBy("k").collect().toSeq)
+    assert(back.filter(col("s").isNull && col("d").isNull).count() === 1L)
+  }
+
   test("unsupported column type fails loudly, not silently") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")

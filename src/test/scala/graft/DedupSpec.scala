@@ -22,7 +22,7 @@ class DedupSpec extends SparkSpec {
     val dup = Tables.documents(spark, sf).limit(10)
       .unionByName(Tables.documents(spark, sf).limit(10)
         .withColumn("doc_id", col("doc_id") + 1000L))
-    val out = Dedup.exact(dup).collect()
+    val out = Dedup.exactTextKeyed(dup).collect()
     assert(out.length == 10)
     assert(out.forall(_.getLong(1) == 2L)) // every text has 2 copies
     assert(out.forall(_.getLong(0) < 1000L)) // canonical = original id
@@ -30,13 +30,13 @@ class DedupSpec extends SparkSpec {
 
   test("exactByFingerprint agrees with exact dedup on group count") {
     val docs = Tables.documents(spark, sf)
-    assert(Dedup.exactByFingerprint(docs).count() == Dedup.exact(docs).count())
+    assert(Dedup.exactByFingerprint(docs).count() == Dedup.exactTextKeyed(docs).count())
   }
 
   test("verified fingerprint dedup reports zero collisions on the corpus") {
     val out = Dedup.exactByFingerprintVerified(Tables.documents(spark, sf))
     assert(out.filter(col("n_distinct_sha") > 1).count() == 0)
-    assert(out.count() == Dedup.exact(Tables.documents(spark, sf)).count())
+    assert(out.count() == Dedup.exactTextKeyed(Tables.documents(spark, sf)).count())
   }
 
   test("minhash finds planted near-duplicates") {

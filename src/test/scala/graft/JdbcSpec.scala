@@ -103,6 +103,72 @@ class JdbcSpec extends SparkSpec {
     }
   }
 
+  test("VerticaDialect: df.write.jdbc would emit native Vertica DDL types") {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    import graft.sources.{VerticaDialect, VerticaDialectRegistration}
+    VerticaDialectRegistration.register()
+    VerticaDialectRegistration.register() // idempotent
+    val got = JdbcDialects.get("jdbc:vertica://dw-host:5433/warehouse")
+    assert(got eq VerticaDialect)
+    // the exact DDL df.write.jdbc generates through the dialect —
+    // sqoop_table.py:158-165's staging-table shapes, natively typed
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DecimalType(38, 18)),
+      StructField("ts", TimestampType),
+      StructField("name", StringType),
+      StructField("flag", BooleanType)))
+    val ddl = JdbcUtils.schemaString(VerticaDialect, schema,
+      caseSensitive = false, None)
+    assert(ddl.contains("\"id\" int NOT NULL"))
+    assert(ddl.contains("\"amount\" numeric(38,18)"))
+    assert(ddl.contains("\"ts\" timestamp"))
+    assert(ddl.contains("\"name\" varchar(65000)"))
+    assert(ddl.contains("\"flag\" boolean"))
+  }
+
+  test("VerticaDialect: catalog types map back to exact Catalyst types") {
+    import java.sql.Types
+    import org.apache.spark.sql.types._
+    import graft.sources.VerticaDialect
+    def md(scale: Int) = new MetadataBuilder().putLong("scale", scale.toLong)
+    // Vertica reports every integer column as 64-bit
+    assert(VerticaDialect.getCatalystType(Types.BIGINT, "Integer", 19,
+      new MetadataBuilder()) === Some(LongType))
+    // boundary decimal keeps exact precision/scale through the read mapping
+    assert(VerticaDialect.getCatalystType(Types.NUMERIC, "Numeric", 38,
+      md(18)) === Some(DecimalType(38, 18)))
+    assert(VerticaDialect.getCatalystType(Types.NUMERIC, "Numeric", 31,
+      md(10)) === Some(DecimalType(31, 10)))
+    assert(VerticaDialect.getCatalystType(Types.VARCHAR, "Varchar", 65000,
+      new MetadataBuilder()) === Some(StringType))
+    // unknown types fall through to Spark's generic mapping
+    assert(VerticaDialect.getCatalystType(Types.TIMESTAMP, "Timestamp", 26,
+      new MetadataBuilder()) === None)
+    assert(VerticaDialect.quoteIdentifier("od\"d") === "\"od\"\"d\"")
+    assert(VerticaDialect.isCascadingTruncateTable() === Some(false))
+  }
+
+  test("dialect DDL round-trips: generated Vertica types parse back to the same schema") {
+    import org.apache.spark.sql.types._
+    import graft.etl.TypeMapping
+    import graft.sources.VerticaDialect
+    val types = Seq(LongType, DecimalType(38, 18), DecimalType(12, 2),
+      TimestampType, DateType, BooleanType, StringType, DoubleType)
+    types.foreach { t =>
+      val ddlName = VerticaDialect.getJDBCType(t).get.databaseTypeDefinition
+      val back = TypeMapping.verticaToSpark(ddlName)
+      val expect = t match {
+        case DoubleType => DoubleType
+        case StringType => StringType
+        case other => other
+      }
+      assert(back === expect, s"$t -> $ddlName -> $back")
+    }
+  }
+
   test("JDBC write-back (the Vertica-external-table read-back role, S9)") {
     val src = Tables.nation(spark, sf)
     src.write.mode("overwrite")
