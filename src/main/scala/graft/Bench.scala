@@ -19,9 +19,22 @@ object Bench {
     d.take(6).map("%02x".format(_)).mkString
   }
 
+  /** Previous round's per-query plan fingerprints, read from the committed
+    * BENCH_DETAILS.json BEFORE this run overwrites it — the regression gate
+    * input. Regex parse; the file is machine-written with a fixed shape.
+    */
+  private def previousFingerprints(): Map[String, String] = {
+    val p = java.nio.file.Paths.get("BENCH_DETAILS.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val text = java.nio.file.Files.readString(p)
+    """"([^"]+)":\{"min_s":[^}]*"plan_fp":"([0-9a-f]+|err)"""".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val prevFp = previousFingerprints()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,35 +45,73 @@ object Bench {
     // session init cost (flagship on the smallest SF touches the same
     // read/agg machinery)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = (SparkEntry.queries -- QueryCatalog.benchExcluded)
-      .toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timeQueries(names: Iterable[String], executedFp: Boolean)
+        : Seq[(String, Seq[Double], String)] =
+      names.toSeq.sorted.map { name =>
+        val fn = SparkEntry.queries(name)
         // Between queries: drop cached/checkpointed blocks left by fixture
         // builds and let a GC reclaim them, OUTSIDE the timed region. With
-        // 136 queries × multiple runs in one JVM the storage otherwise
+        // ~230 queries × multiple runs in one JVM the storage otherwise
         // accumulates until a full GC lands inside some innocent query's
         // timing (r3 dev run: a 0.3 s query measured at 52 s).
         spark.catalog.clearCache()
         System.gc()
         // two timed runs, report the min: first run can absorb codegen/compile
         // for plans not touched by the warmup; min is the steady-state cost
+        var lastDf: org.apache.spark.sql.DataFrame = null
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { lastDf = fn(spark, sfDir); lastDf.count() }
+          catch { case _: Throwable => lastDf = null; -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        val fp = try planFingerprint(fn(spark, sfDir)) catch { case _: Throwable => "err" }
+        // batch queries fingerprint a FRESH un-executed plan (stable across
+        // rounds, matches the r1–r3 corpus of fingerprints); streaming
+        // drains reuse the last timed result instead — a fresh fn() call
+        // would re-run the whole drain just to look at the plan
+        val fp =
+          try {
+            if (executedFp) { if (lastDf == null) "err" else planFingerprint(lastDf) }
+            else planFingerprint(fn(spark, sfDir))
+          } catch { case _: Throwable => "err" }
         (name, times, fp)
       }
+
+    val batch = timeQueries(
+      (SparkEntry.queries -- QueryCatalog.benchExcluded).keys, executedFp = false)
+    // The streaming drains + multi-step ETL mutations (benchExcluded from
+    // the headline total so it stays comparable across rounds): each fn()
+    // call builds a FRESH input fixture + checkpoint dir and drains it with
+    // AvailableNow, so both runs are full cold drains — comparable
+    // round-over-round. run1−run2 bounds the fixture-write share; the drain
+    // (state store + sink I/O) dominates both.
+    val streaming = timeQueries(QueryCatalog.benchExcluded
+      .filter(SparkEntry.queries.contains), executedFp = true)
+
     def s3(v: Double) = f"$v%.3f"
     // full per-query detail (runs + plan fingerprint) goes to a FILE — the
     // driver only captures a bounded stdout tail, so the contract line below
     // stays compact (3-decimal times) to fit inside it
-    val detail = results.map { case (name, times, fp) =>
-      s""""$name":{"min_s":${s3(times.min)},"runs":[${times.map(s3).mkString(",")}],"plan_fp":"$fp"}"""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    def detailJson(rs: Seq[(String, Seq[Double], String)], section: String) =
+      rs.map { case (name, times, fp) =>
+        s""""$name":{"min_s":${s3(times.min)},"runs":[${times.map(s3).mkString(",")}],"plan_fp":"$fp","section":"$section"}"""
+      }
+    val detail = (detailJson(batch, "batch") ++ detailJson(streaming, "streaming"))
+      .mkString("{", ",", "}")
+    val total = batch.map(_._2.min).sum
+    val streamingTotal = streaming.map(_._2.min).sum
+    // plan-fingerprint regression gate: every query whose fingerprint
+    // changed vs the previous committed BENCH_DETAILS.json is listed —
+    // unexplained churn here is a plan regression to audit, not a timing
+    // blip. New queries (no previous fp) are not churn.
+    val changed = (batch ++ streaming).collect {
+      case (name, _, fp) if prevFp.get(name).exists(p => p != fp) => name
+    }.sorted
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"),
-      s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"queries":$detail}""")
+      s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"streaming_total_s":${s3(streamingTotal)},"plan_changes":${changed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail}""")
+    if (changed.nonEmpty)
+      System.err.println(s"[bench] PLAN CHANGED vs previous round (${changed.size}): ${changed.mkString(", ")}")
     // the driver captures only a bounded stdout tail (~2.4 KB, shared with
     // sbt's trailing [success] line). The contract line must NEVER overflow
     // it — r2's did, and the driver recorded "parsed": null. Hard budget:
@@ -68,10 +119,10 @@ object Bench {
     // informative ones); the complete per-query map lives in
     // BENCH_DETAILS.json, which is committed each round.
     val budget = 2000
-    val entries = results.sortBy(-_._2.min)
+    val entries = (batch ++ streaming).sortBy(-_._2.min)
       .map { case (name, times, _) => s""""$name":${s3(times.min)}""" }
     def wrap(qs: Seq[String]): String =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir","detail":"BENCH_DETAILS.json"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","streaming_s":${s3(streamingTotal)},"plan_changes":${changed.size},"queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir","detail":"BENCH_DETAILS.json"}"""
     var kept = entries
     while (wrap(kept).length > budget && kept.nonEmpty) kept = kept.dropRight(1)
     println(wrap(kept))

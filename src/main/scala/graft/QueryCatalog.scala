@@ -5636,6 +5636,40 @@ object QueryCatalog {
       .orderBy("user_id", "start_ms")
   }
 
+  /** Streaming TIMESERIES interpolation drain (the stateful twin of
+    * `q_timeseries_interp` — same spine, same arithmetic, SAME oracle SQL).
+    * A far-future non-purchase sentinel row rides along so the final
+    * watermark passes every user's last point and the timeout emission
+    * rule (tail slices → null) fires inside the AvailableNow drain; the
+    * in-band rule (bracketed slices → linear interp) fires on point
+    * arrival. Output matches the batch query row-for-row, bit-for-bit.
+    */
+  private val qStreamInterp: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sinterp").toString
+    val ev = Tables.events(s, dir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 90L * 86400000L)).as("ts"),
+      lit(-1L).as("user_id"), lit("flush").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    ev.unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val out = graft.streaming.EventsStream.interpolateStream(s,
+      s.readStream.schema(schema).parquet(s"$tmp/in"),
+      t0 = 1704067200000L, nSlices = 31, stepMs = 86400000L)
+    val q = out.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("slice_ms"), col("v_interp"))
+      .orderBy("user_id", "slice_ms")
+  }
+
   private val streamSessionsSql =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events
@@ -7492,7 +7526,7 @@ object QueryCatalog {
     */
   val benchExcluded: Set[String] =
     Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
-      "q_stream_sessions", "q_stream_upsert", "q_stream_attribution",
+      "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
       "q_stream_dedup_hourly", "q_stream_classify")
@@ -7687,6 +7721,7 @@ object QueryCatalog {
     "q_stream_enrich" -> qStreamEnrich,
     "q_stream_dedup_hourly" -> qStreamDedupHourly,
     "q_stream_sessions" -> qStreamSessions,
+    "q_stream_interp" -> qStreamInterp,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_attribution_outer" -> qStreamAttributionOuter,
@@ -7925,6 +7960,7 @@ object QueryCatalog {
     "q_stream_enrich" -> streamEnrichSql,
     "q_stream_dedup_hourly" -> eventsHourlyStreamSql,
     "q_stream_sessions" -> streamSessionsSql,
+    "q_stream_interp" -> timeseriesInterpSql, // bit-identical to the batch twin
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_attribution" -> streamAttributionSql,
     "q_stream_attribution_outer" -> streamAttributionOuterSql,

@@ -359,6 +359,96 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  final case class InterpPoint(user_id: Long, ts: Timestamp, tms: Long,
+      event_id: Long, value: Double)
+  final case class InterpState(prevT: Long, prevV: Double, prevE: Long,
+      sliceIdx: Int, hasPrev: Boolean)
+  final case class InterpSlice(user_id: Long, slice_ms: Long,
+      v_interp: Option[Double])
+
+  /** Streaming TIMESERIES linear interpolation — the stateful twin of the
+    * batch `q_timeseries_interp` gap fill: each user's purchase-value
+    * series is resampled onto the fixed slice spine `t0, t0+step, …` with
+    * linear interpolation between the bracketing observed points.
+    *
+    * Two emission rules (the `flatMapGroupsWithState` 0..n-rows contract):
+    *   - '''in-band''': when a point at time `t` arrives, every pending
+    *     slice strictly before `t` now has both brackets — emit it
+    *     immediately, interpolated (or null when no earlier point exists,
+    *     matching the batch null-before-first-point semantics);
+    *   - '''timeout''': once the event-time watermark passes the last
+    *     point (no later bracket can ever arrive), the remaining tail
+    *     slices emit as null — the batch null-after-last-point rule.
+    *
+    * Same-timestamp duplicates resolve to the max-event_id value (the
+    * batch `max(struct(event_id, value))` tie-break), including across
+    * micro-batch boundaries via `prevE` in state. The interpolation
+    * arithmetic replays the batch expression op-for-op, so the drained
+    * output is bit-identical to the batch query — what makes
+    * `q_stream_interp` oracle-checkable against the SAME DuckDB SQL.
+    *
+    * Scale shape: state per user is one (t, v, e, idx) record — O(users),
+    * independent of stream length; emission is append-only.
+    */
+  def interpolateStream(spark: SparkSession, events: DataFrame, t0: Long,
+      nSlices: Int, stepMs: Long): Dataset[InterpSlice] = {
+    import spark.implicits._
+    // watermark BEFORE the purchase filter: a non-purchase sentinel can
+    // then advance the watermark to flush tail state at drain end
+    val typed = events
+      .withWatermark("ts", "30 minutes")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("tms"),
+        col("event_id"), col("value"))
+      .as[InterpPoint]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[InterpState, InterpSlice](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, batch, state: GroupState[InterpState]) =>
+          def sliceT(i: Int): Long = t0 + i.toLong * stepMs
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            (st.sliceIdx until nSlices).iterator
+              .map(i => InterpSlice(uid, sliceT(i), None))
+          } else {
+            var st = state.getOption
+              .getOrElse(InterpState(0L, 0.0, -1L, 0, hasPrev = false))
+            val out = Seq.newBuilder[InterpSlice]
+            batch.toSeq.sortBy(p => (p.tms, p.event_id)).foreach { p =>
+              if (st.hasPrev && p.tms < st.prevT) {
+                // out-of-order beyond the last processed point: slices
+                // bracketing it were already emitted — drop, the
+                // watermark-late contract (cannot happen within one sorted
+                // batch; only across batches with disordered files)
+              } else if (st.hasPrev && p.tms == st.prevT) {
+                // same-timestamp dedup: max event_id wins (batch tie-break)
+                if (p.event_id > st.prevE)
+                  st = st.copy(prevV = p.value, prevE = p.event_id)
+              } else {
+                var i = st.sliceIdx
+                while (i < nSlices && sliceT(i) < p.tms) {
+                  val s = sliceT(i)
+                  val v =
+                    if (st.hasPrev)
+                      Some(st.prevV + (p.value - st.prevV) *
+                        ((s - st.prevT).toDouble / (p.tms - st.prevT).toDouble))
+                    else None
+                  out += InterpSlice(uid, s, v)
+                  i += 1
+                }
+                st = InterpState(p.tms, p.value, p.event_id, i, hasPrev = true)
+              }
+            }
+            state.update(st)
+            // fire once the watermark proves no later bracket can arrive
+            state.setTimeoutTimestamp(
+              math.max(st.prevT, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Drain-then-stop run, the reference's loop semantics: AvailableNow
     * processes everything present, checkpoints, stops.
     */

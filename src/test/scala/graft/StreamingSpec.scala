@@ -158,6 +158,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming timeseries interpolation equals the batch twin bit-for-bit") {
+    val streamed = SparkEntry.queries("q_stream_interp")(spark, sf)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q_timeseries_interp")(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch) // same rows, same order, same doubles/nulls
+  }
+
   test("stream-side purge equals the batch anti-join and survives a re-drain") {
     val tmp = Files.createTempDirectory("graft-spurge").toString
     val condemned = Tables.events(spark, sf).select(col("user_id"))
