@@ -3611,6 +3611,30 @@ object QueryCatalog {
       .orderBy("new_id", "indexed_id")
   }
 
+  /** The ONLINE ingest gate as a declared streaming query: documents with
+    * doc_id ≥ 400 arrive as a multi-micro-batch stream (8 input files,
+    * 2 per trigger) and are near-dup-checked — against the base index
+    * (doc_id < 400), against every earlier arrival, and within their own
+    * batch — with each batch's bands appended after probing. The drained
+    * canonical pair set is micro-batch-boundary independent, so ONE batch
+    * oracle replays it: every candidate pair whose greater doc_id is a
+    * stream arrival, scored by signature-estimated Jaccard. The shared
+    * band-index fixture is copied per run (the stream mutates its index).
+    */
+  private val qStreamNeardup: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sgate").toString
+    val docs = Tables.documents(s, dir)
+    val baseIdx = Fixtures.getOrBuild(s"bandidx:$dir") { f =>
+      Dedup.buildBandIndex(docs.filter(col("doc_id") < 400), f, mode = "overwrite")
+    }
+    val idx = Fixtures.mutableCopy(baseIdx)
+    docs.filter(col("doc_id") >= 400).repartition(8)
+      .write.parquet(s"$tmp/in")
+    graft.streaming.DocsStream.neardupGateDrain(s, s"$tmp/in", idx,
+      s"$tmp/out", s"$tmp/ck", minEstJaccard = 0.5)
+    s.read.parquet(s"$tmp/out").orderBy("hi_id", "lo_id")
+  }
+
   private val qSimhashNearDups: Q = (s, dir) =>
     Dedup.simHashNearDups(Tables.documents(s, dir), maxHamming = 6)
       .orderBy("doc_a", "doc_b")
@@ -7546,7 +7570,7 @@ object QueryCatalog {
     * them).
     */
   val benchExcluded: Set[String] =
-    Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup",
+    Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup", "q_stream_neardup",
       "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
@@ -7718,6 +7742,7 @@ object QueryCatalog {
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_seqfile_roundtrip" -> qSeqfileRoundtrip,
     "q_band_index_probe" -> qBandIndexProbe,
+    "q_stream_neardup" -> qStreamNeardup,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
     "q_cosine_topk" -> qCosineTopk,
@@ -7883,6 +7908,8 @@ object QueryCatalog {
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_seqfile_roundtrip" -> csvRoundtripSql,
     "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
+    "q_stream_neardup" -> // same kernel as the drain, one batch replay (pair set is boundary-independent)
+      SketchOracleSql.streamIngestGateSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),
     "q_simhash_neardups" -> SketchOracleSql.simHashNearDupsSql(maxHamming = 6),
     "q_ann_ivf" -> annIvfSql,

@@ -200,6 +200,29 @@ object SketchOracleSql {
        |SELECT new_id, indexed_id, est_jaccard FROM est
        |WHERE est_jaccard >= $minEstJaccard ORDER BY new_id, indexed_id""".stripMargin
 
+  /** Oracle for the streaming near-dup ingest gate
+    * (`DocsStream.neardupGateDrain` over a base index of ids below
+    * `splitId`): every canonical candidate pair whose LATER member (the
+    * greater doc_id) is a stream arrival — in-batch, cross-batch, and
+    * vs-base pairs all collapse to this one condition because the drain
+    * evaluates each pair exactly once. Estimated Jaccard = fraction of
+    * agreeing signature positions, same as the probe.
+    */
+  def streamIngestGateSql(splitId: Long, minEstJaccard: Double,
+      shingleLen: Int = 3, numHashes: Int = 24, rowsPerBand: Int = 4): String =
+    s"""${sigAndBandsCte(shingleLen, numHashes, rowsPerBand)}, cand AS (
+       |  SELECT DISTINCT a.doc_id AS hi_id, b.doc_id AS lo_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id > b.doc_id AND a.doc_id >= $splitId
+       |), est AS (
+       |  SELECT hi_id, lo_id,
+       |    CAST(len(list_filter(generate_series(1, $numHashes),
+       |      i -> x.sig[i] = y.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard
+       |  FROM cand JOIN sig x ON x.doc_id = hi_id JOIN sig y ON y.doc_id = lo_id
+       |)
+       |SELECT hi_id, lo_id, est_jaccard FROM est
+       |WHERE est_jaccard >= $minEstJaccard ORDER BY hi_id, lo_id""".stripMargin
+
   /** Oracle for `Dedup.simHashNearDups`: per-shingle hash → 64 bit votes →
     * signature → 16-bit quarter blocking → `bit_count(xor)` Hamming filter.
     */

@@ -235,6 +235,42 @@ object Dedup {
       .select(col("new_id"), col("indexed_id"), col("est_jaccard"))
   }
 
+  /** One micro-batch through the streaming near-dup INGEST GATE over a
+    * persistent band index: emit (1) in-batch candidate pairs and (2)
+    * batch-vs-index pairs, both scored by signature-estimated Jaccard and
+    * canonicalized as `(hi_id, lo_id)` with `hi_id > lo_id`. The caller
+    * appends the batch's own bands+sigs AFTER probing
+    * ([[buildBandIndex]] `mode=append`), so across a whole drain every
+    * near-dup pair is evaluated EXACTLY ONCE — in the micro-batch where its
+    * later-arriving member lands — and the emitted pair SET is independent
+    * of micro-batch boundaries: the property that makes a streaming drain
+    * replayable by the same batch oracle. Probe cost per batch is batch
+    * bands × matching band partitions; historical text is never re-read —
+    * the 100 TB online-dedup shape.
+    */
+  def ingestGateBatch(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      path: String, minEstJaccard: Double, shingleLen: Int = 3,
+      numHashes: Int = 24, rowsPerBand: Int = 4): DataFrame = {
+    val vsIndex = probeBandIndex(batch, spark, path, minEstJaccard,
+        shingleLen, numHashes, rowsPerBand)
+      .select(greatest(col("new_id"), col("indexed_id")).as("hi_id"),
+        least(col("new_id"), col("indexed_id")).as("lo_id"),
+        col("est_jaccard"))
+    val sigs = batch.select(col("doc_id"),
+      minHashSignature(col("text"), shingleLen, numHashes).as("sig"))
+    val inBatch = minHashCandidates(batch, shingleLen, numHashes, rowsPerBand)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          m => m)).cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= lit(minEstJaccard))
+      // minHashCandidates guarantees doc_a < doc_b
+      .select(col("doc_b").as("hi_id"), col("doc_a").as("lo_id"),
+        col("est_jaccard"))
+    vsIndex.unionByName(inBatch)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word shingles: per bit, sum +1/-1 votes of each

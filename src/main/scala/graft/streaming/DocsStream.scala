@@ -14,6 +14,41 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object DocsStream {
 
+  /** Streaming near-dup INGEST GATE: drain arriving documents through
+    * [[graft.dedup.Dedup.ingestGateBatch]] against a persistent band index
+    * at `indexPath`, appending each micro-batch's bands+sigs after probing
+    * it — the online half of the incremental-dedup story: new documents are
+    * near-dup-checked against the base corpus AND every earlier arrival as
+    * they land, without ever re-reading historical text. The emitted
+    * canonical pair set is micro-batch-boundary independent (each pair is
+    * evaluated exactly once, where its later member arrives), so the
+    * drained output replays under the same mod-2^64 batch oracle.
+    *
+    * `indexPath` is MUTATED (append per batch): pass a
+    * [[graft.Fixtures.mutableCopy]] of a shared index fixture, never the
+    * fixture itself.
+    */
+  def neardupGateDrain(spark: SparkSession, inDir: String, indexPath: String,
+      outDir: String, checkpoint: String, minEstJaccard: Double): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the batch feeds three derivations (bands, sigs, index append) —
+        // pin it so the source files are read once
+        val b = batch.persist()
+        try {
+          graft.dedup.Dedup.ingestGateBatch(b, spark, indexPath, minEstJaccard)
+            .write.mode("append").parquet(outDir)
+          graft.dedup.Dedup.buildBandIndex(b, indexPath, mode = "append")
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Stream documents through the hashed-linear quality gate to parquet. */
   def classifyDrain(spark: SparkSession, sfDir: String, outDir: String,
       checkpoint: String): Unit = {

@@ -64,4 +64,25 @@ class StreamingDedupSpec extends SparkSpec {
     val got = spark.table("dedup_out").count()
     assert(got == events.count(), s"expected ${events.count()} unique, got $got")
   }
+
+  test("streaming near-dup ingest gate equals a single-batch gate replay") {
+    import org.apache.spark.sql.functions._
+    val drained = SparkEntry.queries("q_stream_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // one-shot replay: the whole arriving set as a SINGLE batch against a
+    // fresh copy of the same base index — if the drained multi-micro-batch
+    // set equals this, the emitted pairs are batch-boundary independent
+    val docs = Tables.documents(spark, sf)
+    val baseIdx = Fixtures.getOrBuild(s"bandidx:$sf") { f =>
+      graft.dedup.Dedup.buildBandIndex(
+        docs.filter(col("doc_id") < 400), f, mode = "overwrite")
+    }
+    val idx = Fixtures.mutableCopy(baseIdx)
+    val want = graft.dedup.Dedup.ingestGateBatch(
+        docs.filter(col("doc_id") >= 400), spark, idx, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(drained.nonEmpty)
+    assert(drained == want)
+  }
 }
