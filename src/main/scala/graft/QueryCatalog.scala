@@ -6894,6 +6894,71 @@ object QueryCatalog {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** URL canonicalization + canonical-URL dedup
+    * ([[graft.pipeline.UrlCurate]]): deterministic messy synthetic URLs
+    * (the q_pii_scrub injection discipline — the testdata has no URL
+    * column) normalized by lowercasing scheme/host, stripping `www.` and
+    * default ports, collapsing trailing slashes, dropping tracking params
+    * + fragments, and SORTING surviving query params; dedup keeps the min
+    * doc_id per canonical URL. Map-only canonicalization, one 8-byte-ish
+    * keyed aggregate — the free pre-content dedup pass of a web-crawl
+    * pipeline. Regex/array semantics chosen to match Java and RE2
+    * identically; the oracle replays injection + canonicalization +
+    * winner election verbatim.
+    */
+  private val qUrlCanonicalize: Q = (s, dir) =>
+    graft.pipeline.UrlCurate.curate(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val urlCanonicalizeSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://'
+      |          WHEN doc_id % 5 = 1 THEN 'https://' ELSE 'http://' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+      |    || upper(substr(source, 1, 1)) || substr(source, 2, 100)
+      |    || '.Example.COM'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+      |             WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END)
+      |    || '/docs/item-' || CAST(doc_id % 10 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+      |             ELSE '?a=1&b=2&utm_campaign=x&fbclid=abc' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://([^/?#]+)([^?#]*)\??([^#]*)#?.*$', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://([^/?#]+)([^?#]*)\??([^#]*)#?.*$', 2)) AS host_port,
+      |    regexp_extract(url, '^([A-Za-z]+)://([^/?#]+)([^?#]*)\??([^#]*)#?.*$', 3) AS raw_path,
+      |    regexp_extract(url, '^([A-Za-z]+)://([^/?#]+)([^?#]*)\??([^#]*)#?.*$', 4) AS raw_query
+      |  FROM u
+      |), canon AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme = 'https'
+      |      THEN regexp_replace(regexp_replace(host_port, '^www\.', ''), ':443$', '')
+      |      ELSE regexp_replace(regexp_replace(host_port, '^www\.', ''), ':80$', '')
+      |    END AS host,
+      |    CASE WHEN raw_path = '' THEN '/'
+      |         WHEN regexp_replace(raw_path, '/$', '') = '' THEN '/'
+      |         ELSE regexp_replace(raw_path, '/$', '') END AS path,
+      |    list_sort(list_filter(string_split(raw_query, '&'),
+      |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+      |        AND NOT starts_with(p, 'fbclid')
+      |        AND NOT starts_with(p, 'gclid'))) AS kept,
+      |    scheme
+      |  FROM parts
+      |), c2 AS (
+      |  SELECT doc_id, host,
+      |    scheme || '://' || host || path ||
+      |      (CASE WHEN len(kept) = 0 THEN ''
+      |            ELSE '?' || array_to_string(kept, '&') END) AS canon_url
+      |  FROM canon
+      |)
+      |SELECT doc_id, canon_url, host,
+      |  doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keep
+      |FROM c2 ORDER BY doc_id""".stripMargin
+
   /** PII scrubbing for training corpora: deterministic synthetic PII
     * (emails keyed by doc_id, a phone token) is injected, then redacted
     * with codegen regexp_replace — a single map-only projection, no
@@ -7793,6 +7858,7 @@ object QueryCatalog {
     "q_stream_purge" -> qStreamPurge,
     "q_profile" -> qProfile,
     "q_pii_scrub" -> qPiiScrub,
+    "q_url_canonicalize" -> qUrlCanonicalize,
     "q_jaro_winkler" -> qJaroWinkler,
     "q_chisq" -> qChisq,
     "q_group_split" -> qGroupSplit,
@@ -8034,6 +8100,7 @@ object QueryCatalog {
     "q_stream_purge" -> streamPurgeSql,
     "q_profile" -> profileSql,
     "q_pii_scrub" -> piiScrubSql,
+    "q_url_canonicalize" -> urlCanonicalizeSql,
     "q_jaro_winkler" -> jaroWinklerSql,
     "q_chisq" -> chisqSql,
     "q_group_split" -> groupSplitSql,

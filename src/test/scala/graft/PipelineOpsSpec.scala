@@ -117,4 +117,29 @@ class PipelineOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial"), s"expected partial aggregate:\n$plan")
   }
+
+  test("url curate: canonicalization is idempotent and elects one winner per canonical url") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf)
+    val curated = graft.pipeline.UrlCurate.curate(d)
+    // exactly one keeper per canonical URL
+    val bad = curated.groupBy("canon_url")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .filter(col("n_keep") =!= 1L).count()
+    assert(bad === 0L)
+    // canonicalizing an already-canonical URL is the identity
+    val (recanon, _) = graft.pipeline.UrlCurate.canonicalize(col("canon_url"))
+    val changed = curated.select(col("canon_url"), recanon.as("again"))
+      .filter(col("canon_url") =!= col("again")).count()
+    assert(changed === 0L)
+    // the messy artifacts are gone from every canonical form — DEFAULT
+    // ports, that is: https://host:80 is a non-default port and must stay
+    val dirty = curated.filter(
+      col("canon_url").rlike("WWW|utm_|fbclid|gclid|#") ||
+        col("canon_url").rlike("^https://[^/]*:443") ||
+        col("canon_url").rlike("^http://[^/]*:80")).count()
+    assert(dirty === 0L)
+    // and dup pressure is real: fewer canonical urls than docs
+    assert(curated.select("canon_url").distinct().count() < d.count())
+  }
 }
