@@ -172,4 +172,72 @@ class PropertySpec extends SparkSpec {
       assert(jw("", a) == 0.0 && jw(a, "") == 0.0)
     }
   }
+
+  test("png encode/decode round-trips arbitrary pixel buffers under every filter") {
+    import graft.multimodal.PixelCodec
+    val gen = for {
+      w <- Gen.choose(1, 12); h <- Gen.choose(1, 12)
+      ch <- Gen.oneOf(1, 3, 4)
+      f <- Gen.choose(0, 4)
+      pix <- Gen.listOfN(w * h * ch, Gen.choose(-128, 127).map(_.toByte))
+    } yield (w, h, ch, f, pix.toArray)
+    cases(gen, 150).foreach { case (w, h, ch, f, pix) =>
+      val m = PixelCodec.decodePng(PixelCodec.encodePng(w, h, ch, pix, _ => f)).get
+      assert(m.width == w && m.height == h && m.channels == ch)
+      assert(m.values.toSeq == pix.toSeq.map(b => b.toInt & 0xff))
+    }
+  }
+
+  test("nearest resize: identity at same size; every output pixel exists in the source") {
+    import graft.multimodal.PixelCodec
+    val gen = for {
+      w <- Gen.choose(1, 10); h <- Gen.choose(1, 10)
+      dw <- Gen.choose(1, 15); dh <- Gen.choose(1, 15)
+      pix <- Gen.listOfN(w * h * 3, Gen.choose(-128, 127).map(_.toByte))
+    } yield (w, h, dw, dh, pix.toArray)
+    cases(gen, 150).foreach { case (w, h, dw, dh, pix) =>
+      val m = PixelCodec.decodePng(PixelCodec.encodePng(w, h, 3, pix)).get
+      assert(PixelCodec.resizeNearest(m, w, h).values.toSeq == m.values.toSeq)
+      val r = PixelCodec.resizeNearest(m, dw, dh)
+      assert(r.width == dw && r.height == dh)
+      val srcPixels = m.values.grouped(3).map(_.toSeq).toSet
+      assert(r.values.grouped(3).map(_.toSeq).forall(srcPixels.contains))
+    }
+  }
+
+  test("url canonicalization: idempotent and artifact-free on generated messy urls") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val host = for {
+      sub <- Gen.option(Gen.const("WWW."))
+      name <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+      tld <- Gen.oneOf(".COM", ".org", ".Net")
+    } yield sub.getOrElse("") + name + tld
+    val param = for {
+      k <- Gen.oneOf("a", "b", "zz", "utm_source", "utm_x", "fbclid", "gclid")
+      v <- Gen.choose(0, 99)
+    } yield s"$k=$v"
+    val gen = for {
+      scheme <- Gen.oneOf("http://", "HTTP://", "https://", "HTTPS://")
+      h <- host
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/x", "/x/", "/x/y")
+      ps <- Gen.listOf(param).map(_.take(4))
+      frag <- Gen.oneOf("", "#top")
+    } yield scheme + h + port + path +
+      (if (ps.isEmpty) "" else "?" + ps.mkString("&")) + frag
+    val urls = cases(gen, 250).distinct.toDF("url")
+    val (canon, _) = graft.pipeline.UrlCurate.canonicalize(col("url"))
+    val once = urls.select(canon.as("c1"))
+    val (again, _) = graft.pipeline.UrlCurate.canonicalize(col("c1"))
+    val rows = once.select(col("c1"), again.as("c2")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"not idempotent: ${r.getString(0)}")
+      val c = r.getString(0)
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("fbclid")
+        && !c.contains("gclid"), s"artifact survived: $c")
+      assert(!c.startsWith("https://") || !c.split("/", 4)(2).endsWith(":443"))
+      assert(!c.startsWith("http://") || !c.split("/", 4)(2).endsWith(":80"))
+    }
+  }
 }
