@@ -155,9 +155,15 @@ object Dedup {
     */
   def minHashBands(docs: DataFrame, shingleLen: Int = 3, numHashes: Int = 24,
       rowsPerBand: Int = 4): DataFrame =
-    docs
-      .select(col("doc_id"),
-        minHashSignature(col("text"), shingleLen, numHashes).as("sig"))
+    bandsFromSigs(docs.select(col("doc_id"),
+      minHashSignature(col("text"), shingleLen, numHashes).as("sig")), rowsPerBand)
+
+  /** Band keys derived from an ALREADY-COMPUTED signature frame
+    * `(doc_id, sig)` — lets a caller that needs both sigs and bands run the
+    * signature kernel once (it is the dominant map cost at corpus scale).
+    */
+  def bandsFromSigs(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    sigs
       .select(col("doc_id"), posexplode(
         org.apache.spark.sql.graftx.Sketches.band_hashes(col("sig"), rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -250,25 +256,66 @@ object Dedup {
     */
   def ingestGateBatch(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
       path: String, minEstJaccard: Double, shingleLen: Int = 3,
-      numHashes: Int = 24, rowsPerBand: Int = 4): DataFrame = {
-    val vsIndex = probeBandIndex(batch, spark, path, minEstJaccard,
-        shingleLen, numHashes, rowsPerBand)
+      numHashes: Int = 24, rowsPerBand: Int = 4): DataFrame =
+    ingestGateFromSigs(
+      batch.select(col("doc_id"),
+        minHashSignature(col("text"), shingleLen, numHashes).as("sig")),
+      spark, path, minEstJaccard, numHashes, rowsPerBand)
+
+  /** [[ingestGateBatch]] over an already-computed (and ideally persisted)
+    * `(doc_id, sig)` frame: the signature kernel — the dominant map cost of
+    * the gate at corpus scale — runs ONCE per arriving document, with
+    * bands, in-batch estimates, index-probe estimates, and the
+    * [[appendSigsToIndex]] call all derived from the same frame.
+    */
+  def ingestGateFromSigs(sigs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      path: String, minEstJaccard: Double, numHashes: Int = 24,
+      rowsPerBand: Int = 4): DataFrame = {
+    def est(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+        .cast("double") / lit(numHashes)
+    val bands = bandsFromSigs(sigs, rowsPerBand)
+
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("band_hash"), col("doc_id").as("indexed_id"))
+    val idxSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("doc_id").as("indexed_id"), col("sig").as("sig_idx"))
+    val vsIndex = bands
+      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+      .join(idxBands, Seq("band", "band_hash"))
+      .filter(col("new_id") =!= col("indexed_id"))
+      .select("new_id", "indexed_id").distinct()
+      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sig_new")), "new_id")
+      .join(idxSigs, "indexed_id")
+      .withColumn("est_jaccard", est(col("sig_new"), col("sig_idx")))
+      .filter(col("est_jaccard") >= lit(minEstJaccard))
       .select(greatest(col("new_id"), col("indexed_id")).as("hi_id"),
         least(col("new_id"), col("indexed_id")).as("lo_id"),
         col("est_jaccard"))
-    val sigs = batch.select(col("doc_id"),
-      minHashSignature(col("text"), shingleLen, numHashes).as("sig"))
-    val inBatch = minHashCandidates(batch, shingleLen, numHashes, rowsPerBand)
+
+    val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val inBatch = a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
-          m => m)).cast("double") / lit(numHashes))
+      .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= lit(minEstJaccard))
-      // minHashCandidates guarantees doc_a < doc_b
       .select(col("doc_b").as("hi_id"), col("doc_a").as("lo_id"),
         col("est_jaccard"))
     vsIndex.unionByName(inBatch)
+  }
+
+  /** Append an already-computed `(doc_id, sig)` frame to a
+    * [[buildBandIndex]] store — both the sig store and the band-partitioned
+    * store derive from the one frame, no re-read of text.
+    */
+  def appendSigsToIndex(sigs: DataFrame, path: String,
+      rowsPerBand: Int = 4): Unit = {
+    sigs.write.mode("append").parquet(s"$path/sigs")
+    bandsFromSigs(sigs, rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -35,14 +35,17 @@ object DocsStream {
       .option("maxFilesPerTrigger", "2").parquet(inDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // the batch feeds three derivations (bands, sigs, index append) —
-        // pin it so the source files are read once
-        val b = batch.persist()
+        // compute the signature kernel ONCE per arriving doc and pin it:
+        // bands, in-batch + index-probe estimates, and the index append all
+        // derive from this one frame
+        val sigs = batch.select(col("doc_id"),
+          graft.dedup.Dedup.minHashSignature(col("text"), 3, 24).as("sig"))
+          .persist()
         try {
-          graft.dedup.Dedup.ingestGateBatch(b, spark, indexPath, minEstJaccard)
+          graft.dedup.Dedup.ingestGateFromSigs(sigs, spark, indexPath, minEstJaccard)
             .write.mode("append").parquet(outDir)
-          graft.dedup.Dedup.buildBandIndex(b, indexPath, mode = "append")
-        } finally { b.unpersist(); () }
+          graft.dedup.Dedup.appendSigsToIndex(sigs, indexPath)
+        } finally { sigs.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
