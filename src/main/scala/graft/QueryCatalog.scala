@@ -3632,7 +3632,9 @@ object QueryCatalog {
       .write.parquet(s"$tmp/in")
     graft.streaming.DocsStream.neardupGateDrain(s, s"$tmp/in", idx,
       s"$tmp/out", s"$tmp/ck", minEstJaccard = 0.5)
-    s.read.parquet(s"$tmp/out").orderBy("hi_id", "lo_id")
+    s.read.parquet(s"$tmp/out") // drop the per-batch restart partition col
+      .select(col("hi_id"), col("lo_id"), col("est_jaccard"))
+      .orderBy("hi_id", "lo_id")
   }
 
   private val qSimhashNearDups: Q = (s, dir) =>

@@ -34,7 +34,18 @@ object DocsStream {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // Restart discipline (foreachBatch is at-least-once — a crashed
+        // batch re-runs on the same id): pair output goes to a
+        // per-batch-OVERWRITE partition dir, so a re-run replaces rather
+        // than duplicates; the index append is guarded by a marker written
+        // LAST, so a fully-applied batch is never appended twice. The one
+        // remaining window (crash mid-append) can only duplicate index
+        // rows, which the gate absorbs by construction: band candidates
+        // are distinct()ed and duplicate sig rows only re-derive the same
+        // pair into the same overwritten partition.
+        val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_applied_$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // compute the signature kernel ONCE per arriving doc and pin it:
         // bands, in-batch + index-probe estimates, and the index append all
         // derive from this one frame
@@ -43,8 +54,12 @@ object DocsStream {
           .persist()
         try {
           graft.dedup.Dedup.ingestGateFromSigs(sigs, spark, indexPath, minEstJaccard)
-            .write.mode("append").parquet(outDir)
-          graft.dedup.Dedup.appendSigsToIndex(sigs, indexPath)
+            .distinct()
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          if (!fs.exists(marker)) {
+            graft.dedup.Dedup.appendSigsToIndex(sigs, indexPath)
+            fs.create(marker, true).close()
+          }
         } finally { sigs.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)

@@ -85,4 +85,35 @@ class StreamingDedupSpec extends SparkSpec {
     assert(drained.nonEmpty)
     assert(drained == want)
   }
+
+  test("near-dup gate resumes across a restart: two drains over arriving waves equal one shot") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-sgate2").toString
+    val docs = Tables.documents(spark, sf)
+    val baseIdx = Fixtures.getOrBuild(s"bandidx:$sf") { f =>
+      graft.dedup.Dedup.buildBandIndex(
+        docs.filter(col("doc_id") < 400), f, mode = "overwrite")
+    }
+    val idx = Fixtures.mutableCopy(baseIdx)
+    val stream = docs.filter(col("doc_id") >= 400)
+    // wave 1 arrives and is drained; the process "restarts"; wave 2 arrives
+    // and the second drain resumes from the same checkpoint with the index
+    // already reflecting wave 1
+    stream.filter(col("doc_id") < 450).repartition(4).write.parquet(s"$tmp/in")
+    graft.streaming.DocsStream.neardupGateDrain(
+      spark, s"$tmp/in", idx, s"$tmp/out", s"$tmp/ck", 0.5)
+    stream.filter(col("doc_id") >= 450).repartition(4)
+      .write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.DocsStream.neardupGateDrain(
+      spark, s"$tmp/in", idx, s"$tmp/out", s"$tmp/ck", 0.5)
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("hi_id", "lo_id", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val idx2 = Fixtures.mutableCopy(baseIdx)
+    val want = graft.dedup.Dedup.ingestGateBatch(stream, spark, idx2,
+        minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
 }
