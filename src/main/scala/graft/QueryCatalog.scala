@@ -6912,6 +6912,27 @@ object QueryCatalog {
     graft.pipeline.UrlCurate.curate(Tables.documents(s, dir))
       .orderBy("doc_id")
 
+  /** Host-level crawl stats over the same canonicalized URLs — the
+    * curation dashboard a crawl pipeline keys its per-host policies on
+    * (crawl budgets, block decisions): docs per host, distinct canonical
+    * URLs, dup rate, content volume. One aggregate over the map-only
+    * canonicalization; the host is low-cardinality so the shuffle is
+    * trivial at any corpus size.
+    */
+  private val qHostStats: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.pipeline.UrlCurate.curate(docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_urls"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .orderBy("host")
+  }
+
   private val urlCanonicalizeSql =
     """WITH u AS (
       |  SELECT doc_id,
@@ -6960,6 +6981,24 @@ object QueryCatalog {
       |SELECT doc_id, canon_url, host,
       |  doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keep
       |FROM c2 ORDER BY doc_id""".stripMargin
+
+  /** Same injection/canonicalization CTE chain, aggregated per host.
+    * Built by plain concatenation — the embedded SQL contains `||` concat
+    * operators that an outer `stripMargin` would mangle.
+    */
+  private val hostStatsSql =
+    Seq(
+      "WITH k AS (",
+      urlCanonicalizeSql.stripSuffix(" ORDER BY doc_id"),
+      ")",
+      "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,",
+      "  CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_urls,",
+      "  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,",
+      "  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,",
+      "  1.0 - CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)",
+      "      / CAST(COUNT(*) AS DOUBLE) AS dup_rate",
+      "FROM k JOIN documents d USING (doc_id)",
+      "GROUP BY host ORDER BY host").mkString("\n")
 
   /** PII scrubbing for training corpora: deterministic synthetic PII
     * (emails keyed by doc_id, a phone token) is injected, then redacted
@@ -7861,6 +7900,7 @@ object QueryCatalog {
     "q_profile" -> qProfile,
     "q_pii_scrub" -> qPiiScrub,
     "q_url_canonicalize" -> qUrlCanonicalize,
+    "q_host_stats" -> qHostStats,
     "q_jaro_winkler" -> qJaroWinkler,
     "q_chisq" -> qChisq,
     "q_group_split" -> qGroupSplit,
@@ -8103,6 +8143,7 @@ object QueryCatalog {
     "q_profile" -> profileSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_url_canonicalize" -> urlCanonicalizeSql,
+    "q_host_stats" -> hostStatsSql,
     "q_jaro_winkler" -> jaroWinklerSql,
     "q_chisq" -> chisqSql,
     "q_group_split" -> groupSplitSql,
