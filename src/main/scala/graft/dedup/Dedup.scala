@@ -213,6 +213,41 @@ object Dedup {
       .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
   }
 
+  /** Signature-estimated Jaccard: fraction of agreeing minhash positions —
+    * THE estimate of the band-index family; every probe path shares this
+    * one definition so the batch probe, the streaming gate, and the oracle
+    * SQL cannot drift apart.
+    */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / lit(numHashes)
+
+  /** Core of every band-index probe: an already-computed `(doc_id, sig)`
+    * frame against the store at `path` — banding join for candidates,
+    * [[estJaccard]] to score. Returns (new_id, indexed_id, est_jaccard)
+    * with est ≥ `minEstJaccard`.
+    */
+  def probeSigsAgainstIndex(sigs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      minEstJaccard: Double, numHashes: Int = 24,
+      rowsPerBand: Int = 4): DataFrame = {
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("band_hash"), col("doc_id").as("indexed_id"))
+    val idxSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("doc_id").as("indexed_id"), col("sig").as("sig_idx"))
+    bandsFromSigs(sigs, rowsPerBand)
+      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+      .join(idxBands, Seq("band", "band_hash"))
+      .filter(col("new_id") =!= col("indexed_id"))
+      .select("new_id", "indexed_id").distinct()
+      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sig_new")), "new_id")
+      .join(idxSigs, "indexed_id")
+      .withColumn("est_jaccard",
+        estJaccard(col("sig_new"), col("sig_idx"), numHashes))
+      .filter(col("est_jaccard") >= lit(minEstJaccard))
+      .select(col("new_id"), col("indexed_id"), col("est_jaccard"))
+  }
+
   /** Probe a new batch against a [[buildBandIndex]] store: banding join for
     * candidates, then signature-estimated Jaccard (fraction of agreeing
     * minhash positions) — no historical text needed, so probe cost is
@@ -221,25 +256,11 @@ object Dedup {
     */
   def probeBandIndex(newDocs: DataFrame, spark: org.apache.spark.sql.SparkSession,
       path: String, minEstJaccard: Double, shingleLen: Int = 3,
-      numHashes: Int = 24, rowsPerBand: Int = 4): DataFrame = {
-    val newBands = minHashBands(newDocs, shingleLen, numHashes, rowsPerBand)
-      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
-    val idxBands = spark.read.parquet(s"$path/bands")
-      .select(col("band"), col("band_hash"), col("doc_id").as("indexed_id"))
-    val cand = newBands.join(idxBands, Seq("band", "band_hash"))
-      .filter(col("new_id") =!= col("indexed_id"))
-      .select("new_id", "indexed_id").distinct()
-    val newSigs = newDocs.select(col("doc_id").as("new_id"),
-      minHashSignature(col("text"), shingleLen, numHashes).as("sig_new"))
-    val idxSigs = spark.read.parquet(s"$path/sigs")
-      .select(col("doc_id").as("indexed_id"), col("sig").as("sig_idx"))
-    cand.join(newSigs, "new_id").join(idxSigs, "indexed_id")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_new"), col("sig_idx"),
-          (a, b) => a === b), m => m)).cast("double") / lit(numHashes))
-      .filter(col("est_jaccard") >= lit(minEstJaccard))
-      .select(col("new_id"), col("indexed_id"), col("est_jaccard"))
-  }
+      numHashes: Int = 24, rowsPerBand: Int = 4): DataFrame =
+    probeSigsAgainstIndex(
+      newDocs.select(col("doc_id"),
+        minHashSignature(col("text"), shingleLen, numHashes).as("sig")),
+      spark, path, minEstJaccard, numHashes, rowsPerBand)
 
   /** One micro-batch through the streaming near-dup INGEST GATE over a
     * persistent band index: emit (1) in-batch candidate pairs and (2)
@@ -271,28 +292,13 @@ object Dedup {
   def ingestGateFromSigs(sigs: DataFrame, spark: org.apache.spark.sql.SparkSession,
       path: String, minEstJaccard: Double, numHashes: Int = 24,
       rowsPerBand: Int = 4): DataFrame = {
-    def est(a: Column, b: Column): Column =
-      size(filter(zip_with(a, b, (x, y) => x === y), m => m))
-        .cast("double") / lit(numHashes)
+    val vsIndex =
+      probeSigsAgainstIndex(sigs, spark, path, minEstJaccard, numHashes, rowsPerBand)
+        .select(greatest(col("new_id"), col("indexed_id")).as("hi_id"),
+          least(col("new_id"), col("indexed_id")).as("lo_id"),
+          col("est_jaccard"))
+
     val bands = bandsFromSigs(sigs, rowsPerBand)
-
-    val idxBands = spark.read.parquet(s"$path/bands")
-      .select(col("band"), col("band_hash"), col("doc_id").as("indexed_id"))
-    val idxSigs = spark.read.parquet(s"$path/sigs")
-      .select(col("doc_id").as("indexed_id"), col("sig").as("sig_idx"))
-    val vsIndex = bands
-      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
-      .join(idxBands, Seq("band", "band_hash"))
-      .filter(col("new_id") =!= col("indexed_id"))
-      .select("new_id", "indexed_id").distinct()
-      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sig_new")), "new_id")
-      .join(idxSigs, "indexed_id")
-      .withColumn("est_jaccard", est(col("sig_new"), col("sig_idx")))
-      .filter(col("est_jaccard") >= lit(minEstJaccard))
-      .select(greatest(col("new_id"), col("indexed_id")).as("hi_id"),
-        least(col("new_id"), col("indexed_id")).as("lo_id"),
-        col("est_jaccard"))
-
     val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
     val inBatch = a.join(b, Seq("band", "band_hash"))
@@ -300,7 +306,7 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= lit(minEstJaccard))
       .select(col("doc_b").as("hi_id"), col("doc_a").as("lo_id"),
         col("est_jaccard"))

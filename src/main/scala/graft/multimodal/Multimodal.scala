@@ -138,7 +138,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+          // null payload cells decode as an empty bin record — the fallback
+          // must stay total too, not NPE on bytes.map
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           val m = PixelCodec.decode(bytes).getOrElse(
             PixelCodec.Media("bin", 0, 0, 1,
               bytes.map(b => (b & 0xff): Int)))
@@ -184,15 +187,19 @@ object Multimodal {
     withBinary.select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val src = r.getAs[Array[Byte]](1)
+          val src =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           val bytes = PixelCodec.decode(src) match {
             case Some(m) if m.kind != "wav" =>
               val rs = PixelCodec.resizeNearest(m, w, h)
               PixelCodec.encodePng(w, h, rs.channels,
                 rs.values.map(v => (v & 0xff).toByte))
+            case _ if src.isEmpty =>
+              // empty/null payload: nothing to downsample — stays total
+              Array.emptyByteArray
             case _ =>
               val n = math.max(1, math.min(w * h / 64, 4096))
-              Array.tabulate(n)(i => src(i % math.max(src.length, 1)))
+              Array.tabulate(n)(i => src(i % src.length))
           }
           ResizedMedia(r.getLong(0), w, h, bytes)
         }

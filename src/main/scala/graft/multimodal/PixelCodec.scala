@@ -44,6 +44,14 @@ object PixelCodec {
   final case class Media(kind: String, width: Int, height: Int,
       channels: Int, values: Array[Int])
 
+  /** Decode bounds on DECLARED image dimensions: a malformed or hostile
+    * header claiming gigapixel sizes must decode to None, never allocate.
+    * 32k × 32k × 4 channels (4 GiB of pixel values) is far past any
+    * payload this engine stores inline in a column.
+    */
+  private val MaxDim = 1 << 15
+  private val MaxPixelBytes = 1L << 28
+
   // ---------------------------------------------------------------- util
 
   private def be32(v: Int): Array[Byte] =
@@ -178,6 +186,11 @@ object PixelCodec {
       i += 8 + len + 4
     }
     if (w <= 0 || h <= 0 || channels < 0) return None
+    // bound the DECLARED dimensions before allocating: a malformed header
+    // claiming gigapixel dims must fall through to None (total function),
+    // not overflow the stride arithmetic or OOM the task
+    if (w > MaxDim || h > MaxDim ||
+      w.toLong * h.toLong * channels > MaxPixelBytes) return None
 
     val stride = w * channels
     val raw = new Array[Byte](h * (1 + stride))
@@ -266,6 +279,10 @@ object PixelCodec {
     val compression = readLe32(b, 30)
     if (w <= 0 || hRaw == 0 || bits != 24 || compression != 0) return None
     val h = math.abs(hRaw)
+    // dimension bound BEFORE the stride arithmetic: huge declared widths
+    // overflow rowBytes (int) and can slip past the length check below
+    if (w > MaxDim || h > MaxDim || w.toLong * h.toLong * 3 > MaxPixelBytes)
+      return None
     val topDown = hRaw < 0
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4

@@ -73,17 +73,19 @@ object UrlCurate {
   }
 
   /** Inject → canonicalize → dedup: every doc with its canonical URL and
-    * host, `keep` marking the min-doc_id winner per canonical URL.
+    * host, `keep` marking the min-doc_id winner per canonical URL. ONE
+    * shuffle, keyed on the canonical URL (a `min` window over the key —
+    * the oracle's own shape), instead of a groupBy + join that would move
+    * the URL strings twice. For the production 100 TB run, key the window
+    * on `xxhash64(canon_url)` so the shuffle carries 8-byte keys — the
+    * [[graft.dedup.Dedup.exactByFingerprint]] discipline.
     */
   def curate(docs: DataFrame): DataFrame = {
     val url = synthesizeUrl(col("doc_id"), col("source"))
     val (canon, host) = canonicalize(url)
-    val withUrl = docs.select(col("doc_id"), url.as("url"),
-      canon.as("canon_url"), host.as("host"))
-    val winners = withUrl.groupBy(col("canon_url"))
-      .agg(min(col("doc_id")).as("win_id"))
-    withUrl.join(winners, "canon_url")
-      .select(col("doc_id"), col("canon_url"), col("host"),
-        (col("doc_id") === col("win_id")).as("keep"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon_url"))
+    docs.select(col("doc_id"), canon.as("canon_url"), host.as("host"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canon_url"), col("host"), col("keep"))
   }
 }

@@ -367,8 +367,8 @@ object EventsStream {
 
   final case class InterpPoint(user_id: Long, ts: Timestamp, tms: Long,
       event_id: Long, value: Double)
-  final case class InterpState(prevT: Long, prevV: Double, prevE: Long,
-      sliceIdx: Int, hasPrev: Boolean)
+  final case class InterpState(pending: Seq[(Long, Double, Long)],
+      prevT: Long, prevV: Double, sliceIdx: Int, hasPrev: Boolean)
   final case class InterpSlice(user_id: Long, slice_ms: Long,
       v_interp: Option[Double])
 
@@ -377,34 +377,39 @@ object EventsStream {
     * series is resampled onto the fixed slice spine `t0, t0+step, …` with
     * linear interpolation between the bracketing observed points.
     *
-    * Two emission rules (the `flatMapGroupsWithState` 0..n-rows contract):
-    *   - '''in-band''': when a point at time `t` arrives, every pending
-    *     slice strictly before `t` now has both brackets — emit it
-    *     immediately, interpolated (or null when no earlier point exists,
-    *     matching the batch null-before-first-point semantics);
-    *   - '''timeout''': once the event-time watermark passes the last
-    *     point (no later bracket can ever arrive), the remaining tail
-    *     slices emit as null — the batch null-after-last-point rule.
+    * Emission is WATERMARK-GATED: arriving points buffer in state and are
+    * consumed — emitting every slice strictly before them — only once the
+    * event-time watermark passes them, because only then can no earlier
+    * bracket still arrive. That makes the output correct under ANY
+    * micro-batch partitioning of the input, including out-of-order
+    * delivery across batches (as long as disorder stays inside
+    * `watermarkDelay`; rows later than that are dropped, the standard
+    * watermark-late contract). Same-timestamp duplicates resolve to the
+    * max-event_id value (the batch `max(struct(event_id, value))`
+    * tie-break) BEFORE any emission. Tail slices after a user's last point
+    * emit as null when the user times out — watermark past every buffered
+    * point with nothing left pending: for a drain (AvailableNow + a flush
+    * sentinel beyond max+delay) that is exactly end-of-input, the batch
+    * null-after-last-point rule, making the drained output bit-identical
+    * to the batch query and oracle-checkable against the SAME DuckDB SQL.
+    * In a truly unbounded run the timeout approximates "series ended" —
+    * a user resuming after an event-time gap longer than `watermarkDelay`
+    * starts a fresh series (append mode cannot retract the nulls).
     *
-    * Same-timestamp duplicates resolve to the max-event_id value (the
-    * batch `max(struct(event_id, value))` tie-break), including across
-    * micro-batch boundaries via `prevE` in state. The interpolation
-    * arithmetic replays the batch expression op-for-op, so the drained
-    * output is bit-identical to the batch query — what makes
-    * `q_stream_interp` oracle-checkable against the SAME DuckDB SQL.
-    *
-    * Scale shape: state per user is one (t, v, e, idx) record — O(users),
-    * independent of stream length; emission is append-only.
+    * Scale shape: state per user is the pending buffer (bounded by points
+    * inside the watermark horizon) + one consume cursor — independent of
+    * stream length; emission is append-only.
     */
   def interpolateStream(spark: SparkSession, events: DataFrame, t0: Long,
-      nSlices: Int, stepMs: Long): Dataset[InterpSlice] = {
+      nSlices: Int, stepMs: Long,
+      watermarkDelay: String = "30 minutes"): Dataset[InterpSlice] = {
     import spark.implicits._
     // NOTE: the purchase filter is deterministic, so Catalyst pushes it
     // BELOW the EventTimeWatermark node — only purchase rows reach the
     // watermark stats. A drain-end flush sentinel therefore has to BE a
     // purchase row (reserved user id), not a to-be-filtered event type.
     val typed = events
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", watermarkDelay)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("tms"),
         col("event_id"), col("value"))
@@ -414,46 +419,52 @@ object EventsStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid, batch, state: GroupState[InterpState]) =>
           def sliceT(i: Int): Long = t0 + i.toLong * stepMs
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            (st.sliceIdx until nSlices).iterator
-              .map(i => InterpSlice(uid, sliceT(i), None))
-          } else {
-            var st = state.getOption
-              .getOrElse(InterpState(0L, 0.0, -1L, 0, hasPrev = false))
-            val out = Seq.newBuilder[InterpSlice]
-            batch.toSeq.sortBy(p => (p.tms, p.event_id)).foreach { p =>
-              if (st.hasPrev && p.tms < st.prevT) {
-                // out-of-order beyond the last processed point: slices
-                // bracketing it were already emitted — drop, the
-                // watermark-late contract (cannot happen within one sorted
-                // batch; only across batches with disordered files)
-              } else if (st.hasPrev && p.tms == st.prevT) {
-                // same-timestamp dedup: max event_id wins (batch tie-break)
-                if (p.event_id > st.prevE)
-                  st = st.copy(prevV = p.value, prevE = p.event_id)
-              } else {
-                var i = st.sliceIdx
-                while (i < nSlices && sliceT(i) < p.tms) {
-                  val s = sliceT(i)
-                  val v =
-                    if (st.hasPrev)
-                      Some(st.prevV + (p.value - st.prevV) *
-                        ((s - st.prevT).toDouble / (p.tms - st.prevT).toDouble))
-                    else None
-                  out += InterpSlice(uid, s, v)
-                  i += 1
-                }
-                st = InterpState(p.tms, p.value, p.event_id, i, hasPrev = true)
-              }
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(
+            InterpState(Seq.empty, 0L, 0.0, 0, hasPrev = false))
+          val out = Seq.newBuilder[InterpSlice]
+
+          // merge new points into the buffer: drop watermark-late rows
+          // (already consumed past), dedup same-timestamp to max event_id
+          val arrived = batch.map(p => (p.tms, p.value, p.event_id)).toSeq
+          val merged = (st.pending ++ arrived)
+            .filter(p => !st.hasPrev || p._1 > st.prevT)
+            .groupBy(_._1).map { case (_, ps) => ps.maxBy(_._3) }
+            .toSeq.sortBy(_._1)
+
+          // consume every point the watermark has passed: its brackets are
+          // final, so the slices strictly before it emit now
+          val (ready, still) = merged.partition(_._1 <= wm)
+          ready.foreach { case (tms, value, _) =>
+            var i = st.sliceIdx
+            while (i < nSlices && sliceT(i) < tms) {
+              val s = sliceT(i)
+              val v =
+                if (st.hasPrev)
+                  Some(st.prevV + (value - st.prevV) *
+                    ((s - st.prevT).toDouble / (tms - st.prevT).toDouble))
+                else None
+              out += InterpSlice(uid, s, v)
+              i += 1
             }
-            state.update(st)
-            // fire once the watermark proves no later bracket can arrive
-            state.setTimeoutTimestamp(
-              math.max(st.prevT, state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
+            st = InterpState(still, tms, value, i, hasPrev = true)
           }
+
+          if (state.hasTimedOut && still.isEmpty) {
+            // nothing buffered and the watermark is past the whole series:
+            // the remaining tail emits as null and the user is done. The
+            // hasPrev guard: a user whose every point was watermark-late
+            // has no spine in the batch result either — emit nothing.
+            state.remove()
+            if (st.hasPrev)
+              out ++= (st.sliceIdx until nSlices)
+                .map(i => InterpSlice(uid, sliceT(i), None))
+          } else {
+            state.update(st.copy(pending = still))
+            // re-arm: fire as soon as the watermark next advances
+            state.setTimeoutTimestamp(wm + 1)
+          }
+          out.result().iterator
       }
   }
 

@@ -103,7 +103,13 @@ class CatalogPlanSweepSpec extends SparkSpec with PredicateHelper {
 
   test("no declared query plans an unbounded loose join or an unlisted global window") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // benchExcluded = the streaming drains + multi-step ETL mutations:
+    // calling fn() EXECUTES their full drain only to return a trivial
+    // post-drain parquet read, which cannot contain a loose join or global
+    // window — all cost, no assertion. Their operator plans are covered by
+    // the streaming specs; the sweep covers every single-plan query.
+    (SparkEntry.queries -- QueryCatalog.benchExcluded)
+      .toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df: DataFrame =
         try fn(spark, sf)
         catch { case e: Throwable =>

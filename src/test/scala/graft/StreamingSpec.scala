@@ -167,6 +167,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch) // same rows, same order, same doubles/nulls
   }
 
+  test("interpolation is batch-boundary and arrival-order independent (watermark-gated buffer)") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-sinterp2").toString
+    val ev = Tables.events(spark, sf)
+    val maxTms = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_millis(lit(maxTms + 200L * 86400000L)).as("ts"),
+      lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    // scatter rows across 6 files keyed on event_id, so every user's series
+    // arrives interleaved and out of time order, one file per micro-batch.
+    // The flush sentinel is written as a LATER file: a flush marker that
+    // arrived before the data it flushes would advance the watermark past
+    // every real point and turn them all late — order matters for the
+    // sentinel exactly because it is the stream's end-of-input signal.
+    ev.repartition(6, pmod(col("event_id"), lit(6)))
+      .write.parquet(s"$tmp/in")
+    sentinel.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val out = graft.streaming.EventsStream.interpolateStream(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"),
+      t0 = 1704067200000L, nSlices = 31, stepMs = 86400000L,
+      watermarkDelay = "90 days") // disorder spans ~30 days — nothing late
+    val q = out.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("slice_ms"), col("v_interp"))
+      .orderBy("user_id", "slice_ms").collect().toSeq
+    val batch = SparkEntry.queries("q_timeseries_interp")(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch) // bit-for-bit despite shuffled multi-batch arrival
+  }
+
   test("stream-side purge equals the batch anti-join and survives a re-drain") {
     val tmp = Files.createTempDirectory("graft-spurge").toString
     val condemned = Tables.events(spark, sf).select(col("user_id"))
