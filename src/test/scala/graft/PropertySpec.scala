@@ -240,4 +240,34 @@ class PropertySpec extends SparkSpec {
       assert(!c.startsWith("http://") || !c.split("/", 4)(2).endsWith(":80"))
     }
   }
+
+  test("png/bmp decode is total on malformed and hostile headers") {
+    import graft.multimodal.PixelCodec
+    // valid signature + IHDR declaring absurd dimensions: must decode to
+    // None, never allocate or throw
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    for ((w, h) <- Seq((0x40000000, 1), (1, 0x40000000), (30000, 30000))) {
+      val ihdr = be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 2, 0, 0, 0) ++ be32(0) // bogus CRC — decoder skips it
+      assert(PixelCodec.decodePng(sig ++ ihdr).isEmpty)
+    }
+    // BMP with a width whose stride overflows int
+    val bmp = new Array[Byte](64)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putLe32(off: Int, v: Int): Unit = {
+      bmp(off) = (v & 0xff).toByte; bmp(off + 1) = ((v >> 8) & 0xff).toByte
+      bmp(off + 2) = ((v >> 16) & 0xff).toByte; bmp(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(10, 54); putLe32(18, 0x30000000); putLe32(22, 2)
+    bmp(28) = 24; putLe32(30, 0)
+    assert(PixelCodec.decodeBmp(bmp).isEmpty)
+    // arbitrary byte soup never throws
+    val gen = Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+    cases(gen, 200).foreach { bytes =>
+      PixelCodec.decode(bytes) // totality: any result is fine, no throw
+    }
+  }
 }
