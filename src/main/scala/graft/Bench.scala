@@ -11,6 +11,11 @@ object Bench {
       .replaceAll("#\\d+", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("@[0-9a-f]+", "@")
+      // lambda variable names embed a JVM-global counter (lambda x_5 vs
+      // x_17 for the SAME plan when unrelated queries shift the counter) —
+      // without this, every HOF-bearing query false-churns whenever the
+      // catalog grows
+      .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_")
       // per-run temp fixture dirs would churn every fixture query's
       // fingerprint; the path identity isn't part of the plan shape
       .replaceAll("/tmp/[^\\s,\\]]+", "/tmp/_")
