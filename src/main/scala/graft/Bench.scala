@@ -16,6 +16,10 @@ object Bench {
       // without this, every HOF-bearing query false-churns whenever the
       // catalog grows
       .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_")
+      // MapPartitions prints the closure's synthetic class identity
+      // ($$Lambda$3369/0x7f6a...), fresh per JVM — same false churn for
+      // every typed/mapPartitions operator
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
       // per-run temp fixture dirs would churn every fixture query's
       // fingerprint; the path identity isn't part of the plan shape
       .replaceAll("/tmp/[^\\s,\\]]+", "/tmp/_")
@@ -23,6 +27,14 @@ object Bench {
       .digest(normalized.getBytes("UTF-8"))
     d.take(6).map("%02x".format(_)).mkString
   }
+
+  /** Queries whose plan TEXT is data-dependent by design and therefore
+    * can't fingerprint stably: q_quantile_store folds its sketch-estimated
+    * quantiles (merge-order dependent) into a second query as literals —
+    * the OUTPUT (accuracy booleans vs exact) is deterministic, the plan
+    * string is not. Recorded as "volatile", skipped by the change gate.
+    */
+  private val fpVolatile = Set("q_quantile_store")
 
   /** Previous round's per-query plan fingerprints, read from the committed
     * BENCH_DETAILS.json BEFORE this run overwrites it — the regression gate
@@ -76,7 +88,8 @@ object Bench {
         // drains reuse the last timed result instead — a fresh fn() call
         // would re-run the whole drain just to look at the plan
         val fp =
-          try {
+          if (fpVolatile(name)) "volatile"
+          else try {
             if (executedFp) { if (lastDf == null) "err" else planFingerprint(lastDf) }
             else planFingerprint(fn(spark, sfDir))
           } catch { case _: Throwable => "err" }
