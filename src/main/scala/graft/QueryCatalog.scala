@@ -5680,11 +5680,31 @@ object QueryCatalog {
       timestamp_millis(lit(maxTms + 90L * 86400000L)).as("ts"),
       lit(-1L).as("user_id"), lit("purchase").as("event_type"),
       lit(0.0).as("value"), lit("{}").as("props"))
-    ev.unionByName(sentinel).coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/in")
+    // time-range-ordered multi-batch arrival: the watermark advances
+    // between batches, so the gated buffer drains as the replay progresses
+    // — the bounded-state shape a large replay uses — instead of buffering
+    // whole series under a single cold batch. Each range is written as a
+    // SEPARATE sequential job: FileStreamSource orders files by
+    // modification time, and a single multi-file write gives near-tied
+    // mtimes, i.e. arbitrary arrival order — which a 30-minute watermark
+    // would turn into whole-file late drops. The sentinel rides the last
+    // range by construction (its ts is the maximum).
+    val all = ev.unionByName(sentinel)
+    val day = 86400000L
+    val cuts = Seq(1704067200000L + 8 * day, 1704067200000L + 16 * day,
+      1704067200000L + 24 * day)
+    val ranges = Seq(
+      unix_millis(col("ts")) < cuts(0),
+      unix_millis(col("ts")) >= cuts(0) && unix_millis(col("ts")) < cuts(1),
+      unix_millis(col("ts")) >= cuts(1) && unix_millis(col("ts")) < cuts(2),
+      unix_millis(col("ts")) >= cuts(2))
+    ranges.foreach { pred =>
+      all.filter(pred).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
     val schema = s.read.parquet(s"$tmp/in").schema
     val out = graft.streaming.EventsStream.interpolateStream(s,
-      s.readStream.schema(schema).parquet(s"$tmp/in"),
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"),
       t0 = 1704067200000L, nSlices = 31, stepMs = 86400000L)
     val q = out.writeStream
       .outputMode("append").format("parquet")

@@ -99,7 +99,8 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           md.reset()
           val sha = md.digest(bytes).map("%02x".format(_)).mkString
           PixelCodec.decode(bytes) match {
@@ -221,7 +222,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           bytes.grouped(256).zipWithIndex.collect {
             case (f, i) if i % stride == 0 => Frame(id, i, f)
           }

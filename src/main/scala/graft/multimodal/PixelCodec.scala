@@ -169,7 +169,9 @@ object PixelCodec {
     var done = false
     while (!done && i + 8 <= b.length) {
       val len = readBe32(b, i)
-      if (len < 0 || i + 8 + len + 4 > b.length) return None
+      // long arithmetic: a hostile len near 2^31 overflows the int sum and
+      // would slip past the bound
+      if (len < 0 || i.toLong + 8L + len + 4L > b.length) return None
       val tag = new String(b, i + 4, 4, US_ASCII)
       tag match {
         case "IHDR" =>
@@ -278,11 +280,14 @@ object PixelCodec {
     val bits = readLe16(b, 28)
     val compression = readLe32(b, 30)
     if (w <= 0 || hRaw == 0 || bits != 24 || compression != 0) return None
-    val h = math.abs(hRaw)
+    // abs on LONG: math.abs(Int.MinValue) stays negative and would bypass
+    // the dimension bound below
+    val hL = math.abs(hRaw.toLong)
     // dimension bound BEFORE the stride arithmetic: huge declared widths
     // overflow rowBytes (int) and can slip past the length check below
-    if (w > MaxDim || h > MaxDim || w.toLong * h.toLong * 3 > MaxPixelBytes)
+    if (w > MaxDim || hL > MaxDim || w.toLong * hL * 3 > MaxPixelBytes)
       return None
+    val h = hL.toInt
     val topDown = hRaw < 0
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4
@@ -336,7 +341,9 @@ object PixelCodec {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, US_ASCII)
       val len = readLe32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return None
+      // long arithmetic: a hostile len near 2^31 overflows the int sum and
+      // would drive a multi-GiB sample allocation
+      if (len < 0 || i.toLong + 8L + len > b.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None

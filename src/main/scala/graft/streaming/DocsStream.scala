@@ -43,8 +43,17 @@ object DocsStream {
         // remaining window (crash mid-append) can only duplicate index
         // rows, which the gate absorbs by construction: band candidates
         // are distinct()ed and duplicate sig rows only re-derive the same
-        // pair into the same overwritten partition.
-        val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_applied_$batchId")
+        // pair into the same overwritten partition. The marker carries the
+        // CHECKPOINT identity, not just the batch id: a reset checkpoint
+        // restarts ids at 0, and a bare-id marker would then silently skip
+        // the new batches' index appends. (Resetting a checkpoint against
+        // an already-used outDir still overwrites its batch=N partitions —
+        // pair outputs need a fresh outDir per checkpoint lineage.)
+        val ckTag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(checkpoint.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$indexPath/_applied_${ckTag}_$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // compute the signature kernel ONCE per arriving doc and pin it:
         // bands, in-batch + index-probe estimates, and the index append all

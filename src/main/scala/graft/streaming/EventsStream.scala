@@ -396,13 +396,25 @@ object EventsStream {
     * a user resuming after an event-time gap longer than `watermarkDelay`
     * starts a fresh series (append mode cannot retract the nulls).
     *
-    * Scale shape: state per user is the pending buffer (bounded by points
-    * inside the watermark horizon) + one consume cursor — independent of
-    * stream length; emission is append-only.
+    * Scale shape: state per user is the pending buffer + one consume
+    * cursor. The buffer holds the points the watermark has not yet passed —
+    * with time-ordered arrival (files in event-time order, the normal
+    * replay layout) that is one watermark horizon of points per user; a
+    * cold single-micro-batch replay of unordered history buffers the whole
+    * series (watermark still 0), so large replays should arrive as
+    * time-range-ordered multi-batch input. Emission is append-only.
+    *
+    * `seriesEndGapMs` is the sessionization-style end-of-series rule: the
+    * tail emits only once the watermark is `seriesEndGapMs` of EVENT TIME
+    * past the last consumed point — mere watermark advance between replay
+    * batches must not end a series whose later points simply haven't
+    * arrived yet. A drain's flush sentinel must therefore sit more than
+    * `watermarkDelay + seriesEndGapMs` past the last real point.
     */
   def interpolateStream(spark: SparkSession, events: DataFrame, t0: Long,
       nSlices: Int, stepMs: Long,
-      watermarkDelay: String = "30 minutes"): Dataset[InterpSlice] = {
+      watermarkDelay: String = "30 minutes",
+      seriesEndGapMs: Long = 60L * 86400000L): Dataset[InterpSlice] = {
     import spark.implicits._
     // NOTE: the purchase filter is deterministic, so Catalyst pushes it
     // BELOW the EventTimeWatermark node — only purchase rows reach the
@@ -432,9 +444,12 @@ object EventsStream {
             .groupBy(_._1).map { case (_, ps) => ps.maxBy(_._3) }
             .toSeq.sortBy(_._1)
 
-          // consume every point the watermark has passed: its brackets are
-          // final, so the slices strictly before it emit now
-          val (ready, still) = merged.partition(_._1 <= wm)
+          // consume every point STRICTLY below the watermark: its brackets
+          // are final, so the slices strictly before it emit now. Strictly —
+          // a row exactly AT the watermark is not yet late by the engine's
+          // contract, so a same-timestamp duplicate of it can still arrive
+          // and must win the max-event_id tie-break before consumption.
+          val (ready, still) = merged.partition(_._1 < wm)
           ready.foreach { case (tms, value, _) =>
             var i = st.sliceIdx
             while (i < nSlices && sliceT(i) < tms) {
@@ -450,19 +465,26 @@ object EventsStream {
             st = InterpState(still, tms, value, i, hasPrev = true)
           }
 
-          if (state.hasTimedOut && still.isEmpty) {
-            // nothing buffered and the watermark is past the whole series:
-            // the remaining tail emits as null and the user is done. The
-            // hasPrev guard: a user whose every point was watermark-late
-            // has no spine in the batch result either — emit nothing.
+          val seriesEnded =
+            still.isEmpty && st.hasPrev && wm >= st.prevT + seriesEndGapMs
+          if (seriesEnded || (still.isEmpty && !st.hasPrev && state.hasTimedOut)) {
+            // end-of-series: nothing buffered and the watermark sits a full
+            // series gap past the last consumed point — the remaining tail
+            // emits as null and the user is done. (A user whose every point
+            // was watermark-late has no spine in the batch result either —
+            // remove without emitting.)
             state.remove()
             if (st.hasPrev)
               out ++= (st.sliceIdx until nSlices)
                 .map(i => InterpSlice(uid, sliceT(i), None))
           } else {
             state.update(st.copy(pending = still))
-            // re-arm: fire as soon as the watermark next advances
-            state.setTimeoutTimestamp(wm + 1)
+            // re-arm: with points buffered, wake on the next watermark
+            // advance to keep draining; with an empty buffer, wake only at
+            // the series-end decision point
+            state.setTimeoutTimestamp(
+              if (still.nonEmpty) wm + 1
+              else math.max(wm + 1, st.prevT + seriesEndGapMs))
           }
           out.result().iterator
       }

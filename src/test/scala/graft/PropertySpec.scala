@@ -264,6 +264,19 @@ class PropertySpec extends SparkSpec {
     putLe32(10, 54); putLe32(18, 0x30000000); putLe32(22, 2)
     bmp(28) = 24; putLe32(30, 0)
     assert(PixelCodec.decodeBmp(bmp).isEmpty)
+    // height = Int.MinValue: abs() stays negative on ints — must still be None
+    putLe32(18, 1); putLe32(22, 0x80000000)
+    assert(PixelCodec.decodeBmp(bmp).isEmpty)
+    // chunk lengths near 2^31 overflow int bound arithmetic — must be None,
+    // not an IndexOutOfBounds/OOM
+    val pngChunk = sig ++ be32(0x7ffffff0) ++ "IDAT".getBytes ++ Array[Byte](1, 2, 3)
+    assert(PixelCodec.decodePng(pngChunk).isEmpty)
+    val wav = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(wav, 0); "WAVE".getBytes.copyToArray(wav, 8)
+    "data".getBytes.copyToArray(wav, 12)
+    wav(16) = 0xf0.toByte; wav(17) = 0xff.toByte
+    wav(18) = 0xff.toByte; wav(19) = 0x7f.toByte // len = 0x7ffffff0 LE
+    assert(PixelCodec.decodeWav(wav).isEmpty)
     // arbitrary byte soup never throws
     val gen = Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
     cases(gen, 200).foreach { bytes =>
