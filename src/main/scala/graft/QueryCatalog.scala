@@ -4976,6 +4976,343 @@ object QueryCatalog {
       |  CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT) AS first_frame_bytes
       |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
 
+  /** REAL animated-GIF frame demux end-to-end: per document a valid GIF89a
+    * — 256-entry palette and 1 + id%6 frames of index pixels, all integer
+    * formulas of (doc_id, frame, position), odd frames written INTERLACED
+    * — sampled every 2nd frame by [[Multimodal.sampleFrames]] (per-frame
+    * LZW decompression, four-pass de-interlace, palette resolution, PNG
+    * re-encode), then each sampled frame re-decoded by
+    * [[Multimodal.decodeStats]] into integer value statistics. The oracle
+    * recomputes palette∘index formulas directly — the hash matches only if
+    * GIF-LZW decode ∘ encode is the identity on every frame, interlaced
+    * rows land exactly where GIF89a appendix E says, and the PNG hop
+    * preserves every value (v_wsum is position-weighted, so one swapped
+    * row breaks it). North-star addition; the reference has no binary
+    * surface.
+    */
+  private val qGifFrames: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val palette = Array.tabulate(768) { j =>
+          val e = j / 3
+          ((j % 3) match {
+            case 0 => (e * 37 + 1) % 256
+            case 1 => (e * 73 + 5) % 256
+            case _ => (e * 101 + 9) % 256
+          }).toByte
+        }
+        ids.map { id =>
+          val w = 3 + ((id * 5) % 13).toInt
+          val h = 3 + ((id * 11) % 11).toInt
+          val nf = 1 + (id % 6).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h)(p =>
+              ((id * 17 + f * 29 + p * 3) % 256).toByte)
+          }
+          (id, PixelCodec.encodeGif(w, h, palette, frames,
+            interlaceFor = f => f % 2 == 1))
+        }
+      }.toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(payloads, stride = 2)
+    Multimodal.decodeStats(
+        frames.select((col("docId") * 100 + col("frameIdx")).as("doc_id"),
+          col("payload")))
+      .select(expr("CAST(doc_id DIV 100 AS BIGINT)").as("doc_id"),
+        expr("CAST(doc_id % 100 AS INT)").as("frame_idx"),
+        col("kind"), col("width"), col("height"), col("channels"),
+        col("n_vals"), col("v_sum"), col("v_min"), col("v_max"),
+        col("v_wsum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val gifFramesSql =
+    """WITH p AS (
+      |  SELECT doc_id, 3 + (doc_id*5)%13 AS w, 3 + (doc_id*11)%11 AS h,
+      |         1 + doc_id%6 AS nf
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fi FROM p
+      |), v AS (
+      |  SELECT doc_id, fi, w, h,
+      |    list_transform(generate_series(0, w*h*3 - 1), i ->
+      |      CASE i % 3
+      |        WHEN 0 THEN (((doc_id*17 + fi*29 + (i//3)*3) % 256) * 37 + 1) % 256
+      |        WHEN 1 THEN (((doc_id*17 + fi*29 + (i//3)*3) % 256) * 73 + 5) % 256
+      |        ELSE (((doc_id*17 + fi*29 + (i//3)*3) % 256) * 101 + 9) % 256
+      |      END) AS vals
+      |  FROM f WHERE fi % 2 = 0
+      |)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx, 'png' AS kind,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS channels,
+      |  CAST(w*h*3 AS BIGINT) AS n_vals,
+      |  CAST(list_sum(vals) AS BIGINT) AS v_sum,
+      |  CAST(list_min(vals) AS BIGINT) AS v_min,
+      |  CAST(list_max(vals) AS BIGINT) AS v_max,
+      |  CAST(list_sum(list_transform(generate_series(1, w*h*3), i -> i * vals[i])) AS BIGINT) AS v_wsum
+      |FROM v ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Integer-exact acoustic features over REAL WAV PCM decode
+    * ([[Multimodal.audioStats]]): per document a 16-bit mono WAV whose
+    * every sample is an integer formula of (doc_id, position); the query
+    * decodes with the real RIFF codec and emits energy Σs², peak |s|,
+    * strict zero-crossing count, and raw autocorrelation Σ s·s₊ₗ at lags
+    * 1/2/4 — all exact longs, the periodicity/voicing profile an audio
+    * quality filter keys on. The oracle recomputes every statistic from
+    * the sample formula. North-star addition; the reference has no binary
+    * surface.
+    */
+  private val qAudioFeatures: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 64 + (id % 192).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((id * 37 + i * 11) % 65536).toInt - 32768)
+          (id, PixelCodec.encodeWav(8000 + (id % 8).toInt * 4000, 1, samples))
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.audioStats(payloads).orderBy("doc_id")
+  }
+
+  private val audioFeaturesSql =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+      |         64 + doc_id % 192 AS n
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, sample_rate, n,
+      |    list_transform(generate_series(0, n - 1), i ->
+      |      (doc_id*37 + i*11) % 65536 - 32768) AS s
+      |  FROM p
+      |)
+      |SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS energy,
+      |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+      |  CAST(list_sum(list_transform(generate_series(2, n), i ->
+      |    CASE WHEN s[i-1] * s[i] < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+      |  CAST(list_sum(list_transform(generate_series(2, n), i -> s[i-1] * s[i])) AS BIGINT) AS ac_lag1,
+      |  CAST(list_sum(list_transform(generate_series(3, n), i -> s[i-2] * s[i])) AS BIGINT) AS ac_lag2,
+      |  CAST(list_sum(list_transform(generate_series(5, n), i -> s[i-4] * s[i])) AS BIGINT) AS ac_lag4
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  /** Cross-video near-dup detection by keyframe overlap
+    * ([[Multimodal.keyframeOverlap]]): per document an animated GIF whose
+    * frame content is a formula of a SMALL key space (dims × 64 base
+    * offsets), so distinct documents share frames; every frame is demuxed
+    * (real GIF-LZW decode), fingerprinted (SHA-256 of the canonical PNG
+    * re-encode), and documents pair via an equality join on the
+    * fingerprint — the banded-join shape, never all-pairs, no pixels in
+    * the pair shuffle. The oracle derives frame equality from the
+    * generation formulas directly ((w, h, base) key), so the hash matches
+    * only if demux + canonical re-encode map equal frames — and ONLY equal
+    * frames — to equal fingerprints. North-star addition; the reference
+    * has no binary surface.
+    */
+  private val qVideoNeardup: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val palette = Array.tabulate(768) { j =>
+          val e = j / 3
+          ((j % 3) match {
+            case 0 => (e * 37 + 1) % 256
+            case 1 => (e * 73 + 5) % 256
+            case _ => (e * 101 + 9) % 256
+          }).toByte
+        }
+        ids.map { id =>
+          val w = 3 + ((id * 5) % 5).toInt
+          val h = 3 + ((id * 11) % 3).toInt
+          val nf = 1 + (id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val base = ((id * 17 + f * 29) % 64).toInt
+            Array.tabulate(w * h)(p => ((base + p * 3) % 256).toByte)
+          }
+          (id, PixelCodec.encodeGif(w, h, palette, frames))
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.keyframeOverlap(Multimodal.sampleFrames(payloads, stride = 1))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Perceptual image near-dup via dHash ([[Multimodal.dHash64]] +
+    * [[graft.dedup.Dedup.hammingPairs]]): per document a real BMP whose
+    * pixels come from a GROUP formula (docs in a group share dims and most
+    * pixel values, with doc-specific perturbations at ~1/23 of positions),
+    * decoded → integer-luma → 9×8 nearest grid → 64 adjacent-compare bits;
+    * pairs within Hamming ≤ 3 via the quarter-blocking join (exact by
+    * pigeonhole at that radius — the visual twin of `q_simhash_neardups`).
+    * The oracle replays pixel formula → luma → floor resample → bits →
+    * all-pairs Hamming in pure SQL, so the hash matches only if every
+    * stage of the perceptual pipeline is bit-identical. North-star
+    * addition; the reference has no binary surface.
+    */
+  private val qImageNeardup: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = (id % 40).toInt
+          val w = 9 + (g * 3) % 8
+          val h = 8 + (g * 5) % 7
+          val pix = Array.tabulate(w * h * 3) { i =>
+            val base = (g * 53 + i * 7) % 256
+            val v = if ((i + id) % 23 == 0) (base + 1 + (id % 13).toInt) % 256
+              else base
+            v.toByte
+          }
+          (id, PixelCodec.encodeBmp(w, h, pix))
+        }
+      }.toDF("doc_id", "payload")
+    graft.dedup.Dedup.hammingPairs(Multimodal.imageDhash(payloads), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val imageNeardupSql =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 40 AS g,
+      |         9 + ((doc_id % 40) * 3) % 8 AS w,
+      |         8 + ((doc_id % 40) * 5) % 7 AS h
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, w*h*3 - 1), i ->
+      |      CASE WHEN (i + doc_id) % 23 = 0
+      |           THEN ((g*53 + i*7) % 256 + 1 + doc_id % 13) % 256
+      |           ELSE (g*53 + i*7) % 256 END) AS vals
+      |  FROM p
+      |), gr AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 71), t ->
+      |      (299 * vals[(((t // 9) * h // 8) * w + ((t % 9) * w // 9)) * 3 + 1]
+      |       + 587 * vals[(((t // 9) * h // 8) * w + ((t % 9) * w // 9)) * 3 + 2]
+      |       + 114 * vals[(((t // 9) * h // 8) * w + ((t % 9) * w // 9)) * 3 + 3]) // 1000) AS gray
+      |  FROM v
+      |), bits AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 63), b ->
+      |      CASE WHEN gray[(b // 8) * 9 + (b % 8) + 1] > gray[(b // 8) * 9 + (b % 8) + 2]
+      |           THEN 1 ELSE 0 END) AS bits
+      |  FROM gr
+      |)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      |      CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+      |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Perceptual pairs → visual duplicate GROUPS: the dHash Hamming pairs
+    * of `q_image_neardup` fed through [[graft.operators.ConnectedComponents]],
+    * each image labeled with its cluster's min doc_id — the image-side
+    * twin of `q_dedup_clusters` (keep-one-per-visual-cluster is the
+    * actual dedup decision). Oracle: the same pair SQL, transitive
+    * closure by recursive CTE, min reachable id.
+    */
+  private val qImageClusters: Q = (s, dir) => {
+    val pairs = qImageNeardup(s, dir)
+    graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val imageClustersSql = {
+    val pairs = imageNeardupSql.replace(" ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairs
+       |),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach(u, v) AS (SELECT u, v FROM edges
+       |                UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
+  /** Silence-aware audio segmentation ([[Multimodal.audioSegments]]): per
+    * document a WAV alternating formula-quiet and formula-loud 32-sample
+    * blocks; the query decodes PCM, computes per-block energy Σs², and
+    * emits one row per contiguous run of speech blocks (gaps-and-islands
+    * in the codec task, map-only). The oracle replays sample formula →
+    * block energies → island grouping (ROW_NUMBER difference) in SQL —
+    * integer-exact bounds and energies. North-star addition; the
+    * reference has no binary surface.
+    */
+  private val qAudioSegments: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 32 * (8 + (id % 16).toInt)
+          val samples = Array.tabulate(n) { i =>
+            if (((i / 32) + id) % 3 == 0) ((id * 7 + i * 13) % 129).toInt - 64
+            else ((id * 31 + i * 17) % 56000).toInt - 28000
+          }
+          (id, PixelCodec.encodeWav(16000, 1, samples))
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.audioSegments(payloads, blockLen = 32, energyThreshold = 1000000L)
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  private val audioSegmentsSql =
+    """WITH p AS (
+      |  SELECT doc_id, 32 * (8 + doc_id % 16) AS n FROM documents
+      |), s AS (
+      |  SELECT doc_id, n,
+      |    list_transform(generate_series(0, n - 1), i ->
+      |      CASE WHEN ((i // 32) + doc_id) % 3 = 0
+      |           THEN (doc_id*7 + i*13) % 129 - 64
+      |           ELSE (doc_id*31 + i*17) % 56000 - 28000 END) AS smp
+      |  FROM p
+      |), b AS (
+      |  SELECT doc_id, smp, unnest(generate_series(0, n // 32 - 1)) AS blk FROM s
+      |), e AS (
+      |  SELECT doc_id, blk,
+      |    CAST(list_sum(list_transform(generate_series(1, 32), j ->
+      |      smp[blk*32 + j] * smp[blk*32 + j])) AS BIGINT) AS energy
+      |  FROM b
+      |), g AS (
+      |  SELECT doc_id, blk, energy,
+      |    blk - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY blk) AS grp
+      |  FROM e WHERE energy >= 1000000
+      |), seg AS (
+      |  SELECT doc_id, MIN(blk) AS start_block, MAX(blk) AS end_block,
+      |    COUNT(*) AS n_blocks, SUM(energy) AS seg_energy
+      |  FROM g GROUP BY doc_id, grp
+      |)
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_block) - 1 AS INT) AS seg_idx,
+      |  CAST(start_block AS INT) AS start_block,
+      |  CAST(end_block AS INT) AS end_block,
+      |  CAST(n_blocks AS INT) AS n_blocks,
+      |  CAST(seg_energy AS BIGINT) AS seg_energy
+      |FROM seg ORDER BY doc_id, seg_idx""".stripMargin
+
+  private val videoNeardupSql =
+    """WITH p AS (
+      |  SELECT doc_id, 3 + (doc_id*5)%5 AS w, 3 + (doc_id*11)%3 AS h,
+      |         1 + doc_id%4 AS nf
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fi FROM p
+      |), k AS (
+      |  SELECT DISTINCT doc_id, w, h, (doc_id*17 + fi*29) % 64 AS base FROM f
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS BIGINT) AS shared_frames
+      |FROM k a JOIN k b
+      |  ON a.w = b.w AND a.h = b.h AND a.base = b.base AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ events
 
   private val qEventsHourly: Q = (s, dir) =>
@@ -7887,6 +8224,12 @@ object QueryCatalog {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_gif_frames" -> qGifFrames,
+    "q_audio_features" -> qAudioFeatures,
+    "q_video_neardup" -> qVideoNeardup,
+    "q_image_neardup" -> qImageNeardup,
+    "q_image_clusters" -> qImageClusters,
+    "q_audio_segments" -> qAudioSegments,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
@@ -8130,6 +8473,12 @@ object QueryCatalog {
     "q_pca" -> pcaSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_frames" -> multimodalFramesSql,
+    "q_gif_frames" -> gifFramesSql,
+    "q_audio_features" -> audioFeaturesSql,
+    "q_video_neardup" -> videoNeardupSql,
+    "q_image_neardup" -> imageNeardupSql,
+    "q_image_clusters" -> imageClustersSql,
+    "q_audio_segments" -> audioSegmentsSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,

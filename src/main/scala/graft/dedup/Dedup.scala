@@ -335,14 +335,14 @@ object Dedup {
   def simHash(text: Column, shingleLen: Int = 2): Column =
     org.apache.spark.sql.graftx.Sketches.simhash64(text, shingleLen)
 
-  /** SimHash near-dup pairs: block by the 4 16-bit quarters of the simhash
-    * (two docs within Hamming distance 3 share at least one exact quarter —
-    * pigeonhole), join per block, verify Hamming ≤ maxHamming via
-    * `bit_count(xor)`.
+  /** Hamming-near pairs over any 64-bit signature frame `(doc_id, sig)`:
+    * block by the 4 16-bit quarters (two sigs within Hamming distance 3
+    * share at least one exact quarter — pigeonhole, exact for
+    * `maxHamming` ≤ 3), join per block, verify Hamming ≤ maxHamming via
+    * `bit_count(xor)`. The shared kernel under text SimHash and image
+    * dHash near-dup — only 16-byte rows in the pair shuffle.
     */
-  def simHashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      shingleLen: Int = 2): DataFrame = {
-    val withSig = docs.select(col("doc_id"), simHash(col("text"), shingleLen).as("sig"))
+  def hammingPairs(withSig: DataFrame, maxHamming: Int): DataFrame = {
     val blocked = withSig.select(col("doc_id"), col("sig"), posexplode(
       transform(sequence(lit(0), lit(3)),
         q => call_function("shiftright", col("sig"), q * lit(16)).bitwiseAND(lit(0xffffL)))))
@@ -356,6 +356,13 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= lit(maxHamming))
   }
+
+  /** SimHash near-dup pairs: [[hammingPairs]] over [[simHash]] signatures. */
+  def simHashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      shingleLen: Int = 2): DataFrame =
+    hammingPairs(
+      docs.select(col("doc_id"), simHash(col("text"), shingleLen).as("sig")),
+      maxHamming)
 
   // ------------------------------------------------------- n-gram Jaccard
 

@@ -163,6 +163,197 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint: integer luma (299r+587g+114b)/1000 per pixel,
+    * nearest-neighbor resample onto a 9×8 grid (the same floor index map
+    * as [[PixelCodec.resizeNearest]]), bit `y*8+x` set iff
+    * `gray(x,y) > gray(x+1,y)`. Pure integer arithmetic — bit-exact on any
+    * engine, so an oracle can replay it from pixel formulas.
+    */
+  def dHash64(m: PixelCodec.Media): Long = {
+    val gray = new Array[Int](9 * 8)
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * m.height / 8).toInt
+      var x = 0
+      while (x < 9) {
+        val sx = (x.toLong * m.width / 9).toInt
+        val base = (sy * m.width + sx) * m.channels
+        gray(y * 9 + x) =
+          if (m.channels >= 3)
+            (299 * m.values(base) + 587 * m.values(base + 1) +
+              114 * m.values(base + 2)) / 1000
+          else m.values(base)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      val (by, bx) = (b / 8, b % 8)
+      if (gray(by * 9 + bx) > gray(by * 9 + bx + 1)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Per-document dHash signatures `(doc_id, sig)` over the binary column
+    * — map-only decode + hash, 16-byte output rows; feed
+    * [[graft.dedup.Dedup.hammingPairs]] for perceptual near-dup pairs
+    * (visual twin of text SimHash, same quarter-blocking join). Audio and
+    * undecodable payloads are dropped (an image operator, not a total
+    * one — callers union other modalities explicitly).
+    */
+  def imageDhash(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          PixelCodec.decode(bytes) match {
+            case Some(m) if m.kind != "wav" =>
+              Some(org.apache.spark.sql.Row(r.getLong(0), dHash64(m)))
+            case _ => None
+          }
+        }
+      }(enc)
+  }
+
+  /** Cross-video near-dup detection by keyframe overlap: fingerprint every
+    * demuxed frame (SHA-256 of its canonical re-encoded bytes — equal
+    * frames hash equal because the PNG re-encode is deterministic), then
+    * pair documents sharing at least one frame via an equality join on the
+    * fingerprint — the banded-join discipline of MinHash LSH, never
+    * all-pairs. Shuffle rows are (doc_id, 32-byte sha): no pixel data moves
+    * after the map-side fingerprint. A frame shared by k documents yields
+    * k² pairs, so callers cap pathological stop-frames (intros, black
+    * frames) upstream the same way `maxDocsPerAnchor` caps stop-grams in
+    * exact-substring dedup.
+    */
+  def keyframeOverlap(frames: Dataset[Frame]): DataFrame = {
+    val fps = frames.toDF()
+      .select(col("docId").as("doc_id"), sha2(col("payload"), 256).as("frame_sha"))
+      .distinct()
+    fps.as("a").join(fps.as("b"), "frame_sha")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("shared_frames"))
+  }
+
+  /** Integer-exact audio features over decoded WAV PCM — the
+    * oracle-checkable acoustic profile of an audio payload: sample count,
+    * energy Σs², peak |s|, zero-crossing count (strict sign flips), and
+    * raw autocorrelation Σ s·s₊ₗ at lags 1/2/4 (the periodicity signal a
+    * pitch/voicing filter keys on). All longs, no floats — bit-exact on any
+    * engine. Non-WAV payloads yield a zeroed row (total function). Same
+    * map-only partition shape as [[extractFeatures]].
+    */
+  def audioStats(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("ac_lag1", LongType, nullable = false),
+      StructField("ac_lag2", LongType, nullable = false),
+      StructField("ac_lag4", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          PixelCodec.decode(bytes) match {
+            case Some(m) if m.kind == "wav" =>
+              val s = m.values
+              var energy = 0L; var peak = 0L; var zc = 0L
+              var ac1 = 0L; var ac2 = 0L; var ac4 = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i).toLong
+                energy += v * v
+                val a = math.abs(v); if (a > peak) peak = a
+                if (i >= 1) {
+                  if (s(i - 1).toLong * v < 0) zc += 1
+                  ac1 += s(i - 1).toLong * v
+                }
+                if (i >= 2) ac2 += s(i - 2).toLong * v
+                if (i >= 4) ac4 += s(i - 4).toLong * v
+                i += 1
+              }
+              org.apache.spark.sql.Row(id, m.width, s.length.toLong, energy,
+                peak, zc, ac1, ac2, ac4)
+            case _ =>
+              org.apache.spark.sql.Row(id, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }(enc)
+  }
+
+  /** Silence-aware audio segmentation over decoded WAV PCM: samples are
+    * grouped into fixed `blockLen` blocks, a block is "speech" when its
+    * energy Σs² meets `energyThreshold`, and contiguous speech blocks
+    * become one segment row — the gaps-and-islands pass that turns raw
+    * audio into trainable utterance spans. Integer-exact (energies and
+    * bounds are longs/ints), map-only per partition: a document's segments
+    * are computed inside one task, nothing shuffles but the emitted
+    * segment rows. Non-WAV payloads emit no rows.
+    */
+  def audioSegments(withBinary: DataFrame, blockLen: Int,
+      energyThreshold: Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("seg_idx", IntegerType, nullable = false),
+      StructField("start_block", IntegerType, nullable = false),
+      StructField("end_block", IntegerType, nullable = false),
+      StructField("n_blocks", IntegerType, nullable = false),
+      StructField("seg_energy", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          PixelCodec.decode(bytes) match {
+            case Some(m) if m.kind == "wav" =>
+              val s = m.values
+              val nb = s.length / blockLen // trailing partial block dropped
+              val segs = Seq.newBuilder[org.apache.spark.sql.Row]
+              var segStart = -1; var segEnergy = 0L; var segIdx = 0
+              var b = 0
+              while (b <= nb) {
+                val energy = if (b < nb) {
+                  var e = 0L; var j = b * blockLen
+                  val end = j + blockLen
+                  while (j < end) { e += s(j).toLong * s(j); j += 1 }
+                  e
+                } else -1L // sentinel block closes any open segment
+                if (b < nb && energy >= energyThreshold) {
+                  if (segStart < 0) { segStart = b; segEnergy = 0L }
+                  segEnergy += energy
+                } else if (segStart >= 0) {
+                  segs += org.apache.spark.sql.Row(id, segIdx, segStart,
+                    b - 1, b - segStart, segEnergy)
+                  segIdx += 1; segStart = -1
+                }
+                b += 1
+              }
+              segs.result()
+            case _ => Nil
+          }
+        }
+      }(enc)
+  }
+
   /** Pure-SQL metadata pass (no codec): byte length + content hash — the
     * part of the multimodal pipeline that needs no decode at all.
     */
@@ -212,9 +403,15 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th frame, exploded to one row per frame
     * — `flatMap` per partition, so a long payload becomes rows without ever
-    * materializing all frames in memory at once. Frames are fixed 256-byte
-    * blocks of the raw payload (a real video demux would slot in here; no
-    * video container format is decodable without media libraries).
+    * materializing all sampled frames of a partition at once.
+    *
+    * Animated GIF payloads get a REAL demux: each sampled frame is LZW
+    * decoded + de-interlaced + palette-resolved by
+    * [[PixelCodec.decodeGifFrames]] and re-encoded as a standalone PNG —
+    * the shape a downstream vision model consumes. Payloads in any other
+    * container fall back to fixed 256-byte blocks of the raw bytes (a demux
+    * for closed formats like MP4 would slot in here), so the operator stays
+    * total.
     */
   def sampleFrames(withBinary: DataFrame, stride: Int): Dataset[Frame] = {
     val enc = Encoders.product[Frame]
@@ -224,8 +421,22 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes =
             Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-          bytes.grouped(256).zipWithIndex.collect {
-            case (f, i) if i % stride == 0 => Frame(id, i, f)
+          val gif =
+            if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+              bytes(2) == 'F' && bytes(3) == '8')
+              PixelCodec.decodeGifFrames(bytes)
+            else None
+          gif match {
+            case Some(frames) =>
+              frames.iterator.zipWithIndex.collect {
+                case (m, i) if i % stride == 0 =>
+                  Frame(id, i, PixelCodec.encodePng(m.width, m.height,
+                    m.channels, m.values.map(v => (v & 0xff).toByte)))
+              }
+            case None =>
+              bytes.grouped(256).zipWithIndex.collect {
+                case (f, i) if i % stride == 0 => Frame(id, i, f)
+              }
           }
         }
       }(enc)

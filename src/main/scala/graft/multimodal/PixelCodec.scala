@@ -18,6 +18,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *     normalized to top-down RGB.
   *   - '''WAV''' — RIFF chunk walk to the `data` chunk, 16-bit little-endian
   *     PCM frames decoded to signed sample values.
+  *   - '''GIF''' — GIF87a/89a block walk, per-frame LZW decompression
+  *     (variable-width codes, clear/KwKwK handling, deferred-clear
+  *     tolerant), four-pass de-interlacing, palette resolution through the
+  *     local-else-global color table. Animated GIFs decode to one RGB
+  *     [[Media]] per frame ([[decodeGifFrames]]) — the real multi-frame
+  *     demux behind [[Multimodal.sampleFrames]].
   *
   * Encoders for the same three formats exist so tests and DuckDB oracles can
   * construct payloads with ''known'' pixel/sample values and prove
@@ -368,6 +374,288 @@ object PixelCodec {
     Some(Media("wav", rate, channels, 2, samples))
   }
 
+  // ----------------------------------------------------------------- GIF
+
+  /** GIF-variant LZW compress of an index stream (codes packed LSB-first,
+    * clear emitted up front and on dictionary overflow at 4096, variable
+    * code width growing when the just-added entry value reaches
+    * `1 << codeSize` — the growth point the decoder mirrors one entry
+    * behind).
+    */
+  private def lzwCompress(minCodeSize: Int, idx: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L; var nBits = 0
+    var codeSize = minCodeSize + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits; nBits += codeSize
+      while (nBits >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>= 8; nBits -= 8
+      }
+    }
+    // dict over (prefixCode << 8 | nextByte) — prefix codes < 4096 so the
+    // packed key is unique
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = end + 1
+    put(clear)
+    if (idx.nonEmpty) {
+      var prefix: Int = idx(0) & 0xff
+      var i = 1
+      while (i < idx.length) {
+        val k = idx(i) & 0xff
+        val key: Integer = (prefix << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit
+        else {
+          put(prefix)
+          dict.put(key, next)
+          // grow when the entry VALUE just added reaches the width limit —
+          // the decoder adds the same value one code later and grows there
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          next += 1
+          if (next == 4096) {
+            put(clear)
+            dict = new java.util.HashMap[Integer, Integer]()
+            codeSize = minCodeSize + 1
+            next = end + 1
+          }
+          prefix = k
+        }
+        i += 1
+      }
+      put(prefix)
+    }
+    put(end)
+    if (nBits > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompress to exactly `n` index values. None on any
+    * malformed stream (bad code, truncation, overrun).
+    */
+  private def lzwDecompress(minCodeSize: Int, data: Array[Byte], n: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val out = new Array[Byte](n)
+    var outLen = 0
+    // dict as prefix-link arrays: suffix byte + previous code per entry
+    val suffix = new Array[Byte](4096)
+    val prev = new Array[Int](4096)
+    var i = 0
+    while (i < clear) { suffix(i) = i.toByte; prev(i) = -1; i += 1 }
+    var next = end + 1
+    var codeSize = minCodeSize + 1
+    var bitBuf = 0L; var nBits = 0; var pos = 0
+    var prevCode = -1
+    val stack = new Array[Byte](4096)
+    def emit(code: Int): Int = { // returns first byte of the expansion
+      var d = 0; var c = code
+      while (c >= 0) { stack(d) = suffix(c); d += 1; c = prev(c) }
+      val first = stack(d - 1)
+      while (d > 0 && outLen < n) { d -= 1; out(outLen) = stack(d); outLen += 1 }
+      first & 0xff
+    }
+    while (outLen < n) {
+      while (nBits < codeSize) {
+        if (pos >= data.length) return None // truncated
+        bitBuf |= (data(pos) & 0xffL) << nBits; nBits += 8; pos += 1
+      }
+      val code = (bitBuf & ((1 << codeSize) - 1)).toInt
+      bitBuf >>= codeSize; nBits -= codeSize
+      if (code == clear) {
+        next = end + 1; codeSize = minCodeSize + 1; prevCode = -1
+      } else if (code == end) {
+        return if (outLen == n) Some(out) else None
+      } else if (prevCode < 0) {
+        if (code >= clear) return None
+        emit(code); prevCode = code
+      } else if (code < next && code != clear && code != end) {
+        val first = emit(code)
+        if (next < 4096) {
+          suffix(next) = first.toByte; prev(next) = prevCode
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prevCode = code
+      } else if (code == next && next < 4096) {
+        // KwKwK: expansion is str(prev) + first(str(prev))
+        var d = 0; var c = prevCode
+        while (c >= 0) { stack(d) = suffix(c); d += 1; c = prev(c) }
+        val first = stack(d - 1)
+        suffix(next) = first; prev(next) = prevCode
+        next += 1
+        emit(next - 1)
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prevCode = code
+      } else return None // out-of-range code
+    }
+    Some(out)
+  }
+
+  /** GIF interlace row order (the four passes of GIF89a appendix E):
+    * `rows(d)` is the display row carried at stream position `d`.
+    */
+  private def interlaceRows(h: Int): Array[Int] = {
+    val rows = new Array[Int](h)
+    var d = 0
+    Array((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (s, st) =>
+      var y = s
+      while (y < h) { rows(d) = y; d += 1; y += st }
+    }
+    rows
+  }
+
+  /** Encode index-pixel frames as an animated GIF89a: 256-entry global
+    * color table (`palette` = 768 RGB bytes), one full-rect image per
+    * frame, per-frame Graphic Control Extension carrying `delayCs`
+    * centiseconds, LZW min code size 8. `interlaceFor(f)` writes frame `f`
+    * in the four-pass interlaced row order so decoders must de-interlace.
+    */
+  def encodeGif(w: Int, h: Int, palette: Array[Byte],
+      frames: Seq[Array[Byte]], delayCs: Int = 4,
+      interlaceFor: Int => Boolean = _ => false): Array[Byte] = {
+    require(palette.length == 768, s"palette length ${palette.length} != 768")
+    frames.foreach(f =>
+      require(f.length == w * h, s"frame length ${f.length} != $w*$h"))
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(US_ASCII))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0)
+    out.write(palette)
+    if (frames.length > 1) { // NETSCAPE loop extension, loop forever
+      out.write(0x21); out.write(0xff); out.write(11)
+      out.write("NETSCAPE2.0".getBytes(US_ASCII))
+      out.write(3); out.write(1); out.write(le16(0)); out.write(0)
+    }
+    frames.zipWithIndex.foreach { case (idx, f) =>
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE
+      out.write(0); out.write(le16(delayCs)); out.write(0); out.write(0)
+      out.write(0x2c) // image descriptor, full rect
+      out.write(le16(0)); out.write(le16(0))
+      out.write(le16(w)); out.write(le16(h))
+      val interlaced = interlaceFor(f)
+      out.write(if (interlaced) 0x40 else 0x00)
+      val rowOrder =
+        if (interlaced) interlaceRows(h) else Array.tabulate(h)(identity)
+      val stream = new Array[Byte](w * h)
+      var d = 0
+      rowOrder.foreach { y =>
+        System.arraycopy(idx, y * w, stream, d, w); d += w
+      }
+      out.write(8) // LZW min code size
+      val lzw = lzwCompress(8, stream)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Decode every frame of a GIF: LZW decompress, de-interlace when
+    * flagged, resolve indices through the active (local-else-global) color
+    * table — each frame an independent RGB [[Media]] of its own rect (no
+    * inter-frame compositing: disposal/transparency blending is a player
+    * concern, not a data-pipeline one). None for malformed streams,
+    * out-of-palette indices, or hostile declared dimensions.
+    */
+  def decodeGifFrames(b: Array[Byte]): Option[Seq[Media]] = {
+    if (b.length < 13 || !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val sw = readLe16(b, 6); val sh = readLe16(b, 8)
+    if (sw <= 0 || sh <= 0 || sw > MaxDim || sh > MaxDim) return None
+    val packed = b(10) & 0xff
+    var i = 13
+    var gct: Array[Byte] = null
+    var gctSize = 0
+    if ((packed & 0x80) != 0) {
+      gctSize = 1 << ((packed & 7) + 1)
+      if (i + gctSize * 3 > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, i, i + gctSize * 3)
+      i += gctSize * 3
+    }
+    val frames = Seq.newBuilder[Media]
+    var done = false
+    while (!done) {
+      if (i >= b.length) return None // missing trailer
+      (b(i) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label + sub-blocks, skipped
+          i += 2
+          var blockLen = if (i < b.length) b(i) & 0xff else return None
+          while (blockLen != 0) {
+            i += 1 + blockLen
+            blockLen = if (i < b.length) b(i) & 0xff else return None
+          }
+          i += 1
+        case 0x2c =>
+          if (i + 10 > b.length) return None
+          val fw = readLe16(b, i + 5); val fh = readLe16(b, i + 7)
+          val fPacked = b(i + 9) & 0xff
+          i += 10
+          if (fw <= 0 || fh <= 0 || fw > MaxDim || fh > MaxDim ||
+            fw.toLong * fh * 3 > MaxPixelBytes) return None
+          var pal = gct; var palSize = gctSize
+          if ((fPacked & 0x80) != 0) {
+            palSize = 1 << ((fPacked & 7) + 1)
+            if (i + palSize * 3 > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, i, i + palSize * 3)
+            i += palSize * 3
+          }
+          if (pal == null) return None // no color table at all
+          if (i >= b.length) return None
+          val minCode = b(i) & 0xff
+          i += 1
+          val lzw = new ByteArrayOutputStream()
+          var blockLen = if (i < b.length) b(i) & 0xff else return None
+          while (blockLen != 0) {
+            if (i + 1 + blockLen > b.length) return None
+            lzw.write(b, i + 1, blockLen)
+            i += 1 + blockLen
+            blockLen = if (i < b.length) b(i) & 0xff else return None
+          }
+          i += 1
+          val idx = lzwDecompress(minCode, lzw.toByteArray, fw * fh) match {
+            case Some(s) => s
+            case None => return None
+          }
+          val rowOrder = if ((fPacked & 0x40) != 0) interlaceRows(fh)
+            else Array.tabulate(fh)(identity)
+          val pix = new Array[Int](fw * fh * 3)
+          var srcRow = 0
+          while (srcRow < fh) {
+            val dstY = rowOrder(srcRow)
+            var x = 0
+            while (x < fw) {
+              val v = idx(srcRow * fw + x) & 0xff
+              if (v >= palSize) return None // out-of-palette index
+              val d = (dstY * fw + x) * 3
+              pix(d) = pal(v * 3) & 0xff
+              pix(d + 1) = pal(v * 3 + 1) & 0xff
+              pix(d + 2) = pal(v * 3 + 2) & 0xff
+              x += 1
+            }
+            srcRow += 1
+          }
+          frames += Media("gif", fw, fh, 3, pix)
+        case _ => return None // unknown block type
+      }
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some(fs)
+  }
+
+  /** First frame of a GIF as a still image. */
+  def decodeGif(b: Array[Byte]): Option[Media] =
+    decodeGifFrames(b).map(_.head)
+
   // ------------------------------------------------------------ dispatch
 
   /** Decode any supported payload by magic bytes. */
@@ -375,6 +663,8 @@ object PixelCodec {
     if (b == null || b.length < 4) None
     else if (b.length >= 8 && b.take(8).sameElements(PngSig)) decodePng(b)
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      decodeGif(b)
     else if (b.take(4).sameElements("RIFF".getBytes(US_ASCII))) decodeWav(b)
     else None
 
