@@ -5236,6 +5236,188 @@ object QueryCatalog {
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  /** WebDataset-style sharded tar export/import
+    * ([[graft.sources.TarShards]]): every document becomes a SAMPLE of two
+    * members — `<key>.txt` (the raw text bytes) and `<key>.bmp` (a real
+    * BMP with formula pixels) — written as USTAR shards (key-hashed so a
+    * sample's members share a shard, sorted within), read back through the
+    * shard-granular binaryFile path, regrouped into samples, and verified
+    * BOTH ways: text via md5 of the round-tripped bytes, image via real
+    * BMP decode statistics. The oracle computes md5(text) and the pixel
+    * formulas directly — matching only if tar headers, checksums, padding,
+    * sample grouping and the BMP hop are all byte-exact. North-star
+    * addition (reference extract surface is JDBC/CSV/ORC,
+    * sqoop_etl.py:31-53).
+    */
+  private val qTarRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tar").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val txtMembers = docs.select(
+      format_string("%010d", col("doc_id")).as("key"),
+      lit("txt").as("ext"),
+      encode(col("text"), "UTF-8").cast("binary").as("content"))
+    val bmpMembers = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 4 + ((id * 5) % 8).toInt
+          val h = 4 + ((id * 9) % 6).toInt
+          val pix = Array.tabulate(w * h * 3)(i => ((id * 29 + i * 13) % 256).toByte)
+          (f"$id%010d", "bmp", PixelCodec.encodeBmp(w, h, pix))
+        }
+      }.toDF("key", "ext", "content")
+    graft.sources.TarShards.write(txtMembers.unionByName(bmpMembers),
+      s"$tmp/shards", numShards = 6)
+    val samples = graft.sources.TarShards.readSamples(s, s"$tmp/shards")
+    val stats = Multimodal.decodeStats(samples.select(
+      col("key").cast("long").as("doc_id"),
+      element_at(col("members"), "bmp").as("payload")))
+    val texts = samples.select(col("key").cast("long").as("doc_id"),
+      md5(element_at(col("members"), "txt")).as("text_md5"))
+    texts.join(stats, "doc_id")
+      .select(col("doc_id"), col("text_md5"), col("width"), col("height"),
+        col("n_vals"), col("v_sum"), col("v_wsum"))
+      .orderBy("doc_id")
+  }
+
+  private val tarRoundtripSql =
+    """WITH p AS (
+      |  SELECT doc_id, md5(text) AS text_md5,
+      |         4 + (doc_id*5)%8 AS w, 4 + (doc_id*9)%6 AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, text_md5, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(w*h*3 AS BIGINT) AS n_vals,
+      |  CAST(list_sum(list_transform(generate_series(0, w*h*3 - 1), i ->
+      |    (doc_id*29 + i*13) % 256)) AS BIGINT) AS v_sum,
+      |  CAST(list_sum(list_transform(generate_series(1, w*h*3), i ->
+      |    i * ((doc_id*29 + (i-1)*13) % 256))) AS BIGINT) AS v_wsum
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Shot-boundary detection ([[Multimodal.shotBoundaries]]): per document
+    * an animated GIF built from SCENES — frames of one scene identical,
+    * scene changes every 3 frames by formula — demuxed and segmented by
+    * consecutive-frame pixel delta; the emitted shots carry exact
+    * `entry_diff` (Σ|Δ| across palette-resolved channel values at the
+    * cut). The oracle derives shot spans from the scene formula and
+    * recomputes every boundary delta from the palette formulas — matching
+    * only if the demux, palette resolution, and integer diffing are
+    * bit-exact. North-star addition; the reference has no binary surface.
+    */
+  private val qShotBoundaries: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val palette = Array.tabulate(768) { j =>
+          val e = j / 3
+          ((j % 3) match {
+            case 0 => (e * 37 + 1) % 256
+            case 1 => (e * 73 + 5) % 256
+            case _ => (e * 101 + 9) % 256
+          }).toByte
+        }
+        ids.map { id =>
+          val w = 4 + ((id * 3) % 6).toInt
+          val h = 4 + ((id * 7) % 5).toInt
+          val nf = 4 + (id % 5).toInt
+          val frames = (0 until nf).map { f =>
+            val sc = (f + id) / 3
+            Array.tabulate(w * h)(p => ((id * 13 + sc * 47 + p * 5) % 256).toByte)
+          }
+          (id, PixelCodec.encodeGif(w, h, palette, frames))
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.shotBoundaries(payloads, threshold = 0L)
+      .orderBy("doc_id", "shot_idx")
+  }
+
+  private val shotBoundariesSql =
+    """WITH p AS (
+      |  SELECT doc_id, 4 + (doc_id*3)%6 AS w, 4 + (doc_id*7)%5 AS h,
+      |         4 + doc_id%5 AS nf
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fi FROM p
+      |), sc AS (
+      |  SELECT doc_id, w, h, fi, (fi + doc_id) // 3 AS scene FROM f
+      |), shots AS (
+      |  SELECT doc_id, w, h, scene, MIN(fi) AS start_frame,
+      |         MAX(fi) AS end_frame, COUNT(*) AS n_frames
+      |  FROM sc GROUP BY doc_id, w, h, scene
+      |)
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS INT) AS shot_idx,
+      |  CAST(start_frame AS INT) AS start_frame,
+      |  CAST(end_frame AS INT) AS end_frame,
+      |  CAST(n_frames AS INT) AS n_frames,
+      |  CAST(CASE WHEN start_frame = 0 THEN 0 ELSE list_sum(
+      |    list_transform(generate_series(0, w*h - 1), p ->
+      |      abs(((doc_id*13 + scene*47 + p*5) % 256 * 37 + 1) % 256
+      |        - ((doc_id*13 + (scene-1)*47 + p*5) % 256 * 37 + 1) % 256)
+      |      + abs(((doc_id*13 + scene*47 + p*5) % 256 * 73 + 5) % 256
+      |        - ((doc_id*13 + (scene-1)*47 + p*5) % 256 * 73 + 5) % 256)
+      |      + abs(((doc_id*13 + scene*47 + p*5) % 256 * 101 + 9) % 256
+      |        - ((doc_id*13 + (scene-1)*47 + p*5) % 256 * 101 + 9) % 256)))
+      |  END AS BIGINT) AS entry_diff
+      |FROM shots ORDER BY doc_id, shot_idx""".stripMargin
+
+  /** Image sharpness/brightness profile ([[Multimodal.imageSharpness]]):
+    * per document a real BMP with formula pixels; the query decodes,
+    * computes integer luma, and folds the discrete Laplacian over interior
+    * pixels into exact sums — `lap_sq_sum` is the variance-of-Laplacian
+    * focus measure a blur filter thresholds on. The oracle replays pixel
+    * formula → luma → Laplacian index arithmetic in SQL lists. North-star
+    * addition; the reference has no binary surface.
+    */
+  private val qImageSharpness: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.PixelCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 5 + ((id * 7) % 9).toInt
+          val h = 5 + ((id * 3) % 8).toInt
+          val pix = Array.tabulate(w * h * 3)(i => ((id * 19 + i * 23) % 256).toByte)
+          (id, PixelCodec.encodeBmp(w, h, pix))
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.imageSharpness(payloads).orderBy("doc_id")
+  }
+
+  private val imageSharpnessSql =
+    """WITH p AS (
+      |  SELECT doc_id, 5 + (doc_id*7)%9 AS w, 5 + (doc_id*3)%8 AS h
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, w*h*3 - 1), i ->
+      |      (doc_id*19 + i*23) % 256) AS vals
+      |  FROM p
+      |), g AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, w*h - 1), px ->
+      |      (299*vals[px*3+1] + 587*vals[px*3+2] + 114*vals[px*3+3]) // 1000) AS gray
+      |  FROM v
+      |), l AS (
+      |  SELECT doc_id, w, h, gray,
+      |    list_transform(generate_series(0, (w-2)*(h-2) - 1), t ->
+      |      4*gray[(t // (w-2) + 1)*w + (t % (w-2) + 1) + 1]
+      |      - gray[(t // (w-2) + 1)*w + (t % (w-2) + 1)]
+      |      - gray[(t // (w-2) + 1)*w + (t % (w-2) + 1) + 2]
+      |      - gray[(t // (w-2))*w + (t % (w-2) + 1) + 1]
+      |      - gray[(t // (w-2) + 2)*w + (t % (w-2) + 1) + 1]) AS lap
+      |  FROM g
+      |)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(w*h AS BIGINT) AS n_pixels,
+      |  CAST(list_sum(gray) AS BIGINT) AS gray_sum,
+      |  CAST((w-2)*(h-2) AS BIGINT) AS n_interior,
+      |  CAST(list_sum(lap) AS BIGINT) AS lap_sum,
+      |  CAST(list_sum(list_transform(lap, x -> x*x)) AS BIGINT) AS lap_sq_sum
+      |FROM l ORDER BY doc_id""".stripMargin
+
   /** Silence-aware audio segmentation ([[Multimodal.audioSegments]]): per
     * document a WAV alternating formula-quiet and formula-loud 32-sample
     * blocks; the query decodes PCM, computes per-block energy Σs², and
@@ -8230,6 +8412,9 @@ object QueryCatalog {
     "q_image_neardup" -> qImageNeardup,
     "q_image_clusters" -> qImageClusters,
     "q_audio_segments" -> qAudioSegments,
+    "q_shot_boundaries" -> qShotBoundaries,
+    "q_image_sharpness" -> qImageSharpness,
+    "q_tar_roundtrip" -> qTarRoundtrip,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
@@ -8479,6 +8664,9 @@ object QueryCatalog {
     "q_image_neardup" -> imageNeardupSql,
     "q_image_clusters" -> imageClustersSql,
     "q_audio_segments" -> audioSegmentsSql,
+    "q_shot_boundaries" -> shotBoundariesSql,
+    "q_image_sharpness" -> imageSharpnessSql,
+    "q_tar_roundtrip" -> tarRoundtripSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,

@@ -224,6 +224,67 @@ object Multimodal {
       }(enc)
   }
 
+  /** Shot-boundary detection over demuxed video frames: consecutive-frame
+    * pixel delta Σ|Δv| (sum of absolute channel differences), a cut
+    * wherever the delta exceeds `threshold`, contiguous frames between
+    * cuts becoming one shot row — the scene segmentation a video-curation
+    * pipeline runs before sampling keyframes per shot. `entry_diff` is the
+    * boundary's delta (0 for the first shot), integer-exact. Map-only:
+    * each video's frames decode and diff inside one task; only shot rows
+    * shuffle. Frame-count mismatches never occur because frames of one
+    * payload decode in one place — no cross-frame shuffle to misalign.
+    * Non-GIF payloads emit no rows.
+    */
+  def shotBoundaries(withBinary: DataFrame, threshold: Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("shot_idx", IntegerType, nullable = false),
+      StructField("start_frame", IntegerType, nullable = false),
+      StructField("end_frame", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("entry_diff", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          val gif =
+            if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+              bytes(2) == 'F' && bytes(3) == '8')
+              PixelCodec.decodeGifFrames(bytes)
+            else None
+          gif match {
+            case Some(frames) =>
+              val shots = Seq.newBuilder[org.apache.spark.sql.Row]
+              var shotStart = 0; var shotIdx = 0; var entryDiff = 0L
+              var f = 1
+              while (f <= frames.length) {
+                val diff = if (f < frames.length) {
+                  val a = frames(f - 1).values; val b = frames(f).values
+                  if (a.length != b.length) Long.MaxValue // dims changed: cut
+                  else {
+                    var d = 0L; var i = 0
+                    while (i < a.length) { d += math.abs(a(i) - b(i)); i += 1 }
+                    d
+                  }
+                } else Long.MaxValue // end of video closes the last shot
+                if (diff > threshold) {
+                  shots += org.apache.spark.sql.Row(id, shotIdx, shotStart,
+                    f - 1, f - shotStart, entryDiff)
+                  shotIdx += 1; shotStart = f
+                  if (f < frames.length) entryDiff = diff
+                }
+                f += 1
+              }
+              shots.result()
+            case None => Nil
+          }
+        }
+      }(enc)
+  }
+
   /** Cross-video near-dup detection by keyframe overlap: fingerprint every
     * demuxed frame (SHA-256 of its canonical re-encoded bytes — equal
     * frames hash equal because the PNG re-encode is deterministic), then
@@ -293,6 +354,67 @@ object Multimodal {
                 peak, zc, ac1, ac2, ac4)
             case _ =>
               org.apache.spark.sql.Row(id, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }(enc)
+  }
+
+  /** Image sharpness / brightness profile — the focus-measure filter of an
+    * image-quality pipeline: integer luma per pixel, then the discrete
+    * Laplacian `4g − g↑ − g↓ − g← − g→` over interior pixels. Emits exact
+    * integer sums (`lap_sq_sum` is the variance-of-Laplacian numerator:
+    * blurry images score low, sharp edges high; `gray_sum` the brightness
+    * numerator) so thresholds divide downstream and any engine replays the
+    * arithmetic bit-for-bit. Map-only decode + fold; one row per decodable
+    * image, audio and undecodable payloads emit none.
+    */
+  def imageSharpness(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("gray_sum", LongType, nullable = false),
+      StructField("n_interior", LongType, nullable = false),
+      StructField("lap_sum", LongType, nullable = false),
+      StructField("lap_sq_sum", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          PixelCodec.decode(bytes) match {
+            case Some(m) if m.kind != "wav" =>
+              val (w, h, c) = (m.width, m.height, m.channels)
+              val gray = new Array[Int](w * h)
+              var p = 0
+              while (p < w * h) {
+                gray(p) =
+                  if (c >= 3) (299 * m.values(p * c) + 587 * m.values(p * c + 1) +
+                    114 * m.values(p * c + 2)) / 1000
+                  else m.values(p * c)
+                p += 1
+              }
+              var graySum = 0L; var lapSum = 0L; var lapSq = 0L
+              var nInt = 0L
+              p = 0
+              while (p < w * h) { graySum += gray(p); p += 1 }
+              var y = 1
+              while (y < h - 1) {
+                var x = 1
+                while (x < w - 1) {
+                  val l = 4 * gray(y * w + x) - gray(y * w + x - 1) -
+                    gray(y * w + x + 1) - gray((y - 1) * w + x) -
+                    gray((y + 1) * w + x)
+                  lapSum += l; lapSq += l.toLong * l; nInt += 1
+                  x += 1
+                }
+                y += 1
+              }
+              Some(org.apache.spark.sql.Row(r.getLong(0), w, h,
+                (w * h).toLong, graySum, nInt, lapSum, lapSq))
+            case _ => None
           }
         }
       }(enc)
