@@ -5236,6 +5236,62 @@ object QueryCatalog {
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  /** REAL baseline JPEG decode ([[graft.multimodal.JpegCodec]]): per
+    * document a grayscale JPEG of FLAT 8×8 blocks (block value a formula
+    * of (doc_id, block position)) — flat blocks quantize to a lone DC
+    * coefficient, so the decoded pixel is EXACTLY
+    * `clamp(floorDiv(round(8(v−128)/16)·16 + 4, 8) + 128)`, replayable in
+    * integer SQL with no cosine. The payload still exercises the real
+    * machinery: DHT canonical Huffman construction, entropy decode with
+    * byte-unstuffing, DC prediction across blocks, dequant, de-zigzag,
+    * IDCT, crop. The oracle recomputes the closed form per pixel
+    * (position-weighted sum catches block misplacement). General AC
+    * content is covered by `JpegCodecSpec` round-trips. North-star
+    * addition; the reference has no binary surface.
+    */
+  private val qJpegDecode: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.JpegCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 * (2 + ((id * 3) % 3).toInt)
+          val h = 8 * (2 + ((id * 5) % 2).toInt)
+          val pixels = Array.tabulate(w * h) { i =>
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            ((id * 11 + bx * 29 + by * 53) % 256).toByte
+          }
+          (id, JpegCodec.encodeJpeg(w, h, 1, pixels))
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.decodeStats(payloads).orderBy("doc_id")
+  }
+
+  private val jpegDecodeSql =
+    """WITH p AS (
+      |  SELECT doc_id, 8 * (2 + (doc_id*3)%3) AS w, 8 * (2 + (doc_id*5)%2) AS h
+      |  FROM documents
+      |), v AS (
+      |  -- px = floorDiv(round(d/16)*16 + 4, 8) + 128 with d = 8(v-128);
+      |  -- DuckDB // truncates toward zero, so divisions are offset into
+      |  -- positive range (+1032 = 8·128+8, +4 after re-adding 128·8)
+      |  -- where truncation IS floor — the identity is exact
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, w*h - 1), i ->
+      |      LEAST(GREATEST(
+      |        (((8*((doc_id*11 + ((i % w) // 8)*29 + ((i // w) // 8)*53) % 256) - 1024 + 1032) // 16) * 16 + 4) // 8,
+      |        0), 255)) AS px
+      |  FROM p
+      |)
+      |SELECT doc_id, 'jpeg' AS kind, CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height, 1 AS channels,
+      |  CAST(w*h AS BIGINT) AS n_vals,
+      |  CAST(list_sum(px) AS BIGINT) AS v_sum,
+      |  CAST(list_min(px) AS BIGINT) AS v_min,
+      |  CAST(list_max(px) AS BIGINT) AS v_max,
+      |  CAST(list_sum(list_transform(generate_series(1, w*h), i -> i * px[i])) AS BIGINT) AS v_wsum
+      |FROM v ORDER BY doc_id""".stripMargin
+
   /** WebDataset-style sharded tar export/import
     * ([[graft.sources.TarShards]]): every document becomes a SAMPLE of two
     * members — `<key>.txt` (the raw text bytes) and `<key>.bmp` (a real
@@ -8415,6 +8471,7 @@ object QueryCatalog {
     "q_shot_boundaries" -> qShotBoundaries,
     "q_image_sharpness" -> qImageSharpness,
     "q_tar_roundtrip" -> qTarRoundtrip,
+    "q_jpeg_decode" -> qJpegDecode,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
@@ -8667,6 +8724,7 @@ object QueryCatalog {
     "q_shot_boundaries" -> shotBoundariesSql,
     "q_image_sharpness" -> imageSharpnessSql,
     "q_tar_roundtrip" -> tarRoundtripSql,
+    "q_jpeg_decode" -> jpegDecodeSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,

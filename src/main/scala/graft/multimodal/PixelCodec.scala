@@ -24,6 +24,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *     local-else-global color table. Animated GIFs decode to one RGB
   *     [[Media]] per frame ([[decodeGifFrames]]) — the real multi-frame
   *     demux behind [[Multimodal.sampleFrames]].
+  *   - '''JPEG''' — baseline SOF0 via [[JpegCodec]]: DHT canonical Huffman
+  *     construction, entropy decode with byte-unstuffing and restart
+  *     markers, dequant, de-zigzag, deterministic IDCT, JFIF color
+  *     transform (grayscale + 4:4:4).
   *
   * Encoders for the same three formats exist so tests and DuckDB oracles can
   * construct payloads with ''known'' pixel/sample values and prove
@@ -665,6 +669,8 @@ object PixelCodec {
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
       decodeGif(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      JpegCodec.decodeJpeg(b)
     else if (b.take(4).sameElements("RIFF".getBytes(US_ASCII))) decodeWav(b)
     else None
 
