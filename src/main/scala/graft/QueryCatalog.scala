@@ -5292,6 +5292,88 @@ object QueryCatalog {
       |  CAST(list_sum(list_transform(generate_series(1, w*h), i -> i * px[i])) AS BIGINT) AS v_wsum
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** 4:2:0 COLOR JPEG decode end-to-end: per document a chroma-subsampled
+    * JPEG of flat 16×16 macroblocks (RGB a formula of (doc_id, macro)).
+    * Flat macroblocks make every stage exactly replayable: the JFIF
+    * transforms are ×10⁶ integer fixed point ([[JpegCodec.rgbToYcc]]/
+    * `yccToRgb`), the 2×2 chroma downsample is lossless on flat regions,
+    * and each block is DC-only — so the oracle computes decoded (r,g,b)
+    * per macroblock in closed form and aggregates stats analytically
+    * (Σposition over a macro is arithmetic-series algebra, no per-pixel
+    * list). Exercises MCU interleaving (4 Y + Cb + Cr), cross-block DC
+    * prediction, and replication upsampling. North-star addition; the
+    * reference has no binary surface.
+    */
+  private val qJpegColor: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.JpegCodec
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 * (1 + ((id * 3) % 2).toInt)
+          val h = 16 * (1 + ((id * 7) % 2).toInt)
+          val pix = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val mx = (p % w) / 16; val my = (p / w) / 16
+            pix(p * 3) = ((id * 23 + mx * 97 + my * 31) % 256).toByte
+            pix(p * 3 + 1) = ((id * 41 + mx * 53 + my * 71) % 256).toByte
+            pix(p * 3 + 2) = ((id * 59 + mx * 29 + my * 13) % 256).toByte
+            p += 1
+          }
+          (id, JpegCodec.encodeJpeg(w, h, 3, pix, subsample420 = true))
+        }
+      }.toDF("doc_id", "payload")
+    Multimodal.decodeStats(payloads).orderBy("doc_id")
+  }
+
+  private val jpegColorSql =
+    """WITH p AS (
+      |  SELECT doc_id, 16*(1+(doc_id*3)%2) AS w, 16*(1+(doc_id*7)%2) AS h
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, w, h,
+      |    unnest(generate_series(0, (w//16)*(h//16) - 1)) AS mi
+      |  FROM p
+      |), c0 AS (
+      |  SELECT doc_id, w, h, mi % (w//16) AS mx, mi // (w//16) AS my,
+      |    (doc_id*23 + (mi % (w//16))*97 + (mi // (w//16))*31) % 256 AS r0,
+      |    (doc_id*41 + (mi % (w//16))*53 + (mi // (w//16))*71) % 256 AS g0,
+      |    (doc_id*59 + (mi % (w//16))*29 + (mi // (w//16))*13) % 256 AS b0
+      |  FROM f
+      |), c1 AS (
+      |  -- JFIF forward transform in x10^6 fixed point (offsets keep the
+      |  -- truncating // in positive range where it IS floorDiv)
+      |  SELECT doc_id, w, h, mx, my,
+      |    LEAST(GREATEST((299000*r0 + 587000*g0 + 114000*b0 + 500000) // 1000000, 0), 255) AS y0,
+      |    LEAST(GREATEST((-168736*r0 - 331264*g0 + 500000*b0 + 128500000) // 1000000, 0), 255) AS cb0,
+      |    LEAST(GREATEST((500000*r0 - 418688*g0 - 81312*b0 + 128500000) // 1000000, 0), 255) AS cr0
+      |  FROM c0
+      |), c2 AS (
+      |  -- the DC-only quantize/dequantize/IDCT closed form, per plane
+      |  SELECT doc_id, w, h, mx, my,
+      |    LEAST(GREATEST((((8*y0 + 8) // 16) * 16 + 4) // 8, 0), 255) AS y1,
+      |    LEAST(GREATEST((((8*cb0 + 8) // 16) * 16 + 4) // 8, 0), 255) AS cb1,
+      |    LEAST(GREATEST((((8*cr0 + 8) // 16) * 16 + 4) // 8, 0), 255) AS cr1
+      |  FROM c1
+      |), c3 AS (
+      |  SELECT doc_id, w, h, mx, my,
+      |    LEAST(GREATEST((1000000*y1 + 1402000*(cr1 - 128) + 180500000) // 1000000 - 180, 0), 255) AS r1,
+      |    LEAST(GREATEST((1000000*y1 - 344136*(cb1 - 128) - 714136*(cr1 - 128) + 135500000) // 1000000 - 135, 0), 255) AS g1,
+      |    LEAST(GREATEST((1000000*y1 + 1772000*(cb1 - 128) + 227500000) // 1000000 - 227, 0), 255) AS b1,
+      |    16*w*(256*my + 120) + 16*(256*mx + 120) AS sp
+      |  FROM c2
+      |)
+      |SELECT doc_id, 'jpeg' AS kind, CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height, 3 AS channels,
+      |  CAST(w*h*3 AS BIGINT) AS n_vals,
+      |  CAST(SUM(CAST(r1 + g1 + b1 AS BIGINT)) * 256 AS BIGINT) AS v_sum,
+      |  CAST(MIN(LEAST(r1, g1, b1)) AS BIGINT) AS v_min,
+      |  CAST(MAX(GREATEST(r1, g1, b1)) AS BIGINT) AS v_max,
+      |  CAST(SUM(3 * CAST(r1 + g1 + b1 AS BIGINT) * sp
+      |    + 256 * CAST(r1 + 2*g1 + 3*b1 AS BIGINT)) AS BIGINT) AS v_wsum
+      |FROM c3 GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   /** WebDataset-style sharded tar export/import
     * ([[graft.sources.TarShards]]): every document becomes a SAMPLE of two
     * members — `<key>.txt` (the raw text bytes) and `<key>.bmp` (a real
@@ -8472,6 +8554,7 @@ object QueryCatalog {
     "q_image_sharpness" -> qImageSharpness,
     "q_tar_roundtrip" -> qTarRoundtrip,
     "q_jpeg_decode" -> qJpegDecode,
+    "q_jpeg_color" -> qJpegColor,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
@@ -8725,6 +8808,7 @@ object QueryCatalog {
     "q_image_sharpness" -> imageSharpnessSql,
     "q_tar_roundtrip" -> tarRoundtripSql,
     "q_jpeg_decode" -> jpegDecodeSql,
+    "q_jpeg_color" -> jpegColorSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,

@@ -10,9 +10,10 @@ import java.io.ByteArrayOutputStream
   * byte-unstuffing and restart-marker handling, DC prediction, run-length
   * AC with ZRL/EOB, dequantization, de-zigzag, and a double-precision IDCT
   * (basis from `StrictMath.cos`, so results are bit-identical on every
-  * JVM) with round + clamp. Grayscale and 4:4:4 YCbCr (JFIF transform);
-  * progressive, subsampled, 12-bit and arithmetic-coded streams decode to
-  * None rather than mis-decoding.
+  * JVM) with round + clamp. Grayscale, 4:4:4, 4:2:2 and 4:2:0 YCbCr
+  * (MCU-interleaved sampling factors 1–2, replication upsample, JFIF
+  * transform in exact ×10⁶ integer fixed point); progressive, 12-bit and
+  * arithmetic-coded streams decode to None rather than mis-decoding.
   *
   * Encoder (fixture/export side): level shift, forward DCT, quantization
   * with caller-supplied tables, canonical Huffman tables (12 DC symbols at
@@ -201,32 +202,84 @@ object JpegCodec {
     coef(0)
   }
 
+  /** JFIF RGB→YCbCr in ×10⁶ integer fixed point (round-half-up via
+    * floorDiv) — deterministic AND exactly replayable in SQL, unlike
+    * double rounding. Returns (Y, Cb, Cr), each clamped 0..255.
+    */
+  def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+    clamp255(Math.floorDiv(299000 * r + 587000 * g + 114000 * b + 500000,
+      1000000).toInt),
+    clamp255(Math.floorDiv(-168736 * r - 331264 * g + 500000 * b + 500000,
+      1000000).toInt + 128),
+    clamp255(Math.floorDiv(500000 * r - 418688 * g - 81312 * b + 500000,
+      1000000).toInt + 128))
+
+  /** Inverse JFIF transform, same ×10⁶ fixed point. */
+  def yccToRgb(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+    clamp255(Math.floorDiv(1000000 * yv + 1402000 * (cr - 128) + 500000,
+      1000000).toInt),
+    clamp255(Math.floorDiv(1000000 * yv - 344136 * (cb - 128) -
+      714136 * (cr - 128) + 500000, 1000000).toInt),
+    clamp255(Math.floorDiv(1000000 * yv + 1772000 * (cb - 128) + 500000,
+      1000000).toInt))
+
   /** Encode 8-bit pixels as baseline JPEG. `channels` 1 (grayscale) or 3
-    * (RGB, stored 4:4:4 YCbCr). `quantLuma`/`quantChroma` are zigzag-order
-    * tables (defaults: flat 16).
+    * (RGB, stored YCbCr — 4:4:4, or 4:2:0 with 2×2-average chroma
+    * downsampling when `subsample420`). `quantLuma`/`quantChroma` are
+    * zigzag-order tables (defaults: flat 16).
     */
   def encodeJpeg(w: Int, h: Int, channels: Int, pix: Array[Byte],
       quantLuma: Array[Int] = FlatQ16,
-      quantChroma: Array[Int] = FlatQ16): Array[Byte] = {
+      quantChroma: Array[Int] = FlatQ16,
+      subsample420: Boolean = false): Array[Byte] = {
     require(channels == 1 || channels == 3, s"channels $channels")
     require(pix.length == w * h * channels, s"pix length ${pix.length}")
-    val planes: Array[Array[Int]] =
-      if (channels == 1) Array(Array.tabulate(w * h)(i => pix(i) & 0xff))
+    val sub = subsample420 && channels == 3
+    // per-component plane + dims
+    val (planes, dims): (Array[Array[Int]], Array[(Int, Int)]) =
+      if (channels == 1)
+        (Array(Array.tabulate(w * h)(i => pix(i) & 0xff)), Array((w, h)))
       else {
         val yP = new Array[Int](w * h)
-        val cbP = new Array[Int](w * h)
-        val crP = new Array[Int](w * h)
+        val cbF = new Array[Int](w * h)
+        val crF = new Array[Int](w * h)
         var i = 0
         while (i < w * h) {
-          val r = pix(i * 3) & 0xff
-          val g = pix(i * 3 + 1) & 0xff
-          val b = pix(i * 3 + 2) & 0xff
-          yP(i) = clamp255(Math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt)
-          cbP(i) = clamp255(Math.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128).toInt)
-          crP(i) = clamp255(Math.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128).toInt)
+          val (yv, cb, cr) =
+            rgbToYcc(pix(i * 3) & 0xff, pix(i * 3 + 1) & 0xff, pix(i * 3 + 2) & 0xff)
+          yP(i) = yv; cbF(i) = cb; crF(i) = cr
           i += 1
         }
-        Array(yP, cbP, crP)
+        if (!sub) (Array(yP, cbF, crF), Array((w, h), (w, h), (w, h)))
+        else {
+          val (cw, ch) = ((w + 1) / 2, (h + 1) / 2)
+          def down(src: Array[Int]): Array[Int] = {
+            val d = new Array[Int](cw * ch)
+            var cy = 0
+            while (cy < ch) {
+              var cx = 0
+              while (cx < cw) {
+                var sum = 0; var n = 0
+                var dy = 0
+                while (dy < 2) {
+                  var dx = 0
+                  while (dx < 2) {
+                    val (x, y) = (cx * 2 + dx, cy * 2 + dy)
+                    if (x < w && y < h) { sum += src(y * w + x); n += 1 }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                d(cy * cw + cx) = Math.floorDiv(2 * sum + n, 2 * n) // round
+                cx += 1
+              }
+              cy += 1
+            }
+            d
+          }
+          (Array(yP, down(cbF), down(crF)),
+            Array((w, h), (cw, ch), (cw, ch)))
+        }
       }
     val out = new ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -241,8 +294,10 @@ object JpegCodec {
     if (channels == 3) seg(0xdb, Array(0x01) ++ quantChroma) // table 1
     val sof = Array.newBuilder[Int]
     sof += 8 += (h >> 8) += (h & 0xff) += (w >> 8) += (w & 0xff) += channels
-    for (c <- 0 until channels)
-      sof += (c + 1) += 0x11 += (if (c == 0) 0 else 1)
+    for (c <- 0 until channels) {
+      val hv = if (c == 0 && sub) 0x22 else 0x11
+      sof += (c + 1) += hv += (if (c == 0) 0 else 1)
+    }
     seg(0xc0, sof.result())
     def dhtBody(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Array[Int] =
       Array((tc << 4) | th) ++ (1 to 16).map(bits) ++ vals
@@ -263,21 +318,34 @@ object JpegCodec {
     val acEnc = buildEncodeTable(AcBits, AcVals)
     val bw = new BitWriter(out)
     val preds = new Array[Int](channels)
-    val (bxN, byN) = ((w + 7) / 8, (h + 7) / 8)
-    var by = 0
-    while (by < byN) {
-      var bx = 0
-      while (bx < bxN) {
+    val hFac = Array.tabulate(channels)(c => if (c == 0 && sub) 2 else 1)
+    val vFac = hFac
+    val hMax = hFac.max; val vMax = vFac.max
+    val (mxN, myN) = ((w + 8 * hMax - 1) / (8 * hMax), (h + 8 * vMax - 1) / (8 * vMax))
+    var my = 0
+    while (my < myN) {
+      var mx = 0
+      while (mx < mxN) {
         var c = 0
         while (c < channels) {
           val q = if (c == 0) quantLuma else quantChroma
-          preds(c) = encodeBlock(planes(c), w, h, bx, by, q, preds(c), bw,
-            dcEnc, acEnc)
+          val (cw, ch) = dims(c)
+          var v = 0
+          while (v < vFac(c)) {
+            var u = 0
+            while (u < hFac(c)) {
+              preds(c) = encodeBlock(planes(c), cw, ch,
+                mx * hFac(c) + u, my * vFac(c) + v, q, preds(c), bw,
+                dcEnc, acEnc)
+              u += 1
+            }
+            v += 1
+          }
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     bw.flush()
     marker(0xd9) // EOI
@@ -355,6 +423,8 @@ object JpegCodec {
     val acTabs = new Array[HuffTable](4)
     var w = 0; var h = 0; var nc = 0
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var restartInterval = 0
@@ -402,10 +472,16 @@ object JpegCodec {
           if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
           if (nc != 1 && nc != 3) return None
           compQ = new Array[Int](nc)
+          compH = new Array[Int](nc)
+          compV = new Array[Int](nc)
           var c = 0
           while (c < nc) {
             val hv = b(body + 6 + c * 3 + 1) & 0xff
-            if (hv != 0x11) return None // only 1x1 sampling (4:4:4 / gray)
+            compH(c) = hv >> 4
+            compV(c) = hv & 0x0f
+            // factors 1 or 2 cover gray / 4:4:4 / 4:2:2 / 4:2:0
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return None
             compQ(c) = b(body + 6 + c * 3 + 2) & 0x0f
             c += 1
           }
@@ -428,7 +504,7 @@ object JpegCodec {
             c += 1
           }
           return decodeScan(b, pos + 2 + len, w, h, nc, quant, compQ,
-            dcTabs, acTabs, compDc, compAc, restartInterval)
+            compH, compV, dcTabs, acTabs, compDc, compAc, restartInterval)
         case _ => () // APPn / COM / others: skip
       }
       pos += 2 + len
@@ -438,21 +514,27 @@ object JpegCodec {
 
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int, nc: Int,
       quant: Array[Array[Int]], compQ: Array[Int],
+      compH: Array[Int], compV: Array[Int],
       dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
       compDc: Array[Int], compAc: Array[Int],
       restartInterval: Int): Option[Media] = {
-    val (bxN, byN) = ((w + 7) / 8, (h + 7) / 8)
-    val planes = Array.fill(nc)(new Array[Int](bxN * 8 * byN * 8))
+    val hMax = compH.max; val vMax = compV.max
+    val (mxN, myN) = ((w + 8 * hMax - 1) / (8 * hMax),
+      (h + 8 * vMax - 1) / (8 * vMax))
+    // per-component plane at its own resolution, MCU-padded
+    val strides = Array.tabulate(nc)(c => mxN * compH(c) * 8)
+    val planes = Array.tabulate(nc)(c =>
+      new Array[Int](strides(c) * myN * compV(c) * 8))
     val br = new BitReader(b, start)
     val preds = new Array[Int](nc)
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
     var mcu = 0
-    var by = 0
+    var my = 0
     try {
-      while (by < byN) {
-        var bx = 0
-        while (bx < bxN) {
+      while (my < myN) {
+        var mx = 0
+        while (mx < mxN) {
           if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
             br.align()
             if (!br.atRestart()) throw new JpegError("missing RST")
@@ -463,51 +545,61 @@ object JpegCodec {
             val q = quant(compQ(c))
             if (q == null || dcTabs(compDc(c)) == null ||
               acTabs(compAc(c)) == null) throw new JpegError("missing table")
-            java.util.Arrays.fill(coef, 0)
-            val s0 = decodeHuff(br, dcTabs(compDc(c)))
-            preds(c) += extend(br.bits(s0), s0)
-            coef(0) = preds(c) * q(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = decodeHuff(br, acTabs(compAc(c)))
-              val r = rs >> 4; val s = rs & 0x0f
-              if (s == 0) {
-                if (r == 15) k += 16 else eob = true
-              } else {
-                k += r
-                if (k > 63) throw new JpegError("AC overflow")
-                coef(k) = extend(br.bits(s), s) * q(k)
-                k += 1
+            var bv = 0
+            while (bv < compV(c)) {
+              var bu = 0
+              while (bu < compH(c)) {
+                java.util.Arrays.fill(coef, 0)
+                val s0 = decodeHuff(br, dcTabs(compDc(c)))
+                preds(c) += extend(br.bits(s0), s0)
+                coef(0) = preds(c) * q(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = decodeHuff(br, acTabs(compAc(c)))
+                  val r = rs >> 4; val s = rs & 0x0f
+                  if (s == 0) {
+                    if (r == 15) k += 16 else eob = true
+                  } else {
+                    k += r
+                    if (k > 63) throw new JpegError("AC overflow")
+                    coef(k) = extend(br.bits(s), s) * q(k)
+                    k += 1
+                  }
+                }
+                idctBlock(coef, block)
+                val bx = mx * compH(c) + bu
+                val byk = my * compV(c) + bv
+                val base = byk * 8 * strides(c) + bx * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    planes(c)(base + yy * strides(c) + xx) = block(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bu += 1
               }
-            }
-            idctBlock(coef, block)
-            val base = (by * 8) * (bxN * 8) + bx * 8
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                planes(c)(base + yy * (bxN * 8) + xx) = block(yy * 8 + xx)
-                xx += 1
-              }
-              yy += 1
+              bv += 1
             }
             c += 1
           }
           mcu += 1
-          bx += 1
+          mx += 1
         }
-        by += 1
+        my += 1
       }
     } catch { case _: JpegError => return None }
-    // crop padded planes to (w, h) and color-convert
-    val stride = bxN * 8
+    // crop to (w, h), upsample subsampled components by replication
+    // (sample at x·Hc/Hmax — the box upsample), color-convert
     if (nc == 1) {
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { out(y * w + x) = planes(0)(y * stride + x); x += 1 }
+        while (x < w) { out(y * w + x) = planes(0)(y * strides(0) + x); x += 1 }
         y += 1
       }
       Some(Media("jpeg", w, h, 1, out))
@@ -517,13 +609,11 @@ object JpegCodec {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val yv = planes(0)(y * stride + x)
-          val cb = planes(1)(y * stride + x) - 128
-          val cr = planes(2)(y * stride + x) - 128
+          def sample(c: Int): Int =
+            planes(c)((y * compV(c) / vMax) * strides(c) + x * compH(c) / hMax)
+          val (r, g, bb) = yccToRgb(sample(0), sample(1), sample(2))
           val i = (y * w + x) * 3
-          out(i) = clamp255(Math.round(yv + 1.402 * cr).toInt)
-          out(i + 1) = clamp255(Math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
-          out(i + 2) = clamp255(Math.round(yv + 1.772 * cb).toInt)
+          out(i) = r; out(i + 1) = g; out(i + 2) = bb
           x += 1
         }
         y += 1

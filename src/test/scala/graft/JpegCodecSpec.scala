@@ -51,6 +51,53 @@ class JpegCodecSpec extends SparkSpec {
     assert(maxErr <= 6, s"maxErr=$maxErr")
   }
 
+  test("4:2:0 flat macroblocks decode to the exact integer closed form") {
+    // 16x16-flat color regions: chroma downsample is lossless, every block
+    // is DC-only, so decode must EXACTLY equal the fixed-point pipeline
+    val (w, h) = (32, 16)
+    val p = new Array[Byte](w * h * 3)
+    def rgbOf(mx: Int, my: Int): (Int, Int, Int) =
+      ((mx * 97 + my * 31 + 11) % 256, (mx * 53 + my * 71 + 99) % 256,
+        (mx * 29 + my * 13 + 200) % 256)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbOf(x / 16, y / 16)
+      val i = (y * w + x) * 3
+      p(i) = r.toByte; p(i + 1) = g.toByte; p(i + 2) = b.toByte
+    }
+    val m = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpeg(w, h, 3, p, subsample420 = true)).get
+    def dcPath(v: Int): Int = {
+      val dc = Math.round(8.0 * (v - 128) / 16).toInt
+      Math.max(0, Math.min(255, Math.floorDiv(dc * 16 + 4, 8) + 128))
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbOf(x / 16, y / 16)
+      val (yv, cb, cr) = JpegCodec.rgbToYcc(r, g, b)
+      val (er, eg, eb) = JpegCodec.yccToRgb(dcPath(yv), dcPath(cb), dcPath(cr))
+      val i = (y * w + x) * 3
+      assert((m.values(i), m.values(i + 1), m.values(i + 2)) === ((er, eg, eb)),
+        s"($x,$y) rgb=($r,$g,$b)")
+    }
+  }
+
+  test("4:2:0 general content round-trips within subsampling tolerance") {
+    // smooth gradient: chroma varies slowly, so 2x2 averaging loses little
+    val (w, h) = (24, 24)
+    val p = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      p(i) = (100 + x * 2).toByte
+      p(i + 1) = (80 + y * 2).toByte
+      p(i + 2) = (60 + x + y).toByte
+    }
+    val m = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, 3, p,
+      JpegCodec.FlatQ1, JpegCodec.FlatQ1, subsample420 = true)).get
+    var maxErr = 0
+    for (i <- 0 until w * h * 3)
+      maxErr = math.max(maxErr, math.abs(m.values(i) - (p(i) & 0xff)))
+    assert(maxErr <= 8, s"maxErr=$maxErr")
+  }
+
   test("non-multiple-of-8 dimensions: edge blocks crop correctly") {
     for ((w, h) <- Seq((9, 5), (17, 11), (8, 3), (1, 1))) {
       val p = pix(w * h, w + h)
