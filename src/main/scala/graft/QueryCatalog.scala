@@ -5152,10 +5152,13 @@ object QueryCatalog {
     * stage of the perceptual pipeline is bit-identical. North-star
     * addition; the reference has no binary surface.
     */
-  private val qImageNeardup: Q = (s, dir) => {
+  /** The grouped-BMP payload fixture shared by the dHash queries: docs in
+    * a group share dims and most pixels, with doc-specific perturbations.
+    */
+  private def imagePayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.PixelCodec
-    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val g = (id % 40).toInt
@@ -5170,12 +5173,19 @@ object QueryCatalog {
           (id, PixelCodec.encodeBmp(w, h, pix))
         }
       }.toDF("doc_id", "payload")
-    graft.dedup.Dedup.hammingPairs(Multimodal.imageDhash(payloads), maxHamming = 3)
-      .orderBy("doc_a", "doc_b")
   }
 
-  private val imageNeardupSql =
-    """WITH p AS (
+  private val qImageNeardup: Q = (s, dir) =>
+    graft.dedup.Dedup.hammingPairs(
+        Multimodal.imageDhash(imagePayloads(s, dir)), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** The dHash bit-vector CTE chain shared by the image near-dup oracles:
+    * pixel formula → integer luma → 9×8 floor resample → adjacent-compare
+    * bits.
+    */
+  private val imageBitsCte =
+    """p AS (
       |  SELECT doc_id, doc_id % 40 AS g,
       |         9 + ((doc_id % 40) * 3) % 8 AS w,
       |         8 + ((doc_id % 40) * 5) % 7 AS h
@@ -5200,13 +5210,16 @@ object QueryCatalog {
       |      CASE WHEN gray[(b // 8) * 9 + (b % 8) + 1] > gray[(b // 8) * 9 + (b % 8) + 2]
       |           THEN 1 ELSE 0 END) AS bits
       |  FROM gr
-      |)
-      |SELECT * FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
-      |      CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
-      |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
-      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+      |)""".stripMargin
+
+  private val imageNeardupSql =
+    s"""WITH $imageBitsCte
+       |SELECT * FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Perceptual pairs → visual duplicate GROUPS: the dHash Hamming pairs
     * of `q_image_neardup` fed through [[graft.operators.ConnectedComponents]],
@@ -5555,6 +5568,47 @@ object QueryCatalog {
       |  CAST(list_sum(lap) AS BIGINT) AS lap_sum,
       |  CAST(list_sum(list_transform(lap, x -> x*x)) AS BIGINT) AS lap_sq_sum
       |FROM l ORDER BY doc_id""".stripMargin
+
+  /** Streaming VISUAL ingest gate ([[graft.multimodal.VisualIndex]] +
+    * [[graft.streaming.DocsStream.visualGateDrain]]): a base corpus's
+    * dHash quarters live in a partitioned signature index; image payloads
+    * with doc_id ≥ 250 then ARRIVE as micro-batches, each decoded +
+    * hashed once, probed against the index (only matching (q, qb)
+    * partitions read) and against its own batch, then appended — the
+    * perceptual twin of `q_stream_neardup`, same exactly-once pair
+    * semantics and restart discipline. Because the emitted pair set is
+    * micro-batch-boundary independent, ONE batch oracle replays the whole
+    * drain: all Hamming ≤ 3 pairs whose later member is an arrival
+    * (hi_id ≥ 250). North-star addition; the reference has no binary
+    * surface.
+    */
+  private val qStreamVisualGate: Q = (s, dir) => {
+    import graft.multimodal.VisualIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vgate").toString
+    val payloads = imagePayloads(s, dir)
+    val baseIdx = Fixtures.getOrBuild(s"visidx:$dir") { f =>
+      VisualIndex.build(
+        Multimodal.imageDhash(payloads.filter(col("doc_id") < 250)), f)
+    }
+    val idx = Fixtures.mutableCopy(baseIdx)
+    payloads.filter(col("doc_id") >= 250).repartition(6)
+      .write.parquet(s"$tmp/in")
+    graft.streaming.DocsStream.visualGateDrain(s, s"$tmp/in", idx,
+      s"$tmp/out", s"$tmp/ck", maxHamming = 3)
+    s.read.parquet(s"$tmp/out")
+      .select(col("hi_id"), col("lo_id"), col("hamming"))
+      .orderBy("hi_id", "lo_id")
+  }
+
+  private val streamVisualGateSql =
+    s"""WITH $imageBitsCte
+       |SELECT * FROM (
+       |  SELECT b.doc_id AS hi_id, a.doc_id AS lo_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= 3 AND hi_id >= 250
+       |ORDER BY hi_id, lo_id""".stripMargin
 
   /** Silence-aware audio segmentation ([[Multimodal.audioSegments]]): per
     * document a WAV alternating formula-quiet and formula-loud 32-sample
@@ -8555,6 +8609,7 @@ object QueryCatalog {
     "q_tar_roundtrip" -> qTarRoundtrip,
     "q_jpeg_decode" -> qJpegDecode,
     "q_jpeg_color" -> qJpegColor,
+    "q_stream_visual_gate" -> qStreamVisualGate,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
@@ -8809,6 +8864,7 @@ object QueryCatalog {
     "q_tar_roundtrip" -> tarRoundtripSql,
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_jpeg_color" -> jpegColorSql,
+    "q_stream_visual_gate" -> streamVisualGateSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,

@@ -76,6 +76,46 @@ object DocsStream {
     q.awaitTermination()
   }
 
+  /** Streaming VISUAL ingest gate: drain arriving image payloads through
+    * [[graft.multimodal.VisualIndex.gateBatch]] against a persistent dHash
+    * quarter index — the perceptual twin of [[neardupGateDrain]], same
+    * restart discipline (per-batch overwrite output, checkpoint-tagged
+    * append marker written last), same exactly-once pair semantics. The
+    * decode+dHash kernel runs ONCE per arriving image; only 16-byte
+    * (doc_id, sig) rows reach the index and the pair shuffles.
+    *
+    * `indexPath` is MUTATED (append per batch): pass a
+    * [[graft.Fixtures.mutableCopy]] of a shared fixture, never the fixture.
+    */
+  def visualGateDrain(spark: SparkSession, inDir: String, indexPath: String,
+      outDir: String, checkpoint: String, maxHamming: Int): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ckTag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(checkpoint.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$indexPath/_applied_${ckTag}_$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val sigs = graft.multimodal.Multimodal.imageDhash(batch).persist()
+        try {
+          graft.multimodal.VisualIndex
+            .gateBatch(sigs, spark, indexPath, maxHamming)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          if (!fs.exists(marker)) {
+            graft.multimodal.VisualIndex.append(sigs, indexPath)
+            fs.create(marker, true).close()
+          }
+        } finally { sigs.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Stream documents through the hashed-linear quality gate to parquet. */
   def classifyDrain(spark: SparkSession, sfDir: String, outDir: String,
       checkpoint: String): Unit = {

@@ -116,4 +116,41 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == want)
   }
+
+  test("visual gate resumes across a restart: two waves equal one-shot gate") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.{Multimodal, PixelCodec, VisualIndex}
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-vgate2").toString
+    // grouped BMPs: same group → identical pixels → Hamming 0 pairs
+    def payloads(ids: Seq[Long]) = ids.map { id =>
+      val g = (id % 5).toInt
+      val pix = Array.tabulate(10 * 8 * 3)(i => ((g * 37 + i * 11) % 256).toByte)
+      (id, PixelCodec.encodeBmp(10, 8, pix))
+    }.toDF("doc_id", "payload")
+    val idx = s"$tmp/idx"
+    VisualIndex.build(Multimodal.imageDhash(payloads(0L until 10L)), idx)
+    payloads(10L until 20L).repartition(3).write.parquet(s"$tmp/in")
+    graft.streaming.DocsStream.visualGateDrain(
+      spark, s"$tmp/in", idx, s"$tmp/out", s"$tmp/ck", maxHamming = 3)
+    payloads(20L until 30L).repartition(3)
+      .write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.DocsStream.visualGateDrain(
+      spark, s"$tmp/in", idx, s"$tmp/out", s"$tmp/ck", maxHamming = 3)
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("hi_id", "lo_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // one-shot ground truth: fresh base index, all arrivals as one batch
+    val idx2 = s"$tmp/idx2"
+    VisualIndex.build(Multimodal.imageDhash(payloads(0L until 10L)), idx2)
+    val want = VisualIndex.gateBatch(
+        Multimodal.imageDhash(payloads(10L until 30L)), spark, idx2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+    // every arrival with a same-group base image found its base near-dup
+    assert((10L until 30L).forall(a =>
+      got.exists(p => p._1 == a && p._2 % 5 == a % 5)))
+  }
 }
