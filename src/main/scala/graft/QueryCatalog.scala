@@ -5619,10 +5619,11 @@ object QueryCatalog {
     * integer-exact bounds and energies. North-star addition; the
     * reference has no binary surface.
     */
-  private val qAudioSegments: Q = (s, dir) => {
+  /** The quiet/loud block WAV fixture shared by the audio queries. */
+  private def audioSegPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.PixelCodec
-    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 32 * (8 + (id % 16).toInt)
@@ -5633,9 +5634,12 @@ object QueryCatalog {
           (id, PixelCodec.encodeWav(16000, 1, samples))
         }
       }.toDF("doc_id", "payload")
-    Multimodal.audioSegments(payloads, blockLen = 32, energyThreshold = 1000000L)
-      .orderBy("doc_id", "seg_idx")
   }
+
+  private val qAudioSegments: Q = (s, dir) =>
+    Multimodal.audioSegments(audioSegPayloads(s, dir),
+        blockLen = 32, energyThreshold = 1000000L)
+      .orderBy("doc_id", "seg_idx")
 
   private val audioSegmentsSql =
     """WITH p AS (
@@ -5670,6 +5674,106 @@ object QueryCatalog {
       |  CAST(n_blocks AS INT) AS n_blocks,
       |  CAST(seg_energy AS BIGINT) AS seg_energy
       |FROM seg ORDER BY doc_id, seg_idx""".stripMargin
+
+  /** The composed MULTIMODAL curation flow
+    * ([[graft.pipeline.MultimodalPipeline]]): mixed payloads (even ids →
+    * grouped BMPs, odd ids → quiet/loud WAVs) routed by decoded kind,
+    * brightness-gated (images) / silence-gated (audio), surviving images
+    * perceptually deduped (dHash → Hamming pairs → connected components →
+    * keep cluster min), one accounting row per modality. The oracle
+    * composes the proven CTE pieces — pixel/sample formulas, luma,
+    * resample bits, all-pairs Hamming, recursive-CTE closure, block
+    * energies — into the same end-to-end flow, the
+    * `q_training_pipeline_v2` discipline applied to media. North-star
+    * addition; the reference has no binary surface.
+    */
+  private val qMultimodalPipeline: Q = (s, dir) => {
+    val payloads = imagePayloads(s, dir).filter(col("doc_id") % 2 === 0)
+      .unionByName(audioSegPayloads(s, dir).filter(col("doc_id") % 2 === 1))
+    graft.pipeline.MultimodalPipeline.curateSummary(payloads)
+  }
+
+  private val multimodalPipelineSql =
+    """WITH RECURSIVE imgp AS (
+      |  SELECT doc_id, doc_id % 40 AS g,
+      |         9 + ((doc_id % 40) * 3) % 8 AS w,
+      |         8 + ((doc_id % 40) * 5) % 7 AS h
+      |  FROM documents WHERE doc_id % 2 = 0
+      |), imgv AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, w*h*3 - 1), i ->
+      |      CASE WHEN (i + doc_id) % 23 = 0
+      |           THEN ((g*53 + i*7) % 256 + 1 + doc_id % 13) % 256
+      |           ELSE (g*53 + i*7) % 256 END) AS vals
+      |  FROM imgp
+      |), imggr AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, w*h - 1), px ->
+      |      (299*vals[px*3+1] + 587*vals[px*3+2] + 114*vals[px*3+3]) // 1000) AS gray
+      |  FROM imgv
+      |), imgq AS (
+      |  SELECT doc_id, w, h, gray, list_sum(gray) AS gray_sum
+      |  FROM imggr WHERE list_sum(gray) >= 127 * w * h
+      |), bits AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 63), b ->
+      |      CASE WHEN gray[((b // 8) * h // 8) * w + ((b % 8) * w // 9) + 1]
+      |              > gray[((b // 8) * h // 8) * w + (((b % 8) + 1) * w // 9) + 1]
+      |           THEN 1 ELSE 0 END) AS bits
+      |  FROM imgq
+      |), pairs AS (
+      |  SELECT * FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      list_sum(list_transform(generate_series(1, 64), i ->
+      |        CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS hamming
+      |    FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+      |  WHERE hamming <= 3
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      |), dropd AS (
+      |  SELECT u AS doc_id FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) <> u
+      |), imgrow AS (
+      |  SELECT 'image' AS kind,
+      |    CAST(COUNT(*) AS BIGINT) AS n_quality,
+      |    CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    CAST(SUM(CASE WHEN d.doc_id IS NULL THEN q.w*q.h ELSE 0 END) AS BIGINT) AS units_kept,
+      |    CAST(SUM(CASE WHEN d.doc_id IS NULL THEN q.gray_sum ELSE 0 END) AS BIGINT) AS score_kept
+      |  FROM imgq q LEFT JOIN dropd d ON q.doc_id = d.doc_id
+      |), audp AS (
+      |  SELECT doc_id, 32 * (8 + doc_id % 16) AS n
+      |  FROM documents WHERE doc_id % 2 = 1
+      |), auds AS (
+      |  SELECT doc_id, n,
+      |    list_transform(generate_series(0, n - 1), i ->
+      |      CASE WHEN ((i // 32) + doc_id) % 3 = 0
+      |           THEN (doc_id*7 + i*13) % 129 - 64
+      |           ELSE (doc_id*31 + i*17) % 56000 - 28000 END) AS smp
+      |  FROM audp
+      |), audb AS (
+      |  SELECT doc_id, smp, unnest(generate_series(0, n // 32 - 1)) AS blk FROM auds
+      |), aude AS (
+      |  SELECT doc_id, blk,
+      |    CAST(list_sum(list_transform(generate_series(1, 32), j ->
+      |      smp[blk*32 + j] * smp[blk*32 + j])) AS BIGINT) AS energy
+      |  FROM audb
+      |), audagg AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN energy >= 1000000 THEN 1 ELSE 0 END) AS speech_blocks,
+      |    SUM(CASE WHEN energy >= 1000000 THEN energy ELSE 0 END) AS tot_energy
+      |  FROM aude GROUP BY doc_id
+      |), audrow AS (
+      |  SELECT 'audio' AS kind,
+      |    CAST(COUNT(*) AS BIGINT) AS n_quality,
+      |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    CAST(SUM(speech_blocks) AS BIGINT) AS units_kept,
+      |    CAST(SUM(tot_energy) AS BIGINT) AS score_kept
+      |  FROM audagg WHERE speech_blocks >= 8
+      |)
+      |SELECT * FROM imgrow UNION ALL SELECT * FROM audrow ORDER BY kind""".stripMargin
 
   private val videoNeardupSql =
     """WITH p AS (
@@ -8610,6 +8714,7 @@ object QueryCatalog {
     "q_jpeg_decode" -> qJpegDecode,
     "q_jpeg_color" -> qJpegColor,
     "q_stream_visual_gate" -> qStreamVisualGate,
+    "q_multimodal_pipeline" -> qMultimodalPipeline,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
@@ -8865,6 +8970,7 @@ object QueryCatalog {
     "q_jpeg_decode" -> jpegDecodeSql,
     "q_jpeg_color" -> jpegColorSql,
     "q_stream_visual_gate" -> streamVisualGateSql,
+    "q_multimodal_pipeline" -> multimodalPipelineSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,
