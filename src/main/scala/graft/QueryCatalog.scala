@@ -5641,6 +5641,75 @@ object QueryCatalog {
         blockLen = 32, energyThreshold = 1000000L)
       .orderBy("doc_id", "seg_idx")
 
+  /** Cross-modal ALIGNMENT: synthetic caption events (block positions, a
+    * formula of (doc_id, caption)) joined to the speech segments decoded
+    * from the SAME document's audio — the transcript-to-utterance
+    * containment join an A/V training pipeline runs (equi on doc_id +
+    * range on block position, so the shuffle is doc-keyed, never
+    * all-pairs). Left join keeps silent segments with zero captions. The
+    * oracle rebuilds segments from the sample formulas and replays the
+    * containment join. North-star addition; the reference has no binary
+    * surface.
+    */
+  private val qAvAlignment: Q = (s, dir) => {
+    val segs = Multimodal.audioSegments(audioSegPayloads(s, dir),
+      blockLen = 32, energyThreshold = 1000000L)
+    val caps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("explode(sequence(0, 2 + CAST(doc_id % 5 AS INT)))").as("c"))
+      .select(col("doc_id"), col("c"),
+        expr("CAST((doc_id*3 + c*7) % (8 + doc_id % 16) AS INT)").as("pos"))
+    segs.as("s")
+      .join(caps.as("c"),
+        col("s.doc_id") === col("c.doc_id") &&
+          col("c.pos").between(col("s.start_block"), col("s.end_block")),
+        "left")
+      .groupBy(col("s.doc_id").as("doc_id"), col("s.seg_idx").as("seg_idx"),
+        col("s.start_block").as("start_block"),
+        col("s.end_block").as("end_block"))
+      .agg(count(col("c.pos")).as("n_caps"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  private val avAlignmentSql =
+    """WITH p AS (
+      |  SELECT doc_id, 32 * (8 + doc_id % 16) AS n FROM documents
+      |), s AS (
+      |  SELECT doc_id, n,
+      |    list_transform(generate_series(0, n - 1), i ->
+      |      CASE WHEN ((i // 32) + doc_id) % 3 = 0
+      |           THEN (doc_id*7 + i*13) % 129 - 64
+      |           ELSE (doc_id*31 + i*17) % 56000 - 28000 END) AS smp
+      |  FROM p
+      |), b AS (
+      |  SELECT doc_id, smp, unnest(generate_series(0, n // 32 - 1)) AS blk FROM s
+      |), e AS (
+      |  SELECT doc_id, blk,
+      |    CAST(list_sum(list_transform(generate_series(1, 32), j ->
+      |      smp[blk*32 + j] * smp[blk*32 + j])) AS BIGINT) AS energy
+      |  FROM b
+      |), g AS (
+      |  SELECT doc_id, blk,
+      |    blk - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY blk) AS grp
+      |  FROM e WHERE energy >= 1000000
+      |), seg AS (
+      |  SELECT doc_id, MIN(blk) AS start_block, MAX(blk) AS end_block,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY MIN(blk)) - 1 AS seg_idx
+      |  FROM g GROUP BY doc_id, grp
+      |), caps AS (
+      |  SELECT doc_id, (doc_id*3 + c*7) % (8 + doc_id % 16) AS pos
+      |  FROM (SELECT doc_id, unnest(generate_series(0, 2 + doc_id % 5)) AS c
+      |        FROM documents)
+      |)
+      |SELECT s.doc_id AS doc_id, CAST(s.seg_idx AS INT) AS seg_idx,
+      |  CAST(s.start_block AS INT) AS start_block,
+      |  CAST(s.end_block AS INT) AS end_block,
+      |  CAST(COUNT(c.pos) AS BIGINT) AS n_caps
+      |FROM seg s LEFT JOIN caps c
+      |  ON s.doc_id = c.doc_id AND c.pos BETWEEN s.start_block AND s.end_block
+      |GROUP BY s.doc_id, s.seg_idx, s.start_block, s.end_block
+      |ORDER BY s.doc_id, seg_idx""".stripMargin
+
   private val audioSegmentsSql =
     """WITH p AS (
       |  SELECT doc_id, 32 * (8 + doc_id % 16) AS n FROM documents
@@ -8715,6 +8784,7 @@ object QueryCatalog {
     "q_jpeg_color" -> qJpegColor,
     "q_stream_visual_gate" -> qStreamVisualGate,
     "q_multimodal_pipeline" -> qMultimodalPipeline,
+    "q_av_alignment" -> qAvAlignment,
     "q_events_hourly" -> qEventsHourly,
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
@@ -8971,6 +9041,7 @@ object QueryCatalog {
     "q_jpeg_color" -> jpegColorSql,
     "q_stream_visual_gate" -> streamVisualGateSql,
     "q_multimodal_pipeline" -> multimodalPipelineSql,
+    "q_av_alignment" -> avAlignmentSql,
     "q_events_hourly" -> eventsHourlySql,
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,

@@ -18,7 +18,8 @@ import java.io.ByteArrayOutputStream
   * Encoder (fixture/export side): level shift, forward DCT, quantization
   * with caller-supplied tables, canonical Huffman tables (12 DC symbols at
   * 4 bits, 162 AC symbols at 8 bits — valid by construction, carried in
-  * DHT so ANY conformant decoder reads them), byte stuffing.
+  * DHT so ANY conformant decoder reads them), byte stuffing, optional
+  * DRI/RSTn restart intervals (byte-aligned markers, predictor reset).
   *
   * The integer contract the oracle replays (`q_jpeg_decode`): a flat 8×8
   * block quantizes to a lone DC coefficient — AC terms cancel below the
@@ -135,6 +136,11 @@ object JpegCodec {
       }
     }
     def flush(): Unit = if (n > 0) { put(0x7f, 8 - n) } // pad with 1s
+    /** Byte-align and emit RSTm — the restart-interval boundary. */
+    def restart(m: Int): Unit = {
+      flush()
+      out.write(0xff); out.write(0xd0 + (m & 7))
+    }
   }
 
   private def categoryOf(v: Int): Int = {
@@ -231,7 +237,8 @@ object JpegCodec {
   def encodeJpeg(w: Int, h: Int, channels: Int, pix: Array[Byte],
       quantLuma: Array[Int] = FlatQ16,
       quantChroma: Array[Int] = FlatQ16,
-      subsample420: Boolean = false): Array[Byte] = {
+      subsample420: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
     require(channels == 1 || channels == 3, s"channels $channels")
     require(pix.length == w * h * channels, s"pix length ${pix.length}")
     val sub = subsample420 && channels == 3
@@ -307,6 +314,8 @@ object JpegCodec {
       seg(0xc4, dhtBody(0, 1, DcBits, DcVals))
       seg(0xc4, dhtBody(1, 1, AcBits, AcVals))
     }
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
     val sos = Array.newBuilder[Int]
     sos += channels
     for (c <- 0 until channels)
@@ -322,10 +331,15 @@ object JpegCodec {
     val vFac = hFac
     val hMax = hFac.max; val vMax = vFac.max
     val (mxN, myN) = ((w + 8 * hMax - 1) / (8 * hMax), (h + 8 * vMax - 1) / (8 * vMax))
+    var mcu = 0
     var my = 0
     while (my < myN) {
       var mx = 0
       while (mx < mxN) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restart((mcu / restartInterval - 1) & 7)
+          java.util.Arrays.fill(preds, 0)
+        }
         var c = 0
         while (c < channels) {
           val q = if (c == 0) quantLuma else quantChroma
@@ -343,6 +357,7 @@ object JpegCodec {
           }
           c += 1
         }
+        mcu += 1
         mx += 1
       }
       my += 1

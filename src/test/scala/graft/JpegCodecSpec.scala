@@ -111,6 +111,24 @@ class JpegCodecSpec extends SparkSpec {
     }
   }
 
+  test("restart markers: DRI-interval streams decode identically") {
+    // grayscale with RST every 2 MCUs — predictors reset at each marker
+    val (w, h) = (40, 24)
+    val p = pix(w * h, 5)
+    val plain = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpeg(w, h, 1, p, JpegCodec.FlatQ1, JpegCodec.FlatQ1)).get
+    val rst = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, 1, p,
+      JpegCodec.FlatQ1, JpegCodec.FlatQ1, restartInterval = 2)).get
+    assert(rst.values.toSeq === plain.values.toSeq)
+    // 4:2:0 color with restarts: same pixels as the unrestarted stream
+    val pc = pix(32 * 16 * 3, 9)
+    val plainC = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpeg(32, 16, 3, pc, subsample420 = true)).get
+    val rstC = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(32, 16, 3, pc,
+      subsample420 = true, restartInterval = 1)).get
+    assert(rstC.values.toSeq === plainC.values.toSeq)
+  }
+
   test("hostile and unsupported streams decode to None, never throw") {
     val good = JpegCodec.encodeJpeg(16, 16, 1, pix(256, 1))
     // header-region truncations must be None; cuts inside/after the scan
