@@ -8584,7 +8584,7 @@ object QueryCatalog {
       "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
-      "q_stream_dedup_hourly", "q_stream_classify")
+      "q_stream_dedup_hourly", "q_stream_classify", "q_stream_visual_gate")
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,

@@ -283,4 +283,78 @@ class PropertySpec extends SparkSpec {
       PixelCodec.decode(bytes) // totality: any result is fine, no throw
     }
   }
+
+  test("gif encode/decode round-trips arbitrary frames incl. interlace") {
+    import graft.multimodal.PixelCodec
+    val g = Gen.zip(Gen.zip(Gen.choose(1, 20), Gen.choose(1, 16)),
+      Gen.zip(Gen.choose(1, 4), Gen.choose(0, 1 << 20)))
+    for (((w, h), (nf, seed)) <- cases(g, 60)) {
+      val palette = Array.tabulate(768)(j => ((j * 31 + seed) % 256).toByte)
+      val frames = (0 until nf).map(f =>
+        Array.tabulate(w * h)(p => ((seed + f * 17 + p * 3) % 256).toByte))
+      val gif = PixelCodec.encodeGif(w, h, palette, frames,
+        interlaceFor = f => (f + seed) % 2 == 0)
+      val got = PixelCodec.decodeGifFrames(gif).get
+      assert(got.length == nf)
+      got.zip(frames).foreach { case (m, idx) =>
+        assert(m.width == w && m.height == h)
+        val want = idx.toSeq.flatMap { b =>
+          val v = b & 0xff
+          Seq(palette(v * 3) & 0xff, palette(v * 3 + 1) & 0xff,
+            palette(v * 3 + 2) & 0xff)
+        }
+        assert(m.values.toSeq == want, s"w=$w h=$h nf=$nf seed=$seed")
+      }
+    }
+  }
+
+  test("jpeg near-lossless round-trip bound holds on arbitrary grayscale") {
+    import graft.multimodal.JpegCodec
+    val g = Gen.zip(Gen.zip(Gen.choose(1, 24), Gen.choose(1, 20)),
+      Gen.choose(0, 1 << 20))
+    for (((w, h), seed) <- cases(g, 40)) {
+      val p = Array.tabulate(w * h)(i => ((seed + i * 7) % 256).toByte)
+      val m = JpegCodec.decodeJpeg(
+        JpegCodec.encodeJpeg(w, h, 1, p, JpegCodec.FlatQ1, JpegCodec.FlatQ1)).get
+      val maxErr =
+        (0 until w * h).map(i => math.abs(m.values(i) - (p(i) & 0xff))).max
+      assert(maxErr <= 2, s"w=$w h=$h seed=$seed err=$maxErr")
+    }
+  }
+
+  test("tar member framing round-trips arbitrary unicode keys and sizes") {
+    import graft.sources.TarShards
+    val keyGen = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('-', '_', 'é', '中'))).map(_.mkString.take(20))
+    for ((keys, seed) <- cases(Gen.zip(Gen.nonEmptyListOf(keyGen),
+        Gen.choose(0, 1000)), 50)) {
+      val members = keys.distinct.zipWithIndex.map { case (k, i) =>
+        TarShards.Member(k, "bin",
+          Array.tabulate((seed + i * 37) % 1500)(j => ((i + j) % 256).toByte))
+      }
+      val parsed = TarShards.parse(TarShards.archive(members.iterator)).toSeq
+      assert(parsed.map(_.key) == members.map(_.key))
+      parsed.zip(members).foreach { case (p, m) =>
+        assert(p.content.toSeq == m.content.toSeq, m.key)
+      }
+    }
+  }
+
+  test("gif/jpeg decode is total under random corruption of valid streams") {
+    import graft.multimodal.{JpegCodec, PixelCodec}
+    val gif = PixelCodec.encodeGif(9, 7, Array.tabulate(768)(_.toByte),
+      Seq(Array.tabulate(63)(_.toByte)))
+    val jpg = JpegCodec.encodeJpeg(16, 16, 1,
+      Array.tabulate(256)(i => (i % 256).toByte))
+    for ((at, bit) <- cases(Gen.zip(Gen.choose(0, gif.length - 1),
+        Gen.choose(0, 7)), 150)) {
+      val b = gif.clone(); b(at) = (b(at) ^ (1 << bit)).toByte
+      PixelCodec.decodeGifFrames(b) // totality: no throw
+    }
+    for ((at, bit) <- cases(Gen.zip(Gen.choose(0, jpg.length - 1),
+        Gen.choose(0, 7)), 150)) {
+      val b = jpg.clone(); b(at) = (b(at) ^ (1 << bit)).toByte
+      JpegCodec.decodeJpeg(b) // totality: no throw
+    }
+  }
 }
