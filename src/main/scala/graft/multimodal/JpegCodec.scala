@@ -238,10 +238,15 @@ object JpegCodec {
       quantLuma: Array[Int] = FlatQ16,
       quantChroma: Array[Int] = FlatQ16,
       subsample420: Boolean = false,
+      subsample422: Boolean = false,
       restartInterval: Int = 0): Array[Byte] = {
     require(channels == 1 || channels == 3, s"channels $channels")
     require(pix.length == w * h * channels, s"pix length ${pix.length}")
-    val sub = subsample420 && channels == 3
+    // luma sampling factors; chroma is always 1×1
+    val (hY, vY) =
+      if (channels == 3 && subsample420) (2, 2)
+      else if (channels == 3 && subsample422) (2, 1)
+      else (1, 1)
     // per-component plane + dims
     val (planes, dims): (Array[Array[Int]], Array[(Int, Int)]) =
       if (channels == 1)
@@ -257,9 +262,12 @@ object JpegCodec {
           yP(i) = yv; cbF(i) = cb; crF(i) = cr
           i += 1
         }
-        if (!sub) (Array(yP, cbF, crF), Array((w, h), (w, h), (w, h)))
+        if (hY == 1 && vY == 1)
+          (Array(yP, cbF, crF), Array((w, h), (w, h), (w, h)))
         else {
-          val (cw, ch) = ((w + 1) / 2, (h + 1) / 2)
+          val (cw, ch) = ((w + hY - 1) / hY, (h + vY - 1) / vY)
+          // box-average chroma downsample over the hY×vY window (round,
+          // edge windows clamp to the actual pixel count)
           def down(src: Array[Int]): Array[Int] = {
             val d = new Array[Int](cw * ch)
             var cy = 0
@@ -268,10 +276,10 @@ object JpegCodec {
               while (cx < cw) {
                 var sum = 0; var n = 0
                 var dy = 0
-                while (dy < 2) {
+                while (dy < vY) {
                   var dx = 0
-                  while (dx < 2) {
-                    val (x, y) = (cx * 2 + dx, cy * 2 + dy)
+                  while (dx < hY) {
+                    val (x, y) = (cx * hY + dx, cy * vY + dy)
                     if (x < w && y < h) { sum += src(y * w + x); n += 1 }
                     dx += 1
                   }
@@ -302,7 +310,7 @@ object JpegCodec {
     val sof = Array.newBuilder[Int]
     sof += 8 += (h >> 8) += (h & 0xff) += (w >> 8) += (w & 0xff) += channels
     for (c <- 0 until channels) {
-      val hv = if (c == 0 && sub) 0x22 else 0x11
+      val hv = if (c == 0) (hY << 4) | vY else 0x11
       sof += (c + 1) += hv += (if (c == 0) 0 else 1)
     }
     seg(0xc0, sof.result())
@@ -327,8 +335,8 @@ object JpegCodec {
     val acEnc = buildEncodeTable(AcBits, AcVals)
     val bw = new BitWriter(out)
     val preds = new Array[Int](channels)
-    val hFac = Array.tabulate(channels)(c => if (c == 0 && sub) 2 else 1)
-    val vFac = hFac
+    val hFac = Array.tabulate(channels)(c => if (c == 0) hY else 1)
+    val vFac = Array.tabulate(channels)(c => if (c == 0) vY else 1)
     val hMax = hFac.max; val vMax = vFac.max
     val (mxN, myN) = ((w + 8 * hMax - 1) / (8 * hMax), (h + 8 * vMax - 1) / (8 * vMax))
     var mcu = 0

@@ -136,7 +136,8 @@ object TarShards {
     * are repartitioned BY KEY (hash) and sorted (key, ext) within the
     * shard — sequential samples, deterministic member order.
     */
-  def write(members: DataFrame, path: String, numShards: Int): Unit = {
+  def write(members: DataFrame, path: String, numShards: Int,
+      gzip: Boolean = false): Unit = {
     import members.sparkSession.implicits._
     val ds = members.select(col("key"), col("ext"), col("content"))
       .repartition(numShards, col("key"))
@@ -144,23 +145,41 @@ object TarShards {
       .as[(String, String, Array[Byte])]
     ds.foreachPartition { it: Iterator[(String, String, Array[Byte])] =>
       val pid = TaskContext.getPartitionId()
-      val p = new Path(f"$path/shard-$pid%05d.tar")
+      val suffix = if (gzip) ".tar.gz" else ".tar"
+      val p = new Path(f"$path/shard-$pid%05d$suffix")
       val fs = p.getFileSystem(new Configuration())
-      val out = fs.create(p, true)
+      val raw = fs.create(p, true)
+      val out = if (gzip)
+        new java.util.zip.GZIPOutputStream(raw, 64 * 1024) else raw
       try out.write(archive(it.map { case (k, e, c) => Member(k, e, c) }))
       finally out.close()
     }
   }
 
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
   /** Read a shard directory → one row per member (key, ext, content).
-    * Shard-granular parallelism via the distributed binaryFile listing.
+    * Shard-granular parallelism via the distributed binaryFile listing;
+    * `.tar.gz` shards gunzip per task (the `.warc.gz` discipline — a
+    * compressed shard is a non-splittable unit either way).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar").load(path)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap(parse)
+      .option("pathGlobFilter", "*.tar*").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, content) =>
+        parse(if (p.endsWith(".gz")) gunzip(content) else content)
+      }
       .toDF()
   }
 

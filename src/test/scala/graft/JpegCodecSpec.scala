@@ -80,6 +80,35 @@ class JpegCodecSpec extends SparkSpec {
     }
   }
 
+  test("4:2:2 flat regions decode to the exact integer closed form") {
+    // 16x8-flat regions: horizontal-only chroma downsample is lossless,
+    // blocks DC-only — decode must equal the fixed-point pipeline exactly
+    val (w, h) = (32, 16)
+    val p = new Array[Byte](w * h * 3)
+    def rgbOf(mx: Int, my: Int): (Int, Int, Int) =
+      ((mx * 61 + my * 43 + 7) % 256, (mx * 17 + my * 83 + 150) % 256,
+        (mx * 89 + my * 19 + 60) % 256)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbOf(x / 16, y / 8)
+      val i = (y * w + x) * 3
+      p(i) = r.toByte; p(i + 1) = g.toByte; p(i + 2) = b.toByte
+    }
+    val m = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpeg(w, h, 3, p, subsample422 = true)).get
+    def dcPath(v: Int): Int = {
+      val dc = Math.round(8.0 * (v - 128) / 16).toInt
+      Math.max(0, Math.min(255, Math.floorDiv(dc * 16 + 4, 8) + 128))
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbOf(x / 16, y / 8)
+      val (yv, cb, cr) = JpegCodec.rgbToYcc(r, g, b)
+      val (er, eg, eb) = JpegCodec.yccToRgb(dcPath(yv), dcPath(cb), dcPath(cr))
+      val i = (y * w + x) * 3
+      assert((m.values(i), m.values(i + 1), m.values(i + 2)) === ((er, eg, eb)),
+        s"($x,$y)")
+    }
+  }
+
   test("4:2:0 general content round-trips within subsampling tolerance") {
     // smooth gradient: chroma varies slowly, so 2x2 averaging loses little
     val (w, h) = (24, 24)

@@ -169,6 +169,26 @@ class PixelCodecSpec extends SparkSpec {
       graft.multimodal.MediaHeaders.gifBytes(16, 16)).isEmpty)
   }
 
+  test("GIF local color table is honored when the global one is absent") {
+    val (w, h) = (7, 5)
+    val idx = pix(w * h, 6)
+    val gif = PixelCodec.encodeGif(w, h, testPalette, Seq(idx))
+    val want = PixelCodec.decodeGifFrames(gif).get.head.values.toSeq
+    // restructure the encoder's GCT layout into an LCT one byte-for-byte
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gif, 0, 10)
+    out.write(0x00) // LSD packed: no global color table
+    out.write(gif, 11, 2) // bg + aspect
+    val afterGct = 13 + 768
+    out.write(gif, afterGct, 8) // GCE block unchanged
+    out.write(gif, afterGct + 8, 9) // image descriptor minus packed byte
+    out.write(0x87) // local color table present, 256 entries
+    out.write(gif, 13, 768) // the palette, now local
+    out.write(gif, afterGct + 18, gif.length - (afterGct + 18))
+    val got = PixelCodec.decodeGifFrames(out.toByteArray).get.head
+    assert(got.values.toSeq === want)
+  }
+
   test("GIF dispatch: decode() returns the first frame") {
     val fs = (0 until 3).map(f => pix(6 * 4, f + 7))
     val gif = PixelCodec.encodeGif(6, 4, testPalette, fs)
