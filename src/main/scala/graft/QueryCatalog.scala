@@ -2703,6 +2703,41 @@ object QueryCatalog {
        |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS text_xor
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Zstd-compressed JSONL corpus shards (sources.Sources.jsonlZst*): the
+    * de-facto public-corpus interchange layout (`part-*.jsonl.zst`, one
+    * non-splittable shard per task both ways). Documents stream out
+    * through the zstd sink and back with an explicit schema, then
+    * aggregate per source with order-free 64-bit content checksums — the
+    * oracle aggregates the ORIGINAL table, so the hash matches only if
+    * every row, every text byte, and the lang attribute survived the
+    * compress → shard → decompress → from_json hop.
+    */
+  private val qCorpusZst: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonlzst").toString
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    graft.sources.Sources.jsonlZstWrite(docs, s"$tmp/corpus", numShards = 5)
+    graft.sources.Sources.jsonlZst(s, s"$tmp/corpus", docs.schema)
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        rolling_hash(col("text")).as("fp"),
+        rolling_hash(col("lang")).as("lfp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        expr("bit_xor(fp)").as("text_xor"),
+        expr("bit_xor(lfp)").as("lang_xor"))
+      .orderBy("source")
+  }
+
+  private def corpusZstSqlGen: String =
+    s"""SELECT source, COUNT(*) AS n,
+       |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS text_xor,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("lang"))}) AS BIGINT) AS lang_xor
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** WARC round-trip (sources.Warc): documents out to gzip'd WARC archives
     * (the Common Crawl interchange shape — Content-Length-framed records,
     * one non-splittable archive per partition) and parsed back, then
@@ -2734,6 +2769,200 @@ object QueryCatalog {
        |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT) AS text_xor,
        |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("lang"))}) AS BIGINT) AS lang_xor
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Gopher document-level rule filter (quality.RuleFilters.gopher): the
+    * published rule bundle — word-count band, mean-word-length band,
+    * symbol-to-word ratio, alphabetic-word ratio, required-stopword hits —
+    * as ONE map-only codegen projection, thresholds in integer
+    * cross-multiplied form so every boolean is bit-exact. The oracle
+    * recomputes each rule from the same constants in DuckDB list SQL.
+    */
+  private val qGopherRules: Q = (s, dir) => {
+    graft.quality.RuleFilters.gopher(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  private val gopherRulesSql = {
+    import graft.quality.RuleFilters._
+    val stop = graft.functions.TextFunctions.EnglishStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+       |      AS word_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+       |    CAST((length(text) - length(replace(text, '#', ''))) +
+       |      (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS symbols,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> list_contains($stop, w))) AS BIGINT) AS stop_hits
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  (n_words >= $MinWords AND n_words <= $MaxWords) AS word_count_ok,
+       |  (word_chars >= $MinMeanWordLen * n_words AND
+       |   word_chars <= $MaxMeanWordLen * n_words) AS mean_word_len_ok,
+       |  (symbols * 10 < n_words) AS symbol_ratio_ok,
+       |  (alpha_words * 5 >= n_words * 4) AS alpha_ratio_ok,
+       |  (stop_hits >= $MinStopwordHits) AS stopwords_ok,
+       |  ((n_words >= $MinWords AND n_words <= $MaxWords) AND
+       |   (word_chars >= $MinMeanWordLen * n_words AND
+       |    word_chars <= $MaxMeanWordLen * n_words) AND
+       |   (symbols * 10 < n_words) AND
+       |   (alpha_words * 5 >= n_words * 4) AND
+       |   (stop_hits >= $MinStopwordHits)) AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** HTML → text extraction (pipeline.HtmlExtract): each document becomes
+    * a deterministic synthetic PAGE — title, style + script blocks (whose
+    * content must vanish), two paragraphs, an entity (`&amp;`), an anchor
+    * carrying 4 tokens, an HTML comment — and the extractor strips blocks,
+    * strips tags, decodes entities, and collapses whitespace as one
+    * map-only codegen regex chain; link density comes out in exact integer
+    * form. The oracle rebuilds the identical page in SQL and replays the
+    * SAME regex chain (generated from the same pattern constants), so the
+    * extracted-text fingerprint matches only if every removal, decode, and
+    * collapse is byte-exact.
+    */
+  private val qHtmlExtract: Q = (s, dir) => {
+    import graft.pipeline.HtmlExtract
+    val toks = split(col("text"), " ")
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id, lit("</title>"),
+      lit("<style>body { color: #000; }</style>"),
+      lit("<script>var n = "), id, lit("; if (n &lt; 0) {}</script>"),
+      lit("</head><body><h1>Doc "), id, lit("</h1>"),
+      lit("<p>"), array_join(slice(toks, 1, 12), " "), lit(" &amp; more</p>"),
+      lit("<a href=\"/doc/"), id, lit("\">"),
+      array_join(slice(toks, 13, 4), " "), lit("</a>"),
+      lit("<!-- crawler: ignore -->"),
+      lit("<p>"), array_join(slice(toks, 17, 1000000), " "),
+      lit("</p></body></html>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        HtmlExtract.title(col("html")).as("title"),
+        length(HtmlExtract.text(col("html"))).cast("long").as("text_chars"),
+        rolling_hash(HtmlExtract.text(col("html"))).as("text_fp"),
+        length(HtmlExtract.anchorText(col("html"))).cast("long")
+          .as("anchor_chars"),
+        HtmlExtract.lowLinkDensity(col("html")).as("low_link_density"))
+      .orderBy("doc_id")
+  }
+
+  private def htmlExtractSqlGen: String = {
+    import graft.pipeline.HtmlExtract
+    val htmlExpr =
+      """'<html><head><title>Doc ' || doc_id || '</title>' ||
+        |'<style>body { color: #000; }</style>' ||
+        |'<script>var n = ' || doc_id || '; if (n &lt; 0) {}</script>' ||
+        |'</head><body><h1>Doc ' || doc_id || '</h1>' ||
+        |'<p>' || array_to_string(toks[1:12], ' ') || ' &amp; more</p>' ||
+        |'<a href="/doc/' || doc_id || '">' ||
+        |(CASE WHEN len(toks) >= 13
+        |      THEN array_to_string(toks[13:16], ' ') ELSE '' END) || '</a>' ||
+        |'<!-- crawler: ignore -->' ||
+        |'<p>' || (CASE WHEN len(toks) >= 17
+        |          THEN array_to_string(toks[17:len(toks)], ' ') ELSE '' END) ||
+        |'</p></body></html>'""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, $htmlExpr AS html FROM t),
+       |x AS (
+       |  SELECT doc_id, html,
+       |    ${HtmlExtract.textSql("html")} AS txt,
+       |    ${HtmlExtract.anchorTextSql("html")} AS atxt
+       |  FROM h)
+       |SELECT doc_id,
+       |  ${HtmlExtract.titleSql("html")} AS title,
+       |  CAST(length(txt) AS BIGINT) AS text_chars,
+       |  CAST(${u64ToSigned(rollingFoldSql("txt"))} AS BIGINT) AS text_fp,
+       |  CAST(length(atxt) AS BIGINT) AS anchor_chars,
+       |  (length(atxt) * 10 <= length(txt) * 3) AS low_link_density
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
+
+  /** C4 line-level cleaning (quality.RuleFilters.c4KeptLines/c4PageDrop):
+    * each document becomes a deterministic synthetic PAGE — 8-token lines,
+    * terminal '.' on lines where (doc_id+i)%3≠0, '- ' bullet prefix where
+    * (doc_id+i)%5=0, a "lorem ipsum" line appended on doc_id%97=0 — then
+    * the published line rules run as one codegen projection: keep lines
+    * ending in terminal punctuation with ≥4 words that aren't bullets;
+    * drop pages containing a blocklisted phrase or braces. Output carries
+    * a rolling-hash fingerprint of the CLEANED text, so the oracle (which
+    * rebuilds the page and replays the rules in DuckDB list SQL) matches
+    * only if line synthesis, filtering, and reassembly are byte-exact.
+    */
+  private val qC4LineFilter: Q = (s, dir) => {
+    import graft.quality.RuleFilters
+    val toks = split(col("text"), " ")
+    val baseLines = transform(
+      sequence(lit(0), ((size(toks) + lit(7)) / lit(8)).cast("int") - lit(1)),
+      i => {
+        val base = array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")
+        val bullet = when((col("doc_id") + i) % 5 === 0,
+          concat(lit("- "), base)).otherwise(base)
+        when((col("doc_id") + i) % 3 =!= 0, concat(bullet, lit(".")))
+          .otherwise(bullet)
+      })
+    val lines = when(col("doc_id") % 97 === 0,
+      concat(baseLines, array(lit("lorem ipsum dolor sit amet."))))
+      .otherwise(baseLines)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lines.as("lines"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(RuleFilters.c4KeptLines(col("lines"))).cast("long").as("n_kept"),
+        rolling_hash(concat_ws("\n", RuleFilters.c4KeptLines(col("lines"))))
+          .as("cleaned_fp"),
+        RuleFilters.c4PageDrop(col("lines")).as("page_drop"))
+      .orderBy("doc_id")
+  }
+
+  private def c4LineFilterSqlGen: String = {
+    val lineExpr = // i-th 8-token line with bullet/punct decoration
+      """CASE WHEN (doc_id + i) % 3 != 0 THEN
+        |  (CASE WHEN (doc_id + i) % 5 = 0
+        |     THEN '- ' || array_to_string(toks[i*8+1 : i*8+8], ' ')
+        |     ELSE array_to_string(toks[i*8+1 : i*8+8], ' ') END) || '.'
+        |ELSE
+        |  (CASE WHEN (doc_id + i) % 5 = 0
+        |     THEN '- ' || array_to_string(toks[i*8+1 : i*8+8], ' ')
+        |     ELSE array_to_string(toks[i*8+1 : i*8+8], ' ') END)
+        |END""".stripMargin
+    val keptExpr =
+      """list_filter(lines, l ->
+        |  (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |  AND len(string_split(l, ' ')) >= 4 AND l NOT LIKE '- %')""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 97 = 0 THEN
+       |      list_concat(
+       |        list_transform(range(0, (len(toks)+7)//8), i -> $lineExpr),
+       |        ['lorem ipsum dolor sit amet.'])
+       |    ELSE list_transform(range(0, (len(toks)+7)//8), i -> $lineExpr)
+       |    END AS lines
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, lines, $keptExpr AS kept,
+       |    array_to_string($keptExpr, chr(10)) AS cleaned
+       |  FROM p)
+       |SELECT doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(${u64ToSigned(rollingFoldSql("cleaned"))} AS BIGINT) AS cleaned_fp,
+       |  (contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum') OR
+       |   contains(array_to_string(lines, chr(10)), '{') OR
+       |   contains(array_to_string(lines, chr(10)), '}')) AS page_drop
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
 
   /** Hashed-feature linear classifier inference (quality.LinearScorer):
     * per-document exact integer score from a fastText-style bucket-weight
@@ -2810,6 +3039,175 @@ object QueryCatalog {
       |SELECT kind, COUNT(*) AS n, CAST(SUM(a) AS BIGINT) AS a_sum,
       |  CAST(SUM(b) AS BIGINT) AS b_sum, CAST(MIN(a) AS BIGINT) AS a_min,
       |  CAST(MAX(a) AS BIGINT) AS a_max
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Compressed A/V container metadata decode
+    * ([[graft.multimodal.MediaHeaders.parseAv]]): real wire-format parsing
+    * of the three containers a crawled A/V corpus is made of — MP4
+    * (ISO-BMFF box walk: mvhd timescale/duration normalized to ms by
+    * integer division, tkhd 16.16 pixel dims), MP3 (ID3v2 syncsafe skip +
+    * MPEG-1 Layer III header through the published bitrate/sample-rate
+    * tables), FLAC (STREAMINFO bit-unpack: rate 20b, channels 3b, total
+    * samples 36b). Fixtures are formula-built encoder output, so the
+    * oracle recomputes every field from the same formulas (the
+    * q_media_headers pattern) — a match proves encode∘parse identity
+    * including the timescale math and the table lookups.
+    */
+  private val qAvContainerMeta: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.MediaHeaders
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = (id % 3) match {
+            case 0 => MediaHeaders.mp4Bytes(
+              timescale = 600 + ((id % 5) * 200).toInt,
+              durationTicks = ((id * 37) % 100000).toInt,
+              w = 160 + ((id * 7) % 1760).toInt,
+              h = 90 + ((id * 11) % 990).toInt)
+            case 1 => MediaHeaders.mp3Bytes(
+              bitrateIdx = 1 + (id % 14).toInt, srIdx = ((id % 7) % 3).toInt)
+            case _ => MediaHeaders.flacBytes(
+              sampleRate = 8000 + ((id % 9) * 4900).toInt,
+              channels = 1 + (id % 2).toInt,
+              totalSamples = (id * 441) % 1000000)
+          }
+          val m = MediaHeaders.parseAv(bytes).get
+          (id, m.kind, m.a, m.b, m.c)
+        }
+      }.toDF("doc_id", "kind", "a", "b", "c")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("a_sum"),
+        sum(col("b")).as("b_sum"), sum(col("c")).as("c_sum"),
+        min(col("a")).as("a_min"), max(col("b")).as("b_max"))
+      .orderBy("kind")
+  }
+
+  private val avContainerMetaSql = {
+    val br = graft.multimodal.MediaHeaders.Mp3Bitrates.drop(1)
+      .mkString("[", ", ", "]")
+    val sr = graft.multimodal.MediaHeaders.Mp3SampleRates
+      .mkString("[", ", ", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3'
+       |      ELSE 'flac' END AS kind,
+       |    CASE doc_id % 3
+       |      WHEN 0 THEN (((doc_id * 37) % 100000) * 1000)
+       |                    // (600 + (doc_id % 5) * 200)
+       |      WHEN 1 THEN CAST($br[CAST(doc_id % 14 AS INT) + 1] AS BIGINT)
+       |      ELSE 8000 + (doc_id % 9) * 4900 END AS a,
+       |    CASE doc_id % 3
+       |      WHEN 0 THEN 160 + (doc_id * 7) % 1760
+       |      WHEN 1 THEN CAST($sr[CAST((doc_id % 7) % 3 AS INT) + 1] AS BIGINT)
+       |      ELSE 1 + doc_id % 2 END AS b,
+       |    CASE doc_id % 3
+       |      WHEN 0 THEN 90 + (doc_id * 11) % 990
+       |      WHEN 1 THEN 0
+       |      ELSE (doc_id * 441) % 1000000 END AS c
+       |  FROM documents)
+       |SELECT kind, COUNT(*) AS n, CAST(SUM(a) AS BIGINT) AS a_sum,
+       |  CAST(SUM(b) AS BIGINT) AS b_sum, CAST(SUM(c) AS BIGINT) AS c_sum,
+       |  CAST(MIN(a) AS BIGINT) AS a_min, CAST(MAX(b) AS BIGINT) AS b_max
+       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+  }
+
+  /** Unicode-canonicalization dedup ([[org.apache.spark.sql.graftx.UnicodeFold]]
+    * — native codegen expression): the corpus is doubled with two
+    * renderings of the same logical prefix — composed uppercase
+    * `CAFÉ niño` (U+00C9/U+00F1) and decomposed lowercase
+    * `cafe´ nin˜o` (combining U+0301/U+0303) — and exact dedup runs on
+    * `rolling_hash(unicode_fold(t))`. Raw fingerprints see 2N distinct
+    * docs; folded fingerprints see N (every composed/decomposed/case pair
+    * collapses). The oracle folds with
+    * `lower(strip_accents(nfc_normalize(t)))` — independent code, same
+    * canonicalization contract — and replays both distinct counts plus the
+    * folded-key XOR.
+    */
+  private val qUnicodeDedup: Q = (s, dir) => {
+    import org.apache.spark.sql.graftx.UnicodeFold.unicode_fold
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val va = docs.withColumn("t", concat(lit("CAFÉ niño - "), col("text")))
+    val vb = docs.withColumn("t",
+      concat(lit("cafe\u0301 nin\u0303o - "), col("text")))
+    va.unionByName(vb)
+      .select(col("lang"), rolling_hash(unicode_fold(col("t"))).as("k"),
+        rolling_hash(col("t")).as("raw_k"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("k")).as("n_unique"),
+        countDistinct(col("raw_k")).as("n_raw"),
+        expr("bit_xor(distinct k)").as("k_xor"))
+      .orderBy("lang")
+  }
+
+  private def unicodeDedupSqlGen: String = {
+    val folded = "lower(strip_accents(nfc_normalize(t)))"
+    s"""WITH c AS (
+       |  SELECT lang, 'CAFÉ niño - ' || text AS t FROM documents
+       |  UNION ALL
+       |  SELECT lang, 'café niño - ' || text AS t FROM documents),
+       |k AS (
+       |  SELECT lang,
+       |    CAST(${u64ToSigned(rollingFoldSql(folded))} AS BIGINT) AS k,
+       |    CAST(${u64ToSigned(rollingFoldSql("t"))} AS BIGINT) AS raw_k
+       |  FROM c)
+       |SELECT lang, COUNT(*) AS n_rows,
+       |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_unique,
+       |  CAST(COUNT(DISTINCT raw_k) AS BIGINT) AS n_raw,
+       |  CAST(bit_xor(DISTINCT k) AS BIGINT) AS k_xor
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Charset sniffing over raw byte payloads
+    * ([[graft.multimodal.Charset]]): each document's text bytes get a
+    * formula-chosen tail — nothing (pure ASCII), valid 2-byte + 3-byte
+    * UTF-8 sequences, a lone continuation byte, or a truncated lead — and
+    * the hand-rolled RFC 3629 state machine classifies ascii/utf8/invalid,
+    * counting decoded codepoints and invalid bytes. The oracle knows what
+    * each tail must yield (ASCII text contributes its own length in
+    * codepoints; the valid tail +2 chars; each broken tail +1 bad byte) —
+    * a match proves the validator's sequence-length, continuation, and
+    * resync rules on every class.
+    */
+  private val qCharsetDetect: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.Charset
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val base = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val tail: Array[Byte] = (id % 4) match {
+            case 0 => Array.empty
+            case 1 => Array(0xc3, 0xa9, 0xe4, 0xb8, 0xad).map(_.toByte) // é中
+            case 2 => Array(0x80.toByte) // lone continuation
+            case _ => Array(0xc3.toByte) // truncated lead
+          }
+          val inf = Charset.info(base ++ tail)
+          (id, inf.kind, inf.chars, inf.bad)
+        }
+      }.toDF("doc_id", "kind", "chars", "bad")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars_sum"),
+        sum(col("bad")).as("bad_sum"),
+        expr("bit_xor(doc_id)").as("id_xor"))
+      .orderBy("kind")
+  }
+
+  private val charsetDetectSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf8'
+      |      ELSE 'invalid' END AS kind,
+      |    CAST(length(text) + CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 0 END
+      |      AS BIGINT) AS chars,
+      |    CAST(CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS bad
+      |  FROM documents)
+      |SELECT kind, COUNT(*) AS n, CAST(SUM(chars) AS BIGINT) AS chars_sum,
+      |  CAST(SUM(bad) AS BIGINT) AS bad_sum,
+      |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
   /** The DataSource V2 connector as a declared query: scan
@@ -7187,6 +7585,59 @@ object QueryCatalog {
 
   private val bm25Sql = graft.functions.Bm25.oracleSql(Bm25Terms)
 
+  /** Hybrid lexical+dense retrieval with Reciprocal Rank Fusion
+    * (similarity.HybridRetrieval): BM25 top-100 for the fixed terms fused
+    * with cosine top-100 for a fixed query embedding by exact-integer RRF
+    * (`floor(1e9/(60+rank))` per retriever, full-outer over the two rank
+    * lists — the standard RAG-serving combiner). Each retriever reduces
+    * the corpus to ≤100 rows via TakeOrderedAndProject BEFORE fusion
+    * touches anything, so the fusion cost is constant at any corpus size.
+    * The oracle replays both rankings (the generated BM25 SQL and the
+    * exact-order cosine) and the same integer fusion.
+    */
+  private val qHybridRetrieval: Q = (s, dir) => {
+    import graft.similarity.HybridRetrieval
+    val docs = Tables.documents(s, dir)
+    val scored = graft.functions.Bm25.score(
+      graft.functions.Bm25.buildIndex(docs),
+      graft.functions.Bm25.docLengths(docs), Bm25Terms)
+    val trank = HybridRetrieval.topRanks(scored, "doc_id", "score_u", 100)
+    val emb = Tables.embeddings(s, dir)
+    val vrank = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 100)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rk").cast("long").as("rank"))
+    HybridRetrieval.rrfFuse(trank, vrank, "doc_id", topK = 20)
+      .select(col("doc_id"), col("r_a").as("r_text"),
+        col("r_b").as("r_vec"), col("rrf_u"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+  }
+
+  private def hybridRetrievalSqlGen: String = {
+    import graft.similarity.HybridRetrieval.{RrfK, RrfScale}
+    val bm = graft.functions.Bm25.oracleSql(Bm25Terms)
+    s"""WITH bm AS (SELECT * FROM ($bm)),
+       |ttop AS (SELECT doc_id, score_u FROM bm
+       |         ORDER BY score_u DESC, doc_id LIMIT 100),
+       |trank AS (SELECT doc_id, CAST(row_number() OVER
+       |            (ORDER BY score_u DESC, doc_id) AS BIGINT) AS r_text
+       |          FROM ttop),
+       |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT vec_id AS doc_id, ${cosSql("qvec", "cvec")} AS cos
+       |       FROM (SELECT vec_id, embedding AS cvec FROM embeddings
+       |             WHERE vec_id <> 0) c, qv),
+       |vtop AS (SELECT doc_id, cos FROM vs ORDER BY cos DESC, doc_id LIMIT 100),
+       |vrank AS (SELECT doc_id, CAST(row_number() OVER
+       |            (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec
+       |          FROM vtop),
+       |f AS (SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, r_text, r_vec
+       |      FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id)
+       |SELECT doc_id, r_text, r_vec,
+       |  (COALESCE($RrfScale // ($RrfK + r_text), 0) +
+       |   COALESCE($RrfScale // ($RrfK + r_vec), 0)) AS rrf_u
+       |FROM f ORDER BY rrf_u DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Part co-occurrence edge list (parts sharing an order), the input graph
     * for `q_triangles` and `q_label_prop`. Built ONCE per sf dir and cached
     * as a [[Fixtures]] parquet: in production an edge list is materialized
@@ -8588,6 +9039,7 @@ object QueryCatalog {
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
+    "q_hybrid_retrieval" -> qHybridRetrieval,
     "q_bm25_index" -> qBm25Index,
     "q_label_prop" -> qLabelProp,
     "q_weighted_sample" -> qWeightedSample,
@@ -8685,9 +9137,16 @@ object QueryCatalog {
     "q_mv_projection" -> qMvProjection,
     "q_mv_rewrite" -> qMvRewrite,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_corpus_zst" -> qCorpusZst,
     "q_warc_roundtrip" -> qWarcRoundtrip,
     "q_quality_classifier" -> qQualityClassifier,
+    "q_gopher_rules" -> qGopherRules,
+    "q_html_extract" -> qHtmlExtract,
+    "q_c4_line_filter" -> qC4LineFilter,
     "q_media_headers" -> qMediaHeaders,
+    "q_av_container_meta" -> qAvContainerMeta,
+    "q_charset_detect" -> qCharsetDetect,
+    "q_unicode_dedup" -> qUnicodeDedup,
     "q_media_resize" -> qMediaResize,
     "q_entity_resolution" -> qEntityResolution,
     "q_subword_tokens" -> qSubwordTokens,
@@ -8834,6 +9293,7 @@ object QueryCatalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
+    "q_hybrid_retrieval" -> hybridRetrievalSqlGen,
     "q_bm25_index" -> bm25IndexSql,
     "q_label_prop" -> labelPropSql,
     "q_weighted_sample" -> weightedSampleSql,
@@ -8978,9 +9438,16 @@ object QueryCatalog {
     "q_mv_projection" -> mvProjectionSql,
     "q_mv_rewrite" -> mvRewriteSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSqlGen,
+    "q_corpus_zst" -> corpusZstSqlGen,
     "q_warc_roundtrip" -> warcRoundtripSqlGen,
     "q_quality_classifier" -> qualityClassifierSqlGen,
+    "q_gopher_rules" -> gopherRulesSql,
+    "q_html_extract" -> htmlExtractSqlGen,
+    "q_c4_line_filter" -> c4LineFilterSqlGen,
     "q_media_headers" -> mediaHeadersSql,
+    "q_av_container_meta" -> avContainerMetaSql,
+    "q_charset_detect" -> charsetDetectSql,
+    "q_unicode_dedup" -> unicodeDedupSqlGen,
     "q_entity_resolution" -> entityResolutionSql,
     "q_subword_tokens" -> subwordTokensSqlGen,
     "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,

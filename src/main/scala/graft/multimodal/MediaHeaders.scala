@@ -175,4 +175,150 @@ object MediaHeaders {
     else if (isBmp(b)) Some(MediaInfo("bmp", readLe32(b, 18), readLe32(b, 22)))
     else if (isWav(b)) Some(MediaInfo("wav", readLe32(b, 24), readLe16(b, 22)))
     else None
+
+  // ------------------------------------------- compressed A/V containers
+  // MP4 (ISO-BMFF box walk), MP3 (MPEG-1 Layer III frame header), FLAC
+  // (STREAMINFO block) — the three containers a crawled A/V corpus is
+  // actually made of. Same discipline as the image/WAV codecs above: real
+  // wire formats from the public specs, fixture encoders for the oracle.
+
+  /** mp4: duration in ms (timescale-normalized) + track pixel dims.
+    * mp3: bitrate kbps + sample rate. flac: sample rate, channels, total
+    * samples.
+    */
+  final case class AvInfo(kind: String, a: Long, b: Long, c: Long)
+
+  /** Minimal valid ISO-BMFF file: ftyp + moov(mvhd + trak(tkhd)).
+    * mvhd carries (timescale, duration-in-ticks); tkhd carries 16.16
+    * fixed-point width/height — the fields every indexer needs.
+    */
+  def mp4Bytes(timescale: Int, durationTicks: Int, w: Int, h: Int): Array[Byte] = {
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ tag.getBytes(US_ASCII) ++ body
+    val ftyp = box("ftyp",
+      "isom".getBytes(US_ASCII) ++ be32(512) ++
+        "isom".getBytes(US_ASCII) ++ "mp41".getBytes(US_ASCII))
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durationTicks) ++
+        be32(0x00010000) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        identityMatrix ++ new Array[Byte](24) ++ be32(2))
+    val tkhd = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+        be32(durationTicks) ++ new Array[Byte](8) ++
+        new Array[Byte](2) ++ new Array[Byte](2) ++ new Array[Byte](2) ++
+        new Array[Byte](2) ++ identityMatrix ++
+        be32(w << 16) ++ be32(h << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
+
+  private def identityMatrix: Array[Byte] =
+    be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  /** MPEG-1 Layer III bitrate table (kbps, index 1–14) and sample-rate
+    * table — the published header tables.
+    */
+  val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** One MPEG-1 Layer III frame header (0xFFFB sync, no CRC) preceded by
+    * an empty ID3v2 tag — the shape real MP3 files open with.
+    */
+  def mp3Bytes(bitrateIdx: Int, srIdx: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val id3 = "ID3".getBytes(US_ASCII) ++ Array[Byte](3, 0, 0, 0, 0, 0, 0)
+    id3 ++ Array[Byte](0xff.toByte, 0xfb.toByte,
+      ((bitrateIdx << 4) | (srIdx << 2)).toByte, 0)
+  }
+
+  /** FLAC: "fLaC" + a STREAMINFO metadata block with the packed
+    * (rate 20b | channels-1 3b | bps-1 5b | total-samples 36b) field.
+    */
+  def flacBytes(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    val packed = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      (15L << 36) /* bps-1 = 15 → 16-bit */ | (totalSamples & ((1L << 36) - 1))
+    val packedBytes = (0 until 8).map(i => ((packed >>> (56 - 8 * i)) & 0xff).toByte)
+    "fLaC".getBytes(US_ASCII) ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ // last-block flag, type 0, len 34
+      le16(4096).reverse ++ le16(4096).reverse ++ // min/max blocksize (BE)
+      new Array[Byte](6) ++ // min/max frame size (unknown)
+      packedBytes.toArray ++ new Array[Byte](16) // MD5 unset
+  }
+
+  private def isMp4(b: Array[Byte]) =
+    b.length >= 12 && new String(b, 4, 4, US_ASCII) == "ftyp"
+  private def isMp3(b: Array[Byte]) =
+    b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3'
+  private def isFlac(b: Array[Byte]) =
+    b.length >= 42 && new String(b, 0, 4, US_ASCII) == "fLaC"
+
+  /** ISO-BMFF box walk: find moov, then mvhd (timescale, duration) and the
+    * first tkhd (16.16 width/height). Duration is normalized to ms with
+    * integer math: `ticks * 1000 / timescale`.
+    */
+  private def parseMp4(b: Array[Byte]): Option[AvInfo] = {
+    def findBox(tag: String, from: Int, to: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = readBe32(b, i)
+        if (size < 8 || i + size > to) return None
+        if (new String(b, i + 4, 4, US_ASCII) == tag) return Some((i + 8, i + size))
+        i += size
+      }
+      None
+    }
+    for {
+      (moovS, moovE) <- findBox("moov", 0, b.length)
+      (mvhdS, _) <- findBox("mvhd", moovS, moovE)
+      (trakS, trakE) <- findBox("trak", moovS, moovE)
+      (tkhdS, _) <- findBox("tkhd", trakS, trakE)
+    } yield {
+      val timescale = readBe32(b, mvhdS + 12).toLong
+      val ticks = readBe32(b, mvhdS + 16).toLong
+      val w = readBe32(b, tkhdS + 76) >>> 16
+      val h = readBe32(b, tkhdS + 80) >>> 16
+      AvInfo("mp4", ticks * 1000L / timescale, w.toLong, h.toLong)
+    }
+  }
+
+  /** Skip the ID3v2 tag (syncsafe size), then decode the first frame
+    * header's bitrate/sample-rate indices through the published tables.
+    */
+  private def parseMp3(b: Array[Byte]): Option[AvInfo] = {
+    val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+      ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+    val off = 10 + tagSize
+    if (off + 4 > b.length) return None
+    if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return None
+    val version = (b(off + 1) >> 3) & 3
+    val layer = (b(off + 1) >> 1) & 3
+    if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+    val brIdx = (b(off + 2) >> 4) & 15
+    val srIdx = (b(off + 2) >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    Some(AvInfo("mp3", Mp3Bitrates(brIdx).toLong, Mp3SampleRates(srIdx).toLong, 0L))
+  }
+
+  /** STREAMINFO unpack: rate 20b | channels-1 3b | bps-1 5b | samples 36b. */
+  private def parseFlac(b: Array[Byte]): Option[AvInfo] = {
+    if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    var packed = 0L
+    var i = 0
+    while (i < 8) { packed = (packed << 8) | (b(18 + i) & 0xffL); i += 1 }
+    val rate = packed >>> 44
+    val channels = ((packed >>> 41) & 0x7) + 1
+    val samples = packed & ((1L << 36) - 1)
+    Some(AvInfo("flac", rate, channels, samples))
+  }
+
+  /** Compressed-container dispatch (mp4/mp3/flac). */
+  def parseAv(b: Array[Byte]): Option[AvInfo] =
+    if (b == null) None
+    else if (isMp4(b)) parseMp4(b)
+    else if (isMp3(b)) parseMp3(b)
+    else if (isFlac(b)) parseFlac(b)
+    else None
 }

@@ -65,6 +65,53 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Zstd-compressed JSONL shards — the de-facto interchange layout of
+    * large public text corpora (a corpus directory of `NNNNN.jsonl.zst`
+    * files). Spark's builtin json writer has no zstd text codec wired in
+    * this container, so the sink streams `to_json` lines (a codegen
+    * projection) through zstd per partition — one shard per partition,
+    * `numShards` sizes them (O(100 MB)–O(1 GB) like crawl shards). A zstd
+    * stream is non-splittable, so read parallelism is shard-granular: the
+    * distributed binaryFile listing fans out one task per shard, which
+    * decompresses, splits lines, and `from_json`s with the EXPLICIT schema
+    * (no inference over 100 TB). See [[Codecs]] for why zstd.
+    */
+  def jsonlZstWrite(df: DataFrame, path: String, numShards: Int): Unit = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val cols = df.columns.map(col)
+    df.select(to_json(struct(cols.toIndexedSeq: _*)).as("line"))
+      .repartition(numShards)
+      .as[String]
+      .foreachPartition { it: Iterator[String] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.jsonl.zst")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          Codecs.compress("zstd", fs.create(p, true)),
+          java.nio.charset.StandardCharsets.UTF_8), 64 * 1024)
+        try it.foreach { l => out.write(l); out.write('\n') }
+        finally out.close()
+      }
+  }
+
+  def jsonlZst(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, from_json}
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jsonl.zst").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        new String(Codecs.decodeBytes(p, bytes),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n", -1).iterator.filter(_.nonEmpty)
+      }
+      .toDF("line")
+      .select(from_json(col("line"), schema).as("r"))
+      .select(col("r.*"))
+  }
+
   /** JSONL ingest that TOLERATES malformed lines — the real shape of crawled
     * corpora. PERMISSIVE mode parses what it can; a broken line yields nulls
     * plus the raw text in `_corrupt_record`, so the pipeline can count,

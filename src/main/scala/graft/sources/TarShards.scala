@@ -137,49 +137,34 @@ object TarShards {
     * shard — sequential samples, deterministic member order.
     */
   def write(members: DataFrame, path: String, numShards: Int,
-      gzip: Boolean = false): Unit = {
+      codec: String = "none"): Unit = {
     import members.sparkSession.implicits._
+    val suffix = Codecs.suffix(codec) // validate on the driver, not in tasks
     val ds = members.select(col("key"), col("ext"), col("content"))
       .repartition(numShards, col("key"))
       .sortWithinPartitions("key", "ext")
       .as[(String, String, Array[Byte])]
     ds.foreachPartition { it: Iterator[(String, String, Array[Byte])] =>
       val pid = TaskContext.getPartitionId()
-      val suffix = if (gzip) ".tar.gz" else ".tar"
-      val p = new Path(f"$path/shard-$pid%05d$suffix")
+      val p = new Path(f"$path/shard-$pid%05d.tar$suffix")
       val fs = p.getFileSystem(new Configuration())
-      val raw = fs.create(p, true)
-      val out = if (gzip)
-        new java.util.zip.GZIPOutputStream(raw, 64 * 1024) else raw
+      val out = Codecs.compress(codec, fs.create(p, true))
       try out.write(archive(it.map { case (k, e, c) => Member(k, e, c) }))
       finally out.close()
     }
   }
 
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-    val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    out.toByteArray
-  }
-
   /** Read a shard directory → one row per member (key, ext, content).
     * Shard-granular parallelism via the distributed binaryFile listing;
-    * `.tar.gz` shards gunzip per task (the `.warc.gz` discipline — a
-    * compressed shard is a non-splittable unit either way).
+    * `.tar.gz`/`.tar.zst` shards decompress per task (the `.warc.gz`
+    * discipline — a compressed shard is a non-splittable unit either way).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tar*").load(path)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
-      .flatMap { case (p, content) =>
-        parse(if (p.endsWith(".gz")) gunzip(content) else content)
-      }
+      .flatMap { case (p, content) => parse(Codecs.decodeBytes(p, content)) }
       .toDF()
   }
 

@@ -28,5 +28,7 @@ object GraftFunctions {
       exprs => SubwordPieces(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler",
       exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_fold",
+      exprs => UnicodeFold(exprs.head), "scala_udf")
   }
 }

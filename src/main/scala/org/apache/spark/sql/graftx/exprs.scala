@@ -66,6 +66,59 @@ object RollingHash {
   def rolling_hash(c: Column): Column = Bridge.toColumn(RollingHash(Bridge.toExpr(c)))
 }
 
+/** Unicode canonicalization fold for dedup keys: NFC-compose, lowercase
+  * (root locale), strip combining marks (NFD → drop Mn → NFC) — so
+  * composed `é`, decomposed `e`+U+0301, and case variants all map to one
+  * key. Exact-dedup fingerprints computed on raw bytes miss every such
+  * pair; real crawls are full of them (editors differ in composition
+  * form). Native `Expression` with `doGenCode` — a static JVM call inside
+  * whole-stage codegen, same tier as [[RollingHash]]: a map-only pass at
+  * scan speed, no UDF boxing.
+  *
+  * Reference analogue: none (no text surface); north-star dedup addition.
+  */
+case class UnicodeFold(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeFold.foldUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftx.UnicodeFold.foldUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeFold =
+    copy(child = newChild)
+
+  override def prettyName: String = "unicode_fold"
+}
+
+object UnicodeFold {
+  import java.text.Normalizer
+
+  /** Static so generated Java can call it directly. */
+  def foldUtf8(s: UTF8String): UTF8String = UTF8String.fromString(fold(s.toString))
+
+  def fold(s: String): String = {
+    val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val c = decomposed.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+  }
+
+  def unicode_fold(c: Column): Column =
+    Bridge.toColumn(UnicodeFold(Bridge.toExpr(c)))
+}
+
 /** Shared native hashing/shingling kernels for the sketch expressions below.
   * One pass over the UTF-8 bytes, no per-shingle string allocation — the
   * difference between this and the higher-order-function formulation is

@@ -35,7 +35,8 @@ class CatalogPlanSweepSpec extends SparkSpec with PredicateHelper {
     "q_oldest_pending",      // TakeOrdered over the same partition list
     "q_timeseries_interp",   // day spine: ≤ days-in-range rows
     "q_gap_fill",            // forward fill over the day spine (≤ days in range)
-    "q_asof_exec"            // slice spine resample: fixed daily grid (bounded)
+    "q_asof_exec",           // slice spine resample: fixed daily grid (bounded)
+    "q_hybrid_retrieval"     // rank windows run AFTER limit(100): ≤100 rows
   )
 
   /** A nested-loop join side is "provably tiny" when Catalyst can bound its
@@ -60,7 +61,8 @@ class CatalogPlanSweepSpec extends SparkSpec with PredicateHelper {
     "q_ann_pq",      // broadcast sides = PQ codebook (2^bits rows) + query batch
     "q_ann_ivf",     // broadcast sides = centroid list (nlist) + query batch
     "q_ann_ivf_pq",  // broadcast sides = centroids + codebook + query batch
-    "q_ann_hnsw"     // broadcast side = per-layer beam frontier (beam × degree)
+    "q_ann_hnsw",    // broadcast side = per-layer beam frontier (beam × degree)
+    "q_hybrid_retrieval" // broadcast side = single fixed query embedding
   )
 
   private def hasEquiKey(j: Join): Boolean = {

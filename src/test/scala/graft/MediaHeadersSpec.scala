@@ -48,4 +48,46 @@ class MediaHeadersSpec extends SparkSpec {
       0xff, 0xda).map(_.toByte)
     assert(MediaHeaders.parse(b) === None)
   }
+
+  test("A/V containers: encode∘parse identity for mp4/mp3/flac") {
+    import MediaHeaders.AvInfo
+    // mp4: ticks→ms uses integer division by the real timescale
+    assert(MediaHeaders.parseAv(MediaHeaders.mp4Bytes(600, 90000, 1920, 1080))
+      === Some(AvInfo("mp4", 90000L * 1000 / 600, 1920, 1080)))
+    assert(MediaHeaders.parseAv(MediaHeaders.mp4Bytes(1000, 12345, 320, 240))
+      === Some(AvInfo("mp4", 12345, 320, 240)))
+    // mp3: table lookups for every (bitrate, sample-rate) index pair
+    for (br <- 1 to 14; sr <- 0 to 2)
+      assert(MediaHeaders.parseAv(MediaHeaders.mp3Bytes(br, sr)) ===
+        Some(AvInfo("mp3", MediaHeaders.Mp3Bitrates(br).toLong,
+          MediaHeaders.Mp3SampleRates(sr).toLong, 0L)))
+    // flac: 20-bit rate / 3-bit channels / 36-bit sample-count unpack
+    assert(MediaHeaders.parseAv(MediaHeaders.flacBytes(96000, 8, (1L << 36) - 1))
+      === Some(AvInfo("flac", 96000, 8, (1L << 36) - 1)))
+    assert(MediaHeaders.parseAv(MediaHeaders.flacBytes(8000, 1, 0))
+      === Some(AvInfo("flac", 8000, 1, 0)))
+  }
+
+  test("A/V containers: truncated/corrupt payloads parse to None, never throw") {
+    val mp4 = MediaHeaders.mp4Bytes(1000, 5000, 640, 480)
+    for (n <- Seq(0, 4, 11, 24, 40)) // box walk must bound-check
+      assert(MediaHeaders.parseAv(mp4.take(n)).isEmpty)
+    // box size smaller than header ⇒ walk stops instead of looping
+    val badSize = mp4.clone()
+    badSize(24 + 3) = 2 // moov size → 2
+    assert(MediaHeaders.parseAv(badSize) === None)
+    // mp3: reserved bitrate index 15 and sample-rate index 3 are refused
+    val mp3 = MediaHeaders.mp3Bytes(1, 0)
+    val badBr = mp3.clone(); badBr(12) = 0xf0.toByte
+    assert(MediaHeaders.parseAv(badBr) === None)
+    // mp3 whose ID3 size points past the payload
+    val shortTag = mp3.clone(); shortTag(9) = 0x7f
+    assert(MediaHeaders.parseAv(shortTag) === None)
+    // flac whose first block is not STREAMINFO
+    val flac = MediaHeaders.flacBytes(44100, 2, 1000)
+    val badBlock = flac.clone(); badBlock(4) = 0x84.toByte
+    assert(MediaHeaders.parseAv(badBlock) === None)
+    assert(MediaHeaders.parseAv(null) === None)
+    assert(MediaHeaders.parseAv("not media".getBytes("UTF-8")) === None)
+  }
 }
