@@ -3112,6 +3112,119 @@ object QueryCatalog {
        |FROM m GROUP BY kind ORDER BY kind""".stripMargin
   }
 
+  /** Outlink host graph (pipeline.HtmlExtract.links): each document
+    * becomes a page with three formula-targeted anchors (plus a `<link>`
+    * stylesheet decoy the `<a>`-only extractor must skip), hrefs are
+    * extracted in document order by one codegen regex, and the host-level
+    * adjacency (crawl-source host → link-target host) is aggregated — the
+    * edge-building pass ahead of the graph suite (PageRank/CC run on
+    * exactly this relation at crawl scale). The oracle rebuilds the same
+    * pages and replays the same regex + host parse in SQL.
+    */
+  private val qLinkGraph: Q = (s, dir) => {
+    import graft.pipeline.HtmlExtract
+    def target(m: Int, a: Int) = pmod(col("doc_id") * m + a, lit(1000))
+    def anchor(m: Int, a: Int) = concat(
+      lit("<a class=\"out\" href=\"http://src"),
+      pmod(target(m, a), lit(10)),
+      lit(".example.com/docs/item-"), target(m, a), lit("\">l</a>"))
+    val html = concat(
+      lit("<html><body><link href=\"http://cdn.example.com/style.css\">"),
+      anchor(2, 17), lit("<p>text</p>"), anchor(3, 29), anchor(7, 43),
+      lit("</body></html>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), html.as("html"))
+      .select(col("source"),
+        explode(HtmlExtract.links(col("html"))).as("href"))
+      .select(concat(col("source"), lit(".example.com")).as("src_host"),
+        regexp_extract(col("href"), "^http://([^/]+)/", 1).as("dst_host"),
+        col("href"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("href")).as("n_urls"))
+      .orderBy("src_host", "dst_host")
+  }
+
+  private def linkGraphSqlGen: String = {
+    import graft.pipeline.HtmlExtract
+    def anchorSql(m: Int, a: Int) =
+      s"""'<a class="out" href="http://src' || ((doc_id*$m+$a)%1000)%10 ||
+         |'.example.com/docs/item-' || (doc_id*$m+$a)%1000 || '">l</a>'""".stripMargin
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    '<html><body><link href="http://cdn.example.com/style.css">' ||
+       |    ${anchorSql(2, 17)} || '<p>text</p>' ||
+       |    ${anchorSql(3, 29)} || ${anchorSql(7, 43)} ||
+       |    '</body></html>' AS html
+       |  FROM documents),
+       |l AS (SELECT doc_id, source,
+       |        unnest(${HtmlExtract.linksSql("html")}) AS href FROM h)
+       |SELECT source || '.example.com' AS src_host,
+       |  regexp_extract(href, '^http://([^/]+)/', 1) AS dst_host,
+       |  COUNT(*) AS n_links,
+       |  CAST(COUNT(DISTINCT href) AS BIGINT) AS n_urls
+       |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** robots.txt compliance gate (pipeline.Robots): per-host robots files —
+    * each with a decoy `BadBot` group that disallows everything, a `*`
+    * group with a host-specific Disallow + a longer Allow exception, a
+    * non-rule directive, and comments — are parsed by the real REP parser,
+    * and every document URL is gated by RFC 9309 semantics (longest
+    * matching prefix wins, Allow wins ties, unmatched ⇒ allowed) through a
+    * broadcast rules join. The fixture formulas make each outcome class
+    * reachable (URL path digit collides with the host's disallow exactly
+    * when doc_id%5=0; the /ok suffix then flips it back to allowed), so
+    * the oracle derives every decision in closed form — a match proves
+    * group selection, tie-breaking, and prefix matching together.
+    */
+  private val qRobotsGate: Q = (s, dir) => {
+    import graft.pipeline.Robots
+    val robotsTxt = (0 until 10).map { h =>
+      (s"src$h.example.com",
+        s"""# crawl policy for src$h
+           |User-agent: BadBot
+           |Disallow: /
+           |
+           |User-agent: *
+           |Disallow: /docs/item-$h
+           |Allow: /docs/item-$h/ok
+           |Crawl-delay: 5
+           |Disallow: /tmp
+           |""".stripMargin)
+    }
+    import s.implicits._
+    val rules = Robots.rulesOf(robotsTxt.toDF("host", "txt"))
+    val urls = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("src"), pmod(col("doc_id") * 3, lit(10)),
+        lit(".example.com")).as("host"),
+      concat(lit("/docs/item-"), pmod(col("doc_id"), lit(10)),
+        when(col("doc_id") % 3 === 1, lit("/ok"))
+          .when(col("doc_id") % 3 === 2, lit("/x"))
+          .otherwise(lit(""))).as("path"))
+    Robots.gate(urls, rules)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n"),
+        sum(col("allowed").cast("long")).as("n_allowed"),
+        expr("bit_xor(case when allowed then 0 else doc_id end)")
+          .as("disallowed_xor"))
+      .orderBy("host")
+  }
+
+  private val robotsGateSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'src' || (doc_id*3)%10 || '.example.com' AS host,
+      |    -- matched iff path digit = host digit ⟺ doc_id%5=0;
+      |    -- the /ok suffix (doc_id%3=1) hits the longer Allow rule
+      |    NOT (doc_id % 5 = 0 AND doc_id % 3 <> 1) AS allowed
+      |  FROM documents)
+      |SELECT host, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+      |  CAST(bit_xor(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT)
+      |    AS disallowed_xor
+      |FROM u GROUP BY host ORDER BY host""".stripMargin
+
   /** Unicode-canonicalization dedup ([[org.apache.spark.sql.graftx.UnicodeFold]]
     * — native codegen expression): the corpus is doubled with two
     * renderings of the same logical prefix — composed uppercase
@@ -9147,6 +9260,8 @@ object QueryCatalog {
     "q_av_container_meta" -> qAvContainerMeta,
     "q_charset_detect" -> qCharsetDetect,
     "q_unicode_dedup" -> qUnicodeDedup,
+    "q_link_graph" -> qLinkGraph,
+    "q_robots_gate" -> qRobotsGate,
     "q_media_resize" -> qMediaResize,
     "q_entity_resolution" -> qEntityResolution,
     "q_subword_tokens" -> qSubwordTokens,
@@ -9448,6 +9563,8 @@ object QueryCatalog {
     "q_av_container_meta" -> avContainerMetaSql,
     "q_charset_detect" -> charsetDetectSql,
     "q_unicode_dedup" -> unicodeDedupSqlGen,
+    "q_link_graph" -> linkGraphSqlGen,
+    "q_robots_gate" -> robotsGateSql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_subword_tokens" -> subwordTokensSqlGen,
     "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,

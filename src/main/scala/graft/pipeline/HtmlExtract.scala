@@ -94,4 +94,17 @@ object HtmlExtract {
   /** SQL replay of [[title]]. */
   def titleSql(h: String): String =
     s"regexp_extract($h, '(?s)<title[^>]*>(.*?)</title>', 1)"
+
+  /** Outgoing link targets: every double-quoted `href` attribute value, in
+    * document order — the edge source for crawl-frontier and host-graph
+    * analyses. Map-only `regexp_extract_all`; resolution of relative URLs
+    * against the page URL is the caller's join with
+    * [[UrlCurate]]-canonicalized bases.
+    */
+  def links(html: Column): Column =
+    regexp_extract_all(html, lit("<a\\b[^>]*\\bhref=\"([^\"]*)\""), lit(1))
+
+  /** SQL replay of [[links]]. */
+  def linksSql(h: String): String =
+    s"""regexp_extract_all($h, '<a\\b[^>]*\\bhref="([^"]*)"', 1)"""
 }
