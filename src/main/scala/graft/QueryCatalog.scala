@@ -7559,6 +7559,71 @@ object QueryCatalog {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Luhn-gated credit-card scrub (functions.TextFunctions.scrubCards):
+    * two formula 16-digit runs are injected per document, and the
+    * scrubber masks only those passing the Luhn mod-10 check — the
+    * false-positive guard separating card numbers from order ids. Whether
+    * each injected run IS valid varies with doc_id (both branches occur
+    * ~10%/90% across the corpus); the oracle recomputes the identical
+    * digit formula, the same Luhn fold, and the same conditional masking
+    * in DuckDB list SQL, and the masked-text fingerprint matches only if
+    * extraction, validation, and replacement agree byte-for-byte.
+    */
+  private val qCardScrub: Q = (s, dir) => {
+    import graft.functions.TextFunctions
+    def card(m: Int, a: Int) = concat((1 to 16).map(i =>
+      pmod(col("doc_id") * m + i * a, lit(10)).cast("string")): _*)
+    val withPii = concat(col("text"), lit(" card "), card(7, 3),
+      lit(" ref "), card(11, 5))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), withPii.as("t"))
+      .select(col("lang"),
+        size(expr("regexp_extract_all(t, '\\\\b[0-9]{16}\\\\b', 0)"))
+          .cast("long").as("n_cards"),
+        size(filter(expr("regexp_extract_all(t, '\\\\b[0-9]{16}\\\\b', 0)"),
+          c => TextFunctions.luhnValid(c))).cast("long").as("n_valid"),
+        rolling_hash(TextFunctions.scrubCards(col("t"))).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_cards")).as("n_cards"),
+        sum(col("n_valid")).as("n_valid"), expr("bit_xor(fp)").as("text_xor"))
+      .orderBy("lang")
+  }
+
+  private def cardScrubSqlGen: String = {
+    def cardSql(m: Int, a: Int) =
+      s"array_to_string(list_transform(range(1, 17), i -> " +
+        s"CAST((doc_id*$m + i*$a) % 10 AS VARCHAR)), '')"
+    val luhn = // Luhn fold over a 16-char digit string expression c
+      """list_sum(list_transform(range(1, 17), i ->
+        |  CASE WHEN (17 - i) % 2 = 0 THEN
+        |    (CASE WHEN CAST(c[i] AS INT) * 2 > 9 THEN CAST(c[i] AS INT) * 2 - 9
+        |          ELSE CAST(c[i] AS INT) * 2 END)
+        |  ELSE CAST(c[i] AS INT) END)) % 10 = 0""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id, lang,
+       |    text || ' card ' || ${cardSql(7, 3)} || ' ref ' || ${cardSql(11, 5)}
+       |      AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT lang,
+       |    regexp_extract_all(t, '\\b[0-9]{16}\\b', 0) AS cards,
+       |    list_filter(regexp_extract_all(t, '\\b[0-9]{16}\\b', 0),
+       |      c -> $luhn) AS valid,
+       |    t
+       |  FROM p),
+       |s AS (
+       |  SELECT lang, len(cards) AS n_cards, len(valid) AS n_valid,
+       |    list_reduce(list_prepend(t, valid),
+       |      (acc, c) -> replace(acc, c, '${"#" * 16}')) AS masked
+       |  FROM m)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_cards) AS BIGINT) AS n_cards,
+       |  CAST(SUM(n_valid) AS BIGINT) AS n_valid,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("masked"))}) AS BIGINT)
+       |    AS text_xor
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Per-key rate limiting / windowed event dedup: keep the FIRST event per
     * (user, event_type) in each 5-minute bucket — the data-plane twin of
     * the reference's extract-throttling knob, and the batch twin of
@@ -7697,6 +7762,94 @@ object QueryCatalog {
   }
 
   private val bm25Sql = graft.functions.Bm25.oracleSql(Bm25Terms)
+
+  /** Exact-phrase retrieval over positional postings
+    * (functions.Bm25.buildPositionalIndex/phraseSearch): two fixed phrases
+    * run through the consecutive-position join chain — each term's
+    * postings filtered before any join, then (doc_id, pos+i) hash joins —
+    * emitting per-doc occurrence counts and first positions. The oracle
+    * rebuilds positions with generate_subscripts and replays the
+    * position-offset join for the same phrases.
+    */
+  private val PhraseQueries = Seq("join order", "stream spark")
+
+  private val qPhraseSearch: Q = (s, dir) => {
+    val pindex = graft.functions.Bm25
+      .buildPositionalIndex(Tables.documents(s, dir))
+    PhraseQueries.map { ph =>
+      graft.functions.Bm25.phraseSearch(pindex, ph.split(" ").toSeq)
+        .withColumn("phrase", lit(ph))
+    }.reduce(_.unionByName(_))
+      .select(col("phrase"), col("doc_id"), col("n_hits"), col("first_pos"))
+      .orderBy("phrase", "doc_id")
+  }
+
+  private def phraseSearchSqlGen: String = {
+    val branches = PhraseQueries.map { ph =>
+      val terms = ph.split(" ")
+      val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN tok t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.token = '$t'"
+      }.mkString("\n  ")
+      s"""SELECT '$ph' AS phrase, t0.doc_id, COUNT(*) AS n_hits,
+         |  CAST(MIN(t0.pos) AS BIGINT) AS first_pos
+         |FROM tok t0
+         |  $joins
+         |WHERE t0.token = '${terms.head}'
+         |GROUP BY t0.doc_id""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos,
+       |    ts[generate_subscripts(ts, 1)] AS token
+       |  FROM toks)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY phrase, doc_id""".stripMargin
+  }
+
+  /** Phrase retrieval over the PERSISTED positional index — the 100 TB
+    * serving shape: postings land bucketed by md5(token) directory
+    * (`Bm25.writeIndex` layout), and a phrase probe enumerates its terms'
+    * buckets driver-side so pruning happens at file-listing time (gated
+    * from the executed plan's selected-partition count, the q_bm25_index
+    * discipline); scores/positions must equal the in-memory path's.
+    */
+  private val qPhraseIndex: Q = (s, dir) => {
+    import graft.functions.Bm25
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pidx").toString
+    val terms = PhraseQueries.head.split(" ").toSeq
+    Bm25.writeIndex(Bm25.buildPositionalIndex(Tables.documents(s, dir)),
+      s"$tmp/pidx")
+    val probed = Bm25.probePositionalIndex(s, s"$tmp/pidx", terms)
+    val nSelected: Int = probed.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+    val nBuckets = terms.map(Bm25.bucketOf(_)).distinct.size
+    Bm25.phraseSearch(probed, terms)
+      .withColumn("pruned_scan", lit(nSelected <= nBuckets))
+      .orderBy("doc_id")
+  }
+
+  private def phraseIndexSqlGen: String = {
+    val terms = PhraseQueries.head.split(" ")
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN tok t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.token = '$t'"
+    }.mkString("\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos,
+       |    ts[generate_subscripts(ts, 1)] AS token
+       |  FROM toks)
+       |SELECT t0.doc_id, COUNT(*) AS n_hits,
+       |  CAST(MIN(t0.pos) AS BIGINT) AS first_pos, TRUE AS pruned_scan
+       |FROM tok t0
+       |  $joins
+       |WHERE t0.token = '${terms.head}'
+       |GROUP BY t0.doc_id ORDER BY t0.doc_id""".stripMargin
+  }
 
   /** Hybrid lexical+dense retrieval with Reciprocal Rank Fusion
     * (similarity.HybridRetrieval): BM25 top-100 for the fixed terms fused
@@ -9153,6 +9306,8 @@ object QueryCatalog {
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
     "q_hybrid_retrieval" -> qHybridRetrieval,
+    "q_phrase_search" -> qPhraseSearch,
+    "q_phrase_index" -> qPhraseIndex,
     "q_bm25_index" -> qBm25Index,
     "q_label_prop" -> qLabelProp,
     "q_weighted_sample" -> qWeightedSample,
@@ -9315,6 +9470,7 @@ object QueryCatalog {
     "q_winsorize" -> qWinsorize,
     "q_skew_agg" -> qSkewAgg,
     "q_redact" -> qRedact,
+    "q_card_scrub" -> qCardScrub,
     "q_event_throttle" -> qEventThrottle,
     "q_hive_pruning" -> qHivePruning,
     "q_backfill" -> qBackfill,
@@ -9409,6 +9565,8 @@ object QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
     "q_hybrid_retrieval" -> hybridRetrievalSqlGen,
+    "q_phrase_search" -> phraseSearchSqlGen,
+    "q_phrase_index" -> phraseIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,
     "q_label_prop" -> labelPropSql,
     "q_weighted_sample" -> weightedSampleSql,
@@ -9498,6 +9656,7 @@ object QueryCatalog {
     "q_winsorize" -> winsorizeSql,
     "q_skew_agg" -> skewAggSql,
     "q_redact" -> redactSql,
+    "q_card_scrub" -> cardScrubSqlGen,
     "q_event_throttle" -> eventThrottleSql,
     "q_hive_pruning" -> hivePruningSql,
     "q_backfill" -> backfillSql,

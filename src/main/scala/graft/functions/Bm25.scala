@@ -120,6 +120,53 @@ object Bm25 {
         col("token").isin(terms: _*))
       .select("token", "doc_id", "tf")
 
+  /** Positional postings: one row per (token, doc_id, pos) — the phrase /
+    * proximity upgrade of [[buildIndex]]. Same scale shape (explode +
+    * nothing wider than a posting row); persisted it buckets by token like
+    * [[writeIndex]], so a phrase query reads only its terms' buckets.
+    */
+  def buildPositionalIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact-phrase retrieval: docs containing `terms` consecutively, with
+    * occurrence count and first position. Each term's postings are
+    * filtered BEFORE any join (with the bucketed store that is a
+    * file-listing prune); the chain then joins on (doc_id, pos+i) keys —
+    * hash joins over per-term posting lists, never a scan of full text.
+    */
+  def phraseSearch(pindex: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phrase must have at least one term")
+    val t0 = pindex.filter(col("token") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = terms.zipWithIndex.drop(1).foldLeft(t0) {
+      case (acc, (t, i)) =>
+        val p = pindex.filter(col("token") === t)
+          .select(col("doc_id").as("d"), col("pos").as("p"))
+        acc.join(p, acc("doc_id") === col("d") &&
+            col("p") === acc("pos") + lit(i.toLong))
+          .select(acc("doc_id"), acc("pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+  }
+
+  /** Positional twin of [[probeIndex]]: read back only the phrase terms'
+    * postings from a [[writeIndex]]-layout positional store — the
+    * `token_bucket` filter prunes directories at file-listing time, the
+    * `token` filter is a pushed parquet predicate inside them.
+    */
+  def probePositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String],
+      buckets: Int = IndexBuckets): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("token_bucket").isin(terms.map(bucketOf(_, buckets)).distinct: _*) &&
+        col("token").isin(terms: _*))
+      .select("token", "doc_id", "pos")
+
   /** DuckDB oracle for [[score]] over the `documents` table — generated from
     * the same constants so the two sides cannot drift.
     */

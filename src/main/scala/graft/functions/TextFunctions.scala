@@ -144,4 +144,34 @@ object TextFunctions {
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
   }
+
+  /** Luhn mod-10 check over a fixed-length digit string — what separates a
+    * card number from 16 random digits, so a PII scrubber masks real-shaped
+    * numbers instead of every long numeral (order ids, ISBNs). Pure
+    * integer column arithmetic: double every second digit from the right,
+    * fold the digit sum, test mod 10.
+    */
+  def luhnValid(card: Column, len: Int = 16): Column = {
+    val digitSum = aggregate(
+      transform(sequence(lit(1), lit(len)), i => {
+        val d = card.substr(i, lit(1)).cast("int")
+        val dbl = when((lit(len + 1) - i) % 2 === 0, d * 2).otherwise(d)
+        when(dbl > 9, dbl - 9).otherwise(dbl)
+      }),
+      lit(0), (acc, x) => acc + x)
+    digitSum % 10 === 0
+  }
+
+  /** Mask every Luhn-VALID 16-digit run in `text` (invalid runs stay — the
+    * false-positive guard real scrubbers need); returns the masked text.
+    * Extraction + validation + replacement are all array higher-order
+    * functions over the few matches per document — per-row work, map-only.
+    */
+  def scrubCards(text: Column): Column = {
+    val cards = filter(
+      regexp_extract_all(text, lit("\\b[0-9]{16}\\b"), lit(0)),
+      c => luhnValid(c))
+    aggregate(cards, text,
+      (acc, c) => replace(acc, c, lit("#" * 16)))
+  }
 }
