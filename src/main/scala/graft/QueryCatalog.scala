@@ -6572,6 +6572,46 @@ object QueryCatalog {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming approximate distinct (streaming.EventsStream
+    * .hourlyDistinctDrain): per-hour distinct users estimated by an HLL
+    * sketch aggregate inside the watermarked window state (exact streaming
+    * distinct would hold every key — Spark refuses it), drained
+    * AvailableNow, then joined against the batch-exact distinct for the
+    * CLOSED hours. Emits the exact count plus accuracy booleans computed
+    * in exact integer form (|err|·20 ≤ exact+20, i.e. within 5%+1) — the
+    * estimate is deterministic, so the booleans are oracle-comparable data.
+    */
+  private val qStreamDistinct: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdist").toString
+    graft.streaming.EventsStream.hourlyDistinctDrain(s, dir, s"$tmp/out",
+      s"$tmp/ck")
+    val est = s.read.parquet(s"$tmp/out")
+      .select(col("hour"), col("est").cast("long").as("est"), col("n_rows"))
+    val ev = Tables.events(s, dir)
+    val closed = ev.crossJoin(broadcast(ev.agg(
+        (max(col("ts")).cast("long") - lit(1800L)).as("wm"))))
+      .filter(unix_seconds(date_trunc("hour", col("ts"))) + lit(3600L) <=
+        col("wm"))
+    val exact = closed.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        count(lit(1)).as("n_rows_b"))
+    est.join(exact, Seq("hour"))
+      .select(col("hour"), col("exact"), col("n_rows"),
+        (col("n_rows") === col("n_rows_b")).as("rows_match"),
+        (abs(col("est") - col("exact")) * lit(20L) <=
+          col("exact") + lit(20L)).as("est_ok"))
+      .orderBy("hour")
+  }
+
+  private val streamDistinctSql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+      |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact,
+      |  COUNT(*) AS n_rows, TRUE AS rows_match, TRUE AS est_ok
+      |FROM events, wm
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stream-static enrichment join, end-to-end (streaming.EventsStream
     * .enrich): events stream left-joined per micro-batch against a static
     * customer dim (restricted to even keys so the missing-key path is
@@ -7879,10 +7919,72 @@ object QueryCatalog {
       .orderBy(col("rrf_u").desc, col("doc_id"))
   }
 
-  private def hybridRetrievalSqlGen: String = {
+  /** Offline retrieval evaluation (similarity.RetrievalEval): the hybrid
+    * RRF top-20 is scored against exact-cosine ground truth (top-20 of the
+    * dense ranking) with recall@20, reciprocal rank of the truth #1, and
+    * nDCG@10 — all in exact integer form (the log2 discounts are
+    * pre-quantized once in Scala and shared with the oracle as literals,
+    * so no runtime transcendental enters either engine). Rankings are
+    * deterministic, hence so are the metrics; the oracle replays system
+    * and truth lists from the shared CTE body and folds the same integer
+    * metric arithmetic.
+    */
+  private val qRetrievalEval: Q = (s, dir) => {
+    import graft.similarity.{HybridRetrieval, RetrievalEval}
+    val docs = Tables.documents(s, dir)
+    val scored = graft.functions.Bm25.score(
+      graft.functions.Bm25.buildIndex(docs),
+      graft.functions.Bm25.docLengths(docs), Bm25Terms)
+    val trank = HybridRetrieval.topRanks(scored, "doc_id", "score_u", 100)
+    val emb = Tables.embeddings(s, dir)
+    val vr = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 100)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rk").cast("long").as("rank"))
+    val fused = HybridRetrieval.rrfFuse(trank, vr, "doc_id", topK = 20)
+    val sys = fused.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("rrf_u").desc, col("doc_id")))
+        .cast("long").as("sys_rank"))
+    val gt = vr.filter(col("rank") <= 20)
+      .select(col("doc_id"), col("rank").as("gt_rank"))
+    RetrievalEval.metrics(sys.join(gt, Seq("doc_id"), "left"))
+  }
+
+  private def retrievalEvalSqlGen: String = {
     import graft.similarity.HybridRetrieval.{RrfK, RrfScale}
+    import graft.similarity.RetrievalEval.{DcgWeightsMicro, IdcgMicro}
+    val w = DcgWeightsMicro.mkString("[", ", ", "]")
+    val dcg = s"""SUM(CASE WHEN gt_rank IS NOT NULL AND sys_rank <= 10
+                 |  THEN (21 - gt_rank) * ($w)[CAST(sys_rank AS INT)]
+                 |  ELSE 0 END)""".stripMargin
+    s"""WITH $hybridCtesSql,
+       |fused AS (SELECT doc_id,
+       |    (COALESCE($RrfScale // ($RrfK + r_text), 0) +
+       |     COALESCE($RrfScale // ($RrfK + r_vec), 0)) AS rrf_u
+       |  FROM f),
+       |syst AS (SELECT doc_id, CAST(row_number() OVER
+       |           (ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS sys_rank
+       |         FROM (SELECT * FROM fused ORDER BY rrf_u DESC, doc_id
+       |               LIMIT 20)),
+       |gt AS (SELECT doc_id, r_vec AS gt_rank FROM vrank WHERE r_vec <= 20),
+       |j AS (SELECT s.doc_id, sys_rank, gt_rank
+       |      FROM syst s LEFT JOIN gt USING (doc_id))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_sys,
+       |  CAST(SUM(CASE WHEN gt_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS overlap,
+       |  CAST($dcg AS BIGINT) AS dcg_u,
+       |  CAST(($dcg * 1000) // $IdcgMicro AS BIGINT) AS ndcg_milli,
+       |  CAST(MAX(CASE WHEN gt_rank = 1 THEN $RrfScale // sys_rank
+       |           ELSE 0 END) AS BIGINT) AS rr_u
+       |FROM j""".stripMargin
+  }
+
+  /** Shared CTE body for the hybrid-retrieval oracles: BM25 + cosine rank
+    * lists and their full-outer fusion input `f(doc_id, r_text, r_vec)`.
+    */
+  private def hybridCtesSql: String = {
     val bm = graft.functions.Bm25.oracleSql(Bm25Terms)
-    s"""WITH bm AS (SELECT * FROM ($bm)),
+    s"""bm AS (SELECT * FROM ($bm)),
        |ttop AS (SELECT doc_id, score_u FROM bm
        |         ORDER BY score_u DESC, doc_id LIMIT 100),
        |trank AS (SELECT doc_id, CAST(row_number() OVER
@@ -7897,7 +7999,12 @@ object QueryCatalog {
        |            (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec
        |          FROM vtop),
        |f AS (SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, r_text, r_vec
-       |      FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id)
+       |      FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id)""".stripMargin
+  }
+
+  private def hybridRetrievalSqlGen: String = {
+    import graft.similarity.HybridRetrieval.{RrfK, RrfScale}
+    s"""WITH $hybridCtesSql
        |SELECT doc_id, r_text, r_vec,
        |  (COALESCE($RrfScale // ($RrfK + r_text), 0) +
        |   COALESCE($RrfScale // ($RrfK + r_vec), 0)) AS rrf_u
@@ -9301,11 +9408,13 @@ object QueryCatalog {
       "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
-      "q_stream_dedup_hourly", "q_stream_classify", "q_stream_visual_gate")
+      "q_stream_dedup_hourly", "q_stream_classify", "q_stream_visual_gate",
+      "q_stream_distinct")
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
     "q_hybrid_retrieval" -> qHybridRetrieval,
+    "q_retrieval_eval" -> qRetrievalEval,
     "q_phrase_search" -> qPhraseSearch,
     "q_phrase_index" -> qPhraseIndex,
     "q_bm25_index" -> qBm25Index,
@@ -9519,6 +9628,7 @@ object QueryCatalog {
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_enrich" -> qStreamEnrich,
+    "q_stream_distinct" -> qStreamDistinct,
     "q_stream_dedup_hourly" -> qStreamDedupHourly,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_interp" -> qStreamInterp,
@@ -9565,6 +9675,7 @@ object QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
     "q_hybrid_retrieval" -> hybridRetrievalSqlGen,
+    "q_retrieval_eval" -> retrievalEvalSqlGen,
     "q_phrase_search" -> phraseSearchSqlGen,
     "q_phrase_index" -> phraseIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,
@@ -9789,6 +9900,7 @@ object QueryCatalog {
     "q_events_hourly_stream" -> eventsHourlyStreamSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_enrich" -> streamEnrichSql,
+    "q_stream_distinct" -> streamDistinctSql,
     "q_stream_dedup_hourly" -> eventsHourlyStreamSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_interp" -> timeseriesInterpSql, // bit-identical to the batch twin

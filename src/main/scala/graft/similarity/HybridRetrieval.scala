@@ -57,3 +57,46 @@ object HybridRetrieval {
       .orderBy(col("rrf_u").desc, col(idCol)).limit(topK)
   }
 }
+
+/** Offline retrieval-quality metrics over DETERMINISTIC rankings —
+  * recall@k, reciprocal rank, nDCG@10 — in exact integer form so the
+  * numbers are engine-reproducible (the evaluation half every retrieval
+  * pipeline ships next to the index build).
+  *
+  * nDCG's per-position discount `1/log2(i+1)` is pre-quantized ONCE in
+  * Scala to micro-int weights shared with the oracle SQL as literals, so
+  * no runtime transcendental enters either engine: DCG sums are exact
+  * longs, nDCG an integer division against the constant ideal.
+  */
+object RetrievalEval {
+
+  /** round(1e6 / log2(i+1)) for positions i = 1..10. */
+  val DcgWeightsMicro: Seq[Long] = (1 to 10).map(i =>
+    math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG for graded relevance 20,19,…,11 at positions 1..10 (ground
+    * truth = top-20 list, rel(doc) = 21 - gt_rank).
+    */
+  val IdcgMicro: Long =
+    DcgWeightsMicro.zipWithIndex.map { case (w, i) => (20L - i) * w }.sum
+
+  /** Metrics for a system list (id, sys_rank ≤ k) left-joined with ground
+    * truth ranks (`gt_rank` null when the doc is outside the truth top-20):
+    * one aggregate row (n_sys, overlap, dcg_u, ndcg_milli, rr_u).
+    */
+  def metrics(joined: DataFrame): DataFrame = {
+    val w = array(DcgWeightsMicro.map(lit): _*)
+    val rel = lit(21L) - col("gt_rank")
+    joined.agg(
+      count(lit(1)).as("n_sys"),
+      sum(when(col("gt_rank").isNotNull, 1L).otherwise(0L)).as("overlap"),
+      sum(when(col("gt_rank").isNotNull && col("sys_rank") <= 10,
+        rel * element_at(w, col("sys_rank").cast("int"))).otherwise(0L))
+        .as("dcg_u"),
+      max(when(col("gt_rank") === 1,
+          expr(s"${HybridRetrieval.RrfScale} div sys_rank"))
+        .otherwise(0L)).as("rr_u"))
+      .withColumn("ndcg_milli", expr(s"dcg_u * 1000 div ${IdcgMicro}L"))
+      .select("n_sys", "overlap", "dcg_u", "ndcg_milli", "rr_u")
+  }
+}

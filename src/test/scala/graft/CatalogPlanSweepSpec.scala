@@ -36,7 +36,8 @@ class CatalogPlanSweepSpec extends SparkSpec with PredicateHelper {
     "q_timeseries_interp",   // day spine: ≤ days-in-range rows
     "q_gap_fill",            // forward fill over the day spine (≤ days in range)
     "q_asof_exec",           // slice spine resample: fixed daily grid (bounded)
-    "q_hybrid_retrieval"     // rank windows run AFTER limit(100): ≤100 rows
+    "q_hybrid_retrieval",    // rank windows run AFTER limit(100): ≤100 rows
+    "q_retrieval_eval"       // same rank windows, inputs bounded by LIMIT 20/100
   )
 
   /** A nested-loop join side is "provably tiny" when Catalyst can bound its
@@ -62,7 +63,8 @@ class CatalogPlanSweepSpec extends SparkSpec with PredicateHelper {
     "q_ann_ivf",     // broadcast sides = centroid list (nlist) + query batch
     "q_ann_ivf_pq",  // broadcast sides = centroids + codebook + query batch
     "q_ann_hnsw",    // broadcast side = per-layer beam frontier (beam × degree)
-    "q_hybrid_retrieval" // broadcast side = single fixed query embedding
+    "q_hybrid_retrieval", // broadcast side = single fixed query embedding
+    "q_retrieval_eval"    // same single fixed query embedding
   )
 
   private def hasEquiKey(j: Join): Boolean = {
