@@ -7919,6 +7919,117 @@ object QueryCatalog {
       .orderBy(col("rrf_u").desc, col("doc_id"))
   }
 
+  /** Planted near-dup evaluation (the number every dedup pipeline reports
+    * before running at scale): a bounded sample of the corpus is augmented
+    * with perturbed copies (every 13th token replaced — Jaccard stays
+    * comfortably above the 0.5 threshold), ground truth is the brute-force
+    * exact-Jaccard pair set over the sample, and the system under test is
+    * the production banded MinHash+LSH pipeline (Dedup.minHashNearDups,
+    * same kernels as q_minhash_neardups). Precision is 1 by construction
+    * (candidates are exact-verified); RECALL — pairs the banding surfaces —
+    * is the measured quantity, emitted with planted-pair accounting in
+    * exact integer form. Both sides are deterministic: the oracle replays
+    * the LSH pipeline bit-for-bit over the same augmented corpus AND
+    * recomputes the brute-force truth. The brute-force self-join is
+    * bounded by the EVAL SAMPLE (240 docs), an algorithm constant — the
+    * production path is the banded join; brute force exists here only to
+    * measure it.
+    */
+  private val qNeardupEval: Q = (s, dir) => {
+    import graft.functions.TextFunctions
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val tk = split(col("text"), " ")
+    val perturbed = array_join(
+      transform(sequence(lit(1), size(tk)),
+        p => when(p % 13 === 0, lit("dupword")).otherwise(element_at(tk, p))),
+      " ")
+    val planted = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      .select((col("doc_id") + 10000L).as("doc_id"), perturbed.as("text"))
+    val corpus = base.unionByName(planted).localCheckpoint()
+    val lsh = graft.dedup.Dedup.minHashNearDups(corpus, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val sh = corpus.select(col("doc_id"),
+      array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("sset"))
+    val inter = size(array_intersect(col("x.sset"), col("y.sset")))
+    val jac = inter.cast("double") /
+      (size(col("x.sset")) + size(col("y.sset")) - inter).cast("double")
+    val truth = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .filter(jac >= lit(0.5))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    truth.join(lsh.withColumn("found", lit(true)),
+        Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("found"), lit(false)).as("found"),
+        (col("doc_b") >= 10000L).as("planted"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"),
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("planted") && col("found"), 1L).otherwise(0L))
+          .as("n_planted_found"))
+      .withColumn("recall_milli", expr("n_found * 1000 div n_truth"))
+  }
+
+  private def neardupEvalSqlGen: String = {
+    val corpusSql =
+      """SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |UNION ALL
+        |SELECT doc_id + 10000, array_to_string(
+        |  list_transform(range(1, len(tk) + 1),
+        |    p -> CASE WHEN p % 13 = 0 THEN 'dupword' ELSE tk[p] END), ' ')
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents WHERE doc_id < 40)""".stripMargin
+    SketchOracleSql.neardupEvalSql(corpusSql, plantedFrom = 10000L,
+      threshold = 0.5)
+  }
+
+  /** Batch multi-query retrieval (functions.Bm25.scoreBatch): three
+    * queries scored in ONE pass over the postings — the query-term
+    * relation joins the (pre-filtered, broadcast-pruned) postings once
+    * instead of N per-query scans — then bounded top-3 per query via the
+    * TopKAgg typed aggregator (map tasks ship ≤k rows per query into the
+    * shuffle, never the full score relation). The oracle replays each
+    * query through the generated single-query BM25 SQL and ranks with the
+    * same (score desc, doc) order.
+    */
+  private val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("join", "vector"),
+    2L -> Seq("spark", "stream"),
+    3L -> Seq("hash", "merge", "scan"))
+
+  private val qBatchRetrieval: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = BatchQueries.toDF("query_id", "terms")
+    val scored = graft.functions.Bm25.scoreBatch(
+      graft.functions.Bm25.buildIndex(docs),
+      graft.functions.Bm25.docLengths(docs), queries)
+    val tk = udaf(new graft.functions.TopKAgg(3))
+    scored.groupBy("query_id")
+      .agg(tk(col("score_u").cast("double"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("score_u"))
+      .orderBy("query_id", "rk")
+  }
+
+  private def batchRetrievalSqlGen: String = {
+    val branches = BatchQueries.map { case (qid, terms) =>
+      s"SELECT $qid AS query_id, doc_id, score_u FROM " +
+        s"(${graft.functions.Bm25.oracleSql(terms)})"
+    }
+    s"""WITH all_q AS (
+       |${branches.mkString("\nUNION ALL\n")})
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score_u
+       |FROM (
+       |  SELECT query_id, doc_id, score_u,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_u DESC, doc_id) AS BIGINT) AS rk
+       |  FROM all_q) t
+       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Offline retrieval evaluation (similarity.RetrievalEval): the hybrid
     * RRF top-20 is scored against exact-cosine ground truth (top-20 of the
     * dense ranking) with recall@20, reciprocal rank of the truth #1, and
@@ -9415,6 +9526,8 @@ object QueryCatalog {
     "q_bm25" -> qBm25,
     "q_hybrid_retrieval" -> qHybridRetrieval,
     "q_retrieval_eval" -> qRetrievalEval,
+    "q_batch_retrieval" -> qBatchRetrieval,
+    "q_neardup_eval" -> qNeardupEval,
     "q_phrase_search" -> qPhraseSearch,
     "q_phrase_index" -> qPhraseIndex,
     "q_bm25_index" -> qBm25Index,
@@ -9676,6 +9789,8 @@ object QueryCatalog {
     "q_bm25" -> bm25Sql,
     "q_hybrid_retrieval" -> hybridRetrievalSqlGen,
     "q_retrieval_eval" -> retrievalEvalSqlGen,
+    "q_batch_retrieval" -> batchRetrievalSqlGen,
+    "q_neardup_eval" -> neardupEvalSqlGen,
     "q_phrase_search" -> phraseSearchSqlGen,
     "q_phrase_index" -> phraseIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,

@@ -123,7 +123,7 @@ object SketchOracleSql {
     * band-index-probe oracles.
     */
   private def sigAndBandsCte(shingleLen: Int, numHashes: Int,
-      rowsPerBand: Int): String = {
+      rowsPerBand: Int, src: String = "documents"): String = {
     val h1Stages = finalizerStages("r1", "f1")
     val h2Stages = finalizerStages("r2", "f2")
     val (chain, last) = chainStages(h1Stages ++ h2Stages, "raw", "st")
@@ -137,7 +137,7 @@ object SketchOracleSql {
         s"(h, v) -> (h * ${RollingHash.Base} + v) % $Wrap)"
     val sigMin = signedVal(s"(($h1[s]) + j * (h2o[s])) % $Wrap")
     s"""WITH tk0 AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+       |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM $src
        |), sh AS (
        |  SELECT doc_id, text, ${shingleList(shingleLen)} AS shingles FROM tk0
        |), raw AS (
@@ -178,6 +178,51 @@ object SketchOracleSql {
        |FROM cand JOIN shd x ON x.doc_id = doc_a JOIN shd y ON y.doc_id = doc_b
        |WHERE $jac >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle for the planted near-dup evaluation (`q_neardup_eval`):
+    * `corpusSql` defines the evaluation corpus (doc_id, text) — base
+    * sample plus planted perturbed copies at ids ≥ `plantedFrom`. Ground
+    * truth = ALL pairs with exact shingle-Jaccard ≥ threshold (brute
+    * force over the bounded sample); system = the banded LSH pipeline's
+    * verified pairs (replayed bit-for-bit); the output row carries truth/
+    * found/planted counts and integer recall. Precision is 1 by
+    * construction (the system verifies candidates with the same exact
+    * Jaccard), so recall is the number under test.
+    */
+  def neardupEvalSql(corpusSql: String, plantedFrom: Long, threshold: Double,
+      shingleLen: Int = 3, numHashes: Int = 24, rowsPerBand: Int = 4): String = {
+    val jac = jaccard("x.sset", "y.sset")
+    val body = sigAndBandsCte(shingleLen, numHashes, rowsPerBand, "corpus")
+      .stripPrefix("WITH ")
+    s"""WITH corpus AS ($corpusSql),
+       |$body, cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id
+       |), shd AS (
+       |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+       |), lsh AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN shd x ON x.doc_id = doc_a JOIN shd y ON y.doc_id = doc_b
+       |  WHERE $jac >= $threshold
+       |), truth AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM shd x JOIN shd y ON y.doc_id > x.doc_id
+       |  WHERE $jac >= $threshold
+       |), lab AS (
+       |  SELECT t.doc_a, t.doc_b, (l.doc_a IS NOT NULL) AS found,
+       |    (t.doc_b >= $plantedFrom) AS planted
+       |  FROM truth t LEFT JOIN lsh l
+       |    ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |  CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+       |  CAST(SUM(CASE WHEN planted AND found THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_planted_found,
+       |  CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+       |    AS BIGINT) AS recall_milli
+       |FROM lab""".stripMargin
   }
 
   /** Oracle for `Dedup.probeBandIndex` with the corpus split at `splitId`

@@ -154,6 +154,44 @@ object Bm25 {
       .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
   }
 
+  /** Batch retrieval: score MANY queries in ONE pass — the serving shape
+    * at scale (a per-query loop re-scans postings N times; this joins the
+    * query-term relation against the postings once). `queries` is
+    * (query_id, terms array); postings are pre-filtered to the union of
+    * all query terms (with the bucketed store that prunes at listing
+    * time), df/corpus stats broadcast, and each (query, doc) score is the
+    * exact-long micro sum over the query's matched terms. Identical
+    * per-term arithmetic to [[score]].
+    */
+  def scoreBatch(index: DataFrame, docLens: DataFrame, queries: DataFrame,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("token")).distinct()
+    val allTerms = broadcast(qterms.select("token").distinct())
+    val matched = index.join(allTerms, "token")
+    val df = matched.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+          col("avgdl")))
+    matched
+      .join(broadcast(qterms), "token") // fan out to every query using the term
+      .join(broadcast(df), "token")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfNorm * lit(1000000.0)).cast("long").as("u"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("u")).as("score_u"))
+  }
+
   /** Positional twin of [[probeIndex]]: read back only the phrase terms'
     * postings from a [[writeIndex]]-layout positional store — the
     * `token_bucket` filter prunes directories at file-listing time, the

@@ -64,7 +64,8 @@ class CatalogPlanSweepSpec extends SparkSpec with PredicateHelper {
     "q_ann_ivf_pq",  // broadcast sides = centroids + codebook + query batch
     "q_ann_hnsw",    // broadcast side = per-layer beam frontier (beam × degree)
     "q_hybrid_retrieval", // broadcast side = single fixed query embedding
-    "q_retrieval_eval"    // same single fixed query embedding
+    "q_retrieval_eval",   // same single fixed query embedding
+    "q_neardup_eval"      // brute-force truth over the 240-doc EVAL SAMPLE (constant)
   )
 
   private def hasEquiKey(j: Join): Boolean = {
