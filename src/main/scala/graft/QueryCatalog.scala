@@ -7935,6 +7935,12 @@ object QueryCatalog {
     * production path is the banded join; brute force exists here only to
     * measure it.
     */
+  /** (bands, rowsPerBand) configurations under evaluation: 6×4 (the
+    * production default) vs 8×3 — shorter bands fire on lower-similarity
+    * pairs, trading candidate volume for recall; the eval quantifies it.
+    */
+  private val NeardupEvalConfigs = Seq(("b6r4", 4), ("b8r3", 3))
+
   private val qNeardupEval: Q = (s, dir) => {
     import graft.functions.TextFunctions
     val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
@@ -7947,8 +7953,6 @@ object QueryCatalog {
     val planted = Tables.documents(s, dir).filter(col("doc_id") < 40)
       .select((col("doc_id") + 10000L).as("doc_id"), perturbed.as("text"))
     val corpus = base.unionByName(planted).localCheckpoint()
-    val lsh = graft.dedup.Dedup.minHashNearDups(corpus, threshold = 0.5)
-      .select(col("doc_a"), col("doc_b"))
     val sh = corpus.select(col("doc_id"),
       array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("sset"))
     val inter = size(array_intersect(col("x.sset"), col("y.sset")))
@@ -7958,17 +7962,26 @@ object QueryCatalog {
         col("x.doc_id") < col("y.doc_id"))
       .filter(jac >= lit(0.5))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    truth.join(lsh.withColumn("found", lit(true)),
-        Seq("doc_a", "doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"),
-        coalesce(col("found"), lit(false)).as("found"),
-        (col("doc_b") >= 10000L).as("planted"))
-      .agg(count(lit(1)).as("n_truth"),
-        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"),
-        sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
-        sum(when(col("planted") && col("found"), 1L).otherwise(0L))
-          .as("n_planted_found"))
-      .withColumn("recall_milli", expr("n_found * 1000 div n_truth"))
+      .localCheckpoint()
+    NeardupEvalConfigs.map { case (label, rpb) =>
+      val lsh = graft.dedup.Dedup
+        .minHashNearDups(corpus, threshold = 0.5, rowsPerBand = rpb)
+        .select(col("doc_a"), col("doc_b"))
+      truth.join(lsh.withColumn("found", lit(true)),
+          Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("found"), lit(false)).as("found"),
+          (col("doc_b") >= 10000L).as("planted"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("found"), 1L).otherwise(0L)).as("n_found"),
+          sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+          sum(when(col("planted") && col("found"), 1L).otherwise(0L))
+            .as("n_planted_found"))
+        .withColumn("recall_milli", expr("n_found * 1000 div n_truth"))
+        .withColumn("config", lit(label))
+        .select("config", "n_truth", "n_found", "n_planted",
+          "n_planted_found", "recall_milli")
+    }.reduce(_.unionByName(_)).orderBy("config")
   }
 
   private def neardupEvalSqlGen: String = {
@@ -7980,8 +7993,11 @@ object QueryCatalog {
         |    p -> CASE WHEN p % 13 = 0 THEN 'dupword' ELSE tk[p] END), ' ')
         |FROM (SELECT doc_id, string_split(text, ' ') AS tk
         |      FROM documents WHERE doc_id < 40)""".stripMargin
-    SketchOracleSql.neardupEvalSql(corpusSql, plantedFrom = 10000L,
-      threshold = 0.5)
+    NeardupEvalConfigs.map { case (label, rpb) =>
+      s"SELECT * FROM (${SketchOracleSql.neardupEvalSql(corpusSql,
+        plantedFrom = 10000L, threshold = 0.5, rowsPerBand = rpb,
+        label = label)})"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY config")
   }
 
   /** Batch multi-query retrieval (functions.Bm25.scoreBatch): three

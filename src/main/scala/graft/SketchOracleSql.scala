@@ -191,7 +191,8 @@ object SketchOracleSql {
     * Jaccard), so recall is the number under test.
     */
   def neardupEvalSql(corpusSql: String, plantedFrom: Long, threshold: Double,
-      shingleLen: Int = 3, numHashes: Int = 24, rowsPerBand: Int = 4): String = {
+      shingleLen: Int = 3, numHashes: Int = 24, rowsPerBand: Int = 4,
+      label: String = "b6r4"): String = {
     val jac = jaccard("x.sset", "y.sset")
     val body = sigAndBandsCte(shingleLen, numHashes, rowsPerBand, "corpus")
       .stripPrefix("WITH ")
@@ -215,7 +216,7 @@ object SketchOracleSql {
        |    (t.doc_b >= $plantedFrom) AS planted
        |  FROM truth t LEFT JOIN lsh l
        |    ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
-       |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |SELECT '$label' AS config, CAST(COUNT(*) AS BIGINT) AS n_truth,
        |  CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
        |  CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
        |  CAST(SUM(CASE WHEN planted AND found THEN 1 ELSE 0 END) AS BIGINT)
