@@ -8000,6 +8000,62 @@ object QueryCatalog {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY config")
   }
 
+  /** Bitext mining (parallel-corpus discovery, the margin criterion of
+    * published bitext pipelines): every `en` document is matched against
+    * the `es` side by embedding cosine — best + runner-up give the margin
+    * ratio, and a pair is MUTUAL when the reverse direction also ranks it
+    * first (the standard precision filter). Brute force here runs on the
+    * bounded per-language query batches (the ANN-family shape: query batch
+    * broadcast, corpus scanned once; at 100 TB the same code takes the IVF
+    * index path). Cosines are deterministic, so margins and mutuality are
+    * oracle-replayable exactly.
+    */
+  private val qBitextMining: Q = (s, dir) => {
+    val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val emb = Tables.embeddings(s, dir)
+      .join(langs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"))
+    val en = emb.filter(col("lang") === "en").select("vec_id", "embedding")
+    val es = emb.filter(col("lang") === "es").select("vec_id", "embedding")
+    val fwd = Similarity.bruteForceTopK(es, en, k = 2)
+    val f1 = fwd.filter(col("rk") === 1)
+      .select(col("query_id").as("en_id"), col("neighbor_id").as("es_id"),
+        col("cos"))
+    val f2 = fwd.filter(col("rk") === 2)
+      .select(col("query_id").as("en_id"), col("cos").as("cos2"))
+    val bwd = Similarity.bruteForceTopK(en, es, k = 1)
+      .select(col("query_id").as("es_id"), col("neighbor_id").as("b_en_id"))
+    f1.join(f2, "en_id")
+      .join(bwd, Seq("es_id"), "left")
+      .select(col("en_id"), col("es_id"), col("cos"),
+        (col("cos") / col("cos2")).as("margin"),
+        (col("b_en_id") === col("en_id")).as("mutual"))
+      .orderBy("en_id")
+  }
+
+  private val bitextMiningSql =
+    s"""WITH d AS (SELECT doc_id, lang FROM documents),
+       |en AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       JOIN d ON doc_id = vec_id WHERE lang = 'en'),
+       |es AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |       JOIN d ON doc_id = vec_id WHERE lang = 'es'),
+       |fw AS (SELECT qid, cid, cos, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |         ORDER BY cos DESC, cid) AS BIGINT) AS rk
+       |       FROM (SELECT qid, cid, ${cosSql("qv", "cv")} AS cos
+       |             FROM en, es)),
+       |bw AS (SELECT qid, cid, CAST(ROW_NUMBER() OVER (PARTITION BY cid
+       |         ORDER BY cos DESC, qid) AS BIGINT) AS rk
+       |       FROM (SELECT qid, cid, ${cosSql("qv", "cv")} AS cos
+       |             FROM en, es)),
+       |f1 AS (SELECT qid, cid, cos FROM fw WHERE rk = 1),
+       |f2 AS (SELECT qid, cos AS cos2 FROM fw WHERE rk = 2),
+       |b1 AS (SELECT qid AS b_en_id, cid FROM bw WHERE rk = 1)
+       |SELECT f1.qid AS en_id, f1.cid AS es_id, f1.cos,
+       |  f1.cos / f2.cos2 AS margin, (b1.b_en_id = f1.qid) AS mutual
+       |FROM f1 JOIN f2 ON f2.qid = f1.qid
+       |LEFT JOIN b1 ON b1.cid = f1.cid
+       |ORDER BY en_id""".stripMargin
+
   /** Batch multi-query retrieval (functions.Bm25.scoreBatch): three
     * queries scored in ONE pass over the postings — the query-term
     * relation joins the (pre-filtered, broadcast-pruned) postings once
@@ -9544,6 +9600,7 @@ object QueryCatalog {
     "q_retrieval_eval" -> qRetrievalEval,
     "q_batch_retrieval" -> qBatchRetrieval,
     "q_neardup_eval" -> qNeardupEval,
+    "q_bitext_mining" -> qBitextMining,
     "q_phrase_search" -> qPhraseSearch,
     "q_phrase_index" -> qPhraseIndex,
     "q_bm25_index" -> qBm25Index,
@@ -9807,6 +9864,7 @@ object QueryCatalog {
     "q_retrieval_eval" -> retrievalEvalSqlGen,
     "q_batch_retrieval" -> batchRetrievalSqlGen,
     "q_neardup_eval" -> neardupEvalSqlGen,
+    "q_bitext_mining" -> bitextMiningSql,
     "q_phrase_search" -> phraseSearchSqlGen,
     "q_phrase_index" -> phraseIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,

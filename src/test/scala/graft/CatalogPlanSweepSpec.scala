@@ -65,7 +65,8 @@ class CatalogPlanSweepSpec extends SparkSpec with PredicateHelper {
     "q_ann_hnsw",    // broadcast side = per-layer beam frontier (beam × degree)
     "q_hybrid_retrieval", // broadcast side = single fixed query embedding
     "q_retrieval_eval",   // same single fixed query embedding
-    "q_neardup_eval"      // brute-force truth over the 240-doc EVAL SAMPLE (constant)
+    "q_neardup_eval",     // brute-force truth over the 240-doc EVAL SAMPLE (constant)
+    "q_bitext_mining"     // broadcast side = per-language query batch (bounded)
   )
 
   private def hasEquiKey(j: Join): Boolean = {
