@@ -8000,6 +8000,71 @@ object QueryCatalog {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY config")
   }
 
+  /** v4 composed pipeline — the CORPUS-RELEASE flow
+    * (pipeline.TrainingDataPipeline.summaryV4): published Gopher rule gate
+    * (integer cross-multiplied thresholds) → exact dedup keep-canonical →
+    * per-language token budget (hash-ordered running sum) → `.jsonl.zst`
+    * shard export, with the per-language accounting computed from the
+    * READ-BACK shards — the content checksums prove the released bytes
+    * survived gate∘dedup∘budget∘compress∘decompress end to end. The
+    * oracle composes the rule CTEs, the min-id dedup, and the same budget
+    * window, aggregating the original table.
+    */
+  private val V4Budgets = Map("en" -> 9000L)
+  private val V4DefaultBudget = 4000L
+
+  private val qTrainingPipelineV4: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v4").toString
+    graft.pipeline.TrainingDataPipeline.summaryV4(
+      Tables.documents(s, dir), s"$tmp/release", V4Budgets, V4DefaultBudget)
+  }
+
+  private def trainingPipelineV4Sql: String = {
+    import graft.quality.RuleFilters._
+    val stop = graft.functions.TextFunctions.EnglishStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+       |      AS word_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+       |    CAST((length(text) - length(replace(text, '#', ''))) +
+       |      (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS symbols,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> list_contains($stop, w))) AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, text, n_words FROM t
+       |  WHERE n_words >= $MinWords AND n_words <= $MaxWords
+       |    AND word_chars >= $MinMeanWordLen * n_words
+       |    AND word_chars <= $MaxMeanWordLen * n_words
+       |    AND symbols * 10 < n_words
+       |    AND alpha_words * 5 >= n_words * 4
+       |    AND stop_hits >= $MinStopwordHits),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text),
+       |c AS (SELECT g.* FROM g JOIN canon USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, lang, text, n_words,
+       |    CAST(SUM(n_words) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)),
+       |sel AS (
+       |  SELECT * FROM r WHERE cum_tokens <=
+       |    CASE WHEN lang = 'en' THEN ${V4Budgets("en")}
+       |         ELSE $V4DefaultBudget END)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT)
+       |    AS n_tokens,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT)
+       |    AS text_xor
+       |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Bitext mining (parallel-corpus discovery, the margin criterion of
     * published bitext pipelines): every `en` document is matched against
     * the `es` side by embedding cosine — best + runner-up give the margin
@@ -9601,6 +9666,7 @@ object QueryCatalog {
     "q_batch_retrieval" -> qBatchRetrieval,
     "q_neardup_eval" -> qNeardupEval,
     "q_bitext_mining" -> qBitextMining,
+    "q_training_pipeline_v4" -> qTrainingPipelineV4,
     "q_phrase_search" -> qPhraseSearch,
     "q_phrase_index" -> qPhraseIndex,
     "q_bm25_index" -> qBm25Index,
@@ -9865,6 +9931,7 @@ object QueryCatalog {
     "q_batch_retrieval" -> batchRetrievalSqlGen,
     "q_neardup_eval" -> neardupEvalSqlGen,
     "q_bitext_mining" -> bitextMiningSql,
+    "q_training_pipeline_v4" -> trainingPipelineV4Sql,
     "q_phrase_search" -> phraseSearchSqlGen,
     "q_phrase_index" -> phraseIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,

@@ -101,4 +101,35 @@ object TrainingDataPipeline {
       .withColumn("within_budget", col("pieces_used") <= budget)
       .orderBy("lang")
   }
+
+  /** v4: the CORPUS-RELEASE flow — published Gopher rule gate
+    * ([[graft.quality.RuleFilters]]) → exact dedup → per-language token
+    * budget → `.jsonl.zst` shard export — with the accounting computed
+    * from the READ-BACK shards, so the summary proves the released bytes,
+    * not the pre-export DataFrame. Shuffle profile: dedup aggregate + one
+    * per-lang window + the shard repartition; the gate is a map-only
+    * integer-rule projection.
+    */
+  def summaryV4(docs: DataFrame, outDir: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    import org.apache.spark.sql.graftx.RollingHash.rolling_hash
+    val gated = graft.quality.RuleFilters
+      .gopher(docs.select(col("doc_id"), col("lang"), col("text")))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val canon = dedupKeepCanonical(gated)
+    val sel = TokenBudget.sample(canon, budgets, defaultBudget)
+    val released = canon.join(sel.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.sources.Sources.jsonlZstWrite(released, outDir, numShards = 4)
+    graft.sources.Sources.jsonlZst(docs.sparkSession, outDir, released.schema)
+      .select(col("lang"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_toks"),
+        rolling_hash(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        expr("bit_xor(fp)").as("text_xor"))
+      .orderBy("lang")
+  }
 }
