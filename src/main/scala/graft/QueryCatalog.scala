@@ -8000,6 +8000,78 @@ object QueryCatalog {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY config")
   }
 
+  /** Contrastive training-pair generation (dedup.Dedup.contrastivePairs):
+    * the LSH band join surfaces candidates once, and exact Jaccard
+    * classifies them into positives (≥0.7, anchor/positive pairs) and
+    * HARD negatives ([0.2, 0.5) — blocked-together-but-verified-different,
+    * the confusable pairs a contrastive loss needs). The oracle replays
+    * banding bit-for-bit and the same classification.
+    */
+  private val qContrastivePairs: Q = (s, dir) =>
+    graft.dedup.Dedup.contrastivePairs(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        posThreshold = 0.7, negLo = 0.0, negHi = 0.5, rowsPerBand = 2)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("bit_xor(doc_a * 1000000 + doc_b)").as("pair_xor"))
+      .orderBy("kind")
+
+  private val contrastivePairsSqlGen: String =
+    SketchOracleSql.contrastivePairsSql(posThreshold = 0.7, negLo = 0.0,
+      negHi = 0.5, rowsPerBand = 2)
+
+  /** Quality-weighted upsampling (the mixture technique of modern
+    * pretraining recipes: higher-quality documents recur more often in the
+    * training stream). The learned classifier score
+    * (quality.LinearScorer, a map-only codegen projection) buckets each
+    * doc into a repetition factor 3/2/1/0; `explode(sequence(1, rep))`
+    * materializes the epoch slots deterministically — no RNG, so the
+    * mixture is byte-reproducible and the oracle replays score → bucket →
+    * slot fan-out exactly. Scale shape: a map-side explode whose fan-out
+    * is the mixture factor (bounded by 3), then one per-lang aggregate.
+    */
+  private val qQualityUpsample: Q = (s, dir) => {
+    import graft.quality.LinearScorer
+    val score = LinearScorer.score(col("text"))
+    val rep = when(score > -5000L, lit(3))
+      .when(score > -10500L, lit(2))
+      .when(score > -20500L, lit(1))
+      .otherwise(lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), rep.as("rep"))
+      .filter(col("rep") > 0)
+      .select(col("doc_id"), col("lang"), col("rep"),
+        explode(sequence(lit(1), col("rep"))).as("slot"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows_out"),
+        sum(when(col("slot") === 1, col("rep").cast("long")).otherwise(0L))
+          .as("rep_sum"),
+        expr("bit_xor(doc_id * 8 + slot)").as("slot_xor"))
+      .orderBy("lang")
+  }
+
+  private def qualityUpsampleSql: String = {
+    val sc = graft.quality.LinearScorer.scoreSql("text")
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN $sc > -5000 THEN 3
+       |         WHEN $sc > -10500 THEN 2
+       |         WHEN $sc > -20500 THEN 1
+       |         ELSE 0 END AS rep
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, lang, rep,
+       |    CAST(unnest(range(1, rep + 1)) AS BIGINT) AS slot
+       |  FROM r WHERE rep > 0)
+       |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_rows_out,
+       |  CAST(SUM(CASE WHEN slot = 1 THEN rep ELSE 0 END) AS BIGINT)
+       |    AS rep_sum,
+       |  CAST(bit_xor(doc_id * 8 + slot) AS BIGINT) AS slot_xor
+       |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** v4 composed pipeline — the CORPUS-RELEASE flow
     * (pipeline.TrainingDataPipeline.summaryV4): published Gopher rule gate
     * (integer cross-multiplied thresholds) → exact dedup keep-canonical →
@@ -9667,6 +9739,8 @@ object QueryCatalog {
     "q_neardup_eval" -> qNeardupEval,
     "q_bitext_mining" -> qBitextMining,
     "q_training_pipeline_v4" -> qTrainingPipelineV4,
+    "q_quality_upsample" -> qQualityUpsample,
+    "q_contrastive_pairs" -> qContrastivePairs,
     "q_phrase_search" -> qPhraseSearch,
     "q_phrase_index" -> qPhraseIndex,
     "q_bm25_index" -> qBm25Index,
@@ -9932,6 +10006,8 @@ object QueryCatalog {
     "q_neardup_eval" -> neardupEvalSqlGen,
     "q_bitext_mining" -> bitextMiningSql,
     "q_training_pipeline_v4" -> trainingPipelineV4Sql,
+    "q_quality_upsample" -> qualityUpsampleSql,
+    "q_contrastive_pairs" -> contrastivePairsSqlGen,
     "q_phrase_search" -> phraseSearchSqlGen,
     "q_phrase_index" -> phraseIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,

@@ -180,6 +180,33 @@ object SketchOracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Oracle for `Dedup.contrastivePairs`: LSH candidates classified by
+    * exact shingle-Jaccard into positives (≥ posThreshold) and hard
+    * negatives (in [negLo, negHi) — same blocking bucket, verifiably NOT
+    * near-dups), aggregated per class.
+    */
+  def contrastivePairsSql(posThreshold: Double, negLo: Double,
+      negHi: Double, shingleLen: Int = 3, numHashes: Int = 24,
+      rowsPerBand: Int = 4): String = {
+    val jac = jaccard("x.sset", "y.sset")
+    s"""${sigAndBandsCte(shingleLen, numHashes, rowsPerBand)}, cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id
+       |), shd AS (
+       |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+       |), cls AS (
+       |  SELECT doc_a, doc_b,
+       |    CASE WHEN $jac >= $posThreshold THEN 'pos'
+       |         WHEN $jac >= $negLo AND $jac < $negHi THEN 'neg'
+       |         ELSE NULL END AS kind
+       |  FROM cand JOIN shd x ON x.doc_id = doc_a JOIN shd y ON y.doc_id = doc_b)
+       |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(bit_xor(doc_a * 1000000 + doc_b) AS BIGINT) AS pair_xor
+       |FROM cls WHERE kind IS NOT NULL
+       |GROUP BY kind ORDER BY kind""".stripMargin
+  }
+
   /** Oracle for the planted near-dup evaluation (`q_neardup_eval`):
     * `corpusSql` defines the evaluation corpus (doc_id, text) — base
     * sample plus planted perturbed copies at ids ≥ `plantedFrom`. Ground

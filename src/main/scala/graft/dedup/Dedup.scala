@@ -195,6 +195,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Contrastive training-pair generation for embedding models: LSH
+    * candidates classified by exact shingle-Jaccard into POSITIVES
+    * (≥ posThreshold — genuine near-dups, the anchor/positive pairs) and
+    * HARD NEGATIVES (in [negLo, negHi) — documents the blocking considered
+    * similar but verification rejects, exactly the confusable pairs a
+    * contrastive loss needs). Same banded shape as near-dup detection:
+    * candidates come from the band join, never all-pairs; verification
+    * joins text only for candidates.
+    */
+  def contrastivePairs(docs: DataFrame, posThreshold: Double = 0.7,
+      negLo: Double = 0.2, negHi: Double = 0.5, shingleLen: Int = 3,
+      numHashes: Int = 24, rowsPerBand: Int = 4): DataFrame = {
+    val cand = minHashCandidates(docs, shingleLen, numHashes, rowsPerBand)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("jaccard",
+        TextFunctions.shingleJaccard(col("text_a"), col("text_b"), shingleLen))
+      .withColumn("kind",
+        when(col("jaccard") >= lit(posThreshold), lit("pos"))
+          .when(col("jaccard") >= lit(negLo) && col("jaccard") < lit(negHi),
+            lit("neg")))
+      .filter(col("kind").isNotNull)
+      .select(col("doc_a"), col("doc_b"), col("kind"), col("jaccard"))
+  }
+
   /** Persistent MinHash band index — the incremental-dedup shape: build the
     * index over the existing corpus ONCE, then probe each arriving batch
     * against it without touching (or re-reading) historical text. Two
