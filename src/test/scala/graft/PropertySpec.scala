@@ -357,4 +357,56 @@ class PropertySpec extends SparkSpec {
       JpegCodec.decodeJpeg(b) // totality: no throw
     }
   }
+
+  test("utf-8 validator: agrees with the JVM on arbitrary valid strings; total on noise") {
+    import graft.multimodal.Charset
+    // valid round-trip: chars == codepoint count, zero bad, kind by content
+    val anyString: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ü", "中", "文", "Ж"),
+      1 -> Gen.oneOf(Character.toChars(0x1F600).mkString,
+        Character.toChars(0x10348).mkString))).map(_.mkString)
+    for (s <- cases(anyString)) {
+      val info = Charset.info(s.getBytes("UTF-8"))
+      assert(info.bad === 0L, s)
+      assert(info.chars === s.codePointCount(0, s.length).toLong, s)
+      assert(info.kind === (if (s.forall(_ < 0x80)) "ascii" else "utf8"), s)
+    }
+    // totality + resync on arbitrary byte noise: never throws, and every
+    // byte is accounted for as either part of a codepoint or one bad byte
+    val bytes: Gen[Array[Byte]] =
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    for (b <- cases(bytes)) {
+      val info = Charset.info(b)
+      assert(info.chars >= 0 && info.bad >= 0)
+      assert(info.chars + info.bad <= b.length)
+      assert((info.bad > 0) === (info.kind == "invalid"))
+    }
+  }
+
+  test("luhn column check agrees with a reference implementation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def luhnRef(card: String): Boolean = {
+      val sum = card.reverseIterator.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val cards = cases(Gen.listOfN(16, Gen.numChar), 100).map(_.mkString)
+    val got = cards.toDF("c")
+      .select(col("c"), graft.functions.TextFunctions.luhnValid(col("c")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for (c <- cards) assert(got(c) === luhnRef(c), c)
+    // a known-valid number (classic test PAN) and an off-by-one neighbor
+    assert(luhnRef("4539578763621486"))
+    assert(got.getOrElse("4539578763621486", {
+      val r = Seq("4539578763621486").toDF("c")
+        .select(graft.functions.TextFunctions.luhnValid(col("c")))
+        .head().getBoolean(0)
+      r
+    }))
+  }
 }
