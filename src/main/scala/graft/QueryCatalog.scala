@@ -2242,6 +2242,43 @@ object QueryCatalog {
        |  ${u64ToSigned(rollingFoldSql("allp"))} AS pieces_fp
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer fertility per language (pieces-per-word — THE metric for
+    * how well a subword vocab fits each language; high fertility inflates
+    * effective sequence length and training cost). Subword pieces come
+    * from the codegen WordPiece tokenizer (map-only), words from the
+    * whitespace split; per-language sums give integer-exact fertility in
+    * milli-units. The oracle replays the greedy tokenizer via the shared
+    * recursive-CTE chain.
+    */
+  private val qTokenizerFertility: Q = (s, dir) => {
+    import org.apache.spark.sql.graftx.WordPiece.subword_pieces
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(subword_pieces(col("text"))).cast("long").as("n_pieces"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("fertility_milli", expr("n_pieces * 1000 div n_words"))
+      .orderBy("lang")
+  }
+
+  private def tokenizerFertilitySqlGen: String =
+    s"""WITH RECURSIVE ${subwordCtes("documents")}, perdoc AS (
+       |  SELECT t.doc_id, SUM(len(d.pieces)) AS n_pieces
+       |  FROM toks t JOIN done d USING (word) GROUP BY t.doc_id),
+       |base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(n_pieces) * 1000 // SUM(n_words) AS BIGINT)
+       |    AS fertility_milli
+       |FROM base JOIN perdoc USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** v3 composed pipeline (pipeline.TrainingDataPipeline.summaryV3): the
     * LEARNED-model flow — hashed-linear classifier gate → exact dedup →
     * per-language token budget costed in SUBWORD pieces (the unit an LLM
@@ -8000,6 +8037,226 @@ object QueryCatalog {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY config")
   }
 
+  /** Deterministic epoch reshuffle — the training-stream ordering op: each
+    * epoch re-orders the corpus by `md5(epoch:doc_id)` (RNG-free, so any
+    * run reproduces the exact stream), docs land in hash shards, and order
+    * WITHIN a shard is the served order (the production shape: a global
+    * sort never happens — range/hash partition + sortWithinPartitions).
+    * Emitted per (epoch, shard): counts and an ORDER-SENSITIVE checksum
+    * (Σ rank·doc_id) that moves if any two docs swap places — the oracle
+    * replays key, shard, and ranking; different epochs provably produce
+    * different orders while each epoch is bit-stable.
+    */
+  private val qEpochShuffle: Q = (s, dir) => {
+    val key = md5(concat(col("e").cast("string"), lit(":"),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("e"), col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("e"))
+      .withColumn("k", key)
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 1), 16, 10) % 4).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("e", "shard")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rk") * col("doc_id")).as("ordsum"),
+        min(col("k")).as("first_key"))
+      .orderBy("e", "shard")
+  }
+
+  private val epochShuffleSql = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(k, $i, 1)) - 1)"
+    s"""WITH x AS (
+       |  SELECT doc_id, e,
+       |    md5(CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents, generate_series(0, 2) g(e)),
+       |r AS (
+       |  SELECT doc_id, e, k, CAST(${nib(1)} % 4 AS BIGINT) AS shard
+       |  FROM x),
+       |rk AS (
+       |  SELECT e, shard, doc_id, k,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY e, shard
+       |      ORDER BY k, doc_id) AS BIGINT) AS rk
+       |  FROM r)
+       |SELECT CAST(e AS INT) AS e, shard, COUNT(*) AS n,
+       |  CAST(SUM(rk * doc_id) AS BIGINT) AS ordsum,
+       |  min(k) AS first_key
+       |FROM rk GROUP BY e, shard ORDER BY e, shard""".stripMargin
+  }
+
+  /** Corpus datasheet — the per-source release report ("datasheets for
+    * datasets"): document/token volume, exact-dup rate (fingerprint
+    * distinct), language spread, published-rule pass rate, and the mean
+    * classifier score — every column exact-integer so the report is
+    * engine-reproducible, all from ONE aggregate over a map-only
+    * projection (fingerprint, score, and rule bits are codegen'd; nothing
+    * but per-source partials shuffles).
+    */
+  private val qDatasheet: Q = (s, dir) => {
+    import graft.quality.{LinearScorer, RuleFilters}
+    val rules = RuleFilters.gopherRules(col("text"))
+    val keep = rules.map(_._2).reduce(_ && _)
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        rolling_hash(col("text")).as("fp"),
+        LinearScorer.score(col("text")).as("score"),
+        keep.as("gopher_keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("gopher_keep"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum(col("score")).as("score_sum"))
+      .withColumn("dup_rate_milli",
+        expr("(n_docs - n_unique) * 1000 div n_docs"))
+      .withColumn("mean_score_micro", expr("score_sum div n_docs"))
+      .orderBy("source")
+  }
+
+  private def datasheetSql: String = {
+    import graft.quality.RuleFilters._
+    val stop = graft.functions.TextFunctions.EnglishStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val sc = graft.quality.LinearScorer.scoreSql("text")
+    s"""WITH t AS (
+       |  SELECT source, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    ${u64ToSigned(rollingFoldSql("text"))} AS fp,
+       |    $sc AS score,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+       |      AS word_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+       |    CAST((length(text) - length(replace(text, '#', ''))) +
+       |      (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS symbols,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> list_contains($stop, w))) AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |k AS (
+       |  SELECT *,
+       |    (n_words >= $MinWords AND n_words <= $MaxWords AND
+       |     word_chars >= $MinMeanWordLen * n_words AND
+       |     word_chars <= $MaxMeanWordLen * n_words AND
+       |     symbols * 10 < n_words AND
+       |     alpha_words * 5 >= n_words * 4 AND
+       |     stop_hits >= $MinStopwordHits) AS gopher_keep
+       |  FROM t)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(SUM(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_gopher_pass,
+       |  CAST(SUM(score) AS BIGINT) AS score_sum,
+       |  CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000 // COUNT(*) AS BIGINT)
+       |    AS dup_rate_milli,
+       |  CAST(CAST(SUM(score) AS BIGINT) // COUNT(*) AS BIGINT)
+       |    AS mean_score_micro
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Language-ID confusion matrix — the eval half of the lang-ID heuristic
+    * (TextFunctions.langId): predictions against the gold `lang` column as
+    * (gold, pred, n) cells plus per-cell hit accounting. The oracle
+    * replays the marker-count argmax from the same marker lists
+    * (first-listed language wins ties, zero hits ⇒ 'unk').
+    */
+  private val qLangConfusion: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang").as("gold"),
+        graft.functions.TextFunctions.langId(col("text")).as("pred"))
+      .groupBy("gold", "pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hit", col("gold") === col("pred"))
+      .orderBy("gold", "pred")
+
+  private def langConfusionSql: String = {
+    val markers = graft.functions.TextFunctions.LangMarkers
+    val scores = markers.map { case (lang, ws) =>
+      val set = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(string_split(text, ' '), " +
+        s"t -> list_contains($set, t))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    val m = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val pick = markers.map { case (l, _) =>
+      s"WHEN s_$l = m THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH sc AS (
+       |  SELECT lang AS gold,
+       |    $scores
+       |  FROM documents),
+       |p AS (
+       |  SELECT gold, CASE WHEN m = 0 THEN 'unk'
+       |      $pick
+       |      ELSE 'unk' END AS pred
+       |  FROM (SELECT *, $m AS m FROM sc))
+       |SELECT gold, pred, COUNT(*) AS n, (gold = pred) AS hit
+       |FROM p GROUP BY gold, pred ORDER BY gold, pred""".stripMargin
+  }
+
+  /** PMI domain keywords — per-source vocabulary signature: pointwise
+    * mutual information of (token, source) over the corpus word counts,
+    * micro-quantized (`round(1e6·ln((c_ws·N)/(c_w·c_s)))` — ln over exact
+    * integer ratios, the q_bm25 parity rule), support-filtered, top-3 per
+    * source by a source-partitioned rank. The word-count aggregates are
+    * the classic map-side-combine shape; nothing wider than (token,
+    * source, count) shuffles.
+    */
+  private val qPmiKeywords: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      .filter(col("token") =!= "")
+    val cws = toks.groupBy("source", "token").agg(count(lit(1)).as("c_ws"))
+    val cw = toks.groupBy("token").agg(count(lit(1)).as("c_w"))
+    val cs = toks.groupBy("source").agg(count(lit(1)).as("c_s"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    val pmi = cws.join(broadcast(cw), "token").join(broadcast(cs), "source")
+      .crossJoin(broadcast(n))
+      .filter(col("c_ws") >= 5)
+      .withColumn("pmi_u",
+        round(log(col("c_ws").cast("double") * col("n_total").cast("double") /
+          (col("c_w").cast("double") * col("c_s").cast("double"))) *
+          lit(1000000.0)).cast("long"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pmi_u").desc, col("token"))
+    pmi.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("token"), col("c_ws"),
+        col("pmi_u"))
+      .orderBy("source", "rk")
+  }
+
+  private val pmiKeywordsSql =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |t2 AS (SELECT source, token FROM t WHERE token <> ''),
+      |cws AS (SELECT source, token, COUNT(*) AS c_ws FROM t2 GROUP BY 1, 2),
+      |cw AS (SELECT token, COUNT(*) AS c_w FROM t2 GROUP BY 1),
+      |cs AS (SELECT source, COUNT(*) AS c_s FROM t2 GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_total FROM t2),
+      |pmi AS (
+      |  SELECT source, token, c_ws,
+      |    CAST(round(ln(CAST(c_ws AS DOUBLE) * CAST(n_total AS DOUBLE) /
+      |      (CAST(c_w AS DOUBLE) * CAST(c_s AS DOUBLE))) * 1000000.0)
+      |      AS BIGINT) AS pmi_u
+      |  FROM cws JOIN cw USING (token) JOIN cs USING (source), n
+      |  WHERE c_ws >= 5)
+      |SELECT source, rk, token, c_ws, pmi_u FROM (
+      |  SELECT source, token, c_ws, pmi_u,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY pmi_u DESC, token) AS BIGINT) AS rk
+      |  FROM pmi) x
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
   /** Contrastive training-pair generation (dedup.Dedup.contrastivePairs):
     * the LSH band join surfaces candidates once, and exact Jaccard
     * classifies them into positives (≥0.7, anchor/positive pairs) and
@@ -9741,6 +9998,11 @@ object QueryCatalog {
     "q_training_pipeline_v4" -> qTrainingPipelineV4,
     "q_quality_upsample" -> qQualityUpsample,
     "q_contrastive_pairs" -> qContrastivePairs,
+    "q_lang_confusion" -> qLangConfusion,
+    "q_datasheet" -> qDatasheet,
+    "q_epoch_shuffle" -> qEpochShuffle,
+    "q_tokenizer_fertility" -> qTokenizerFertility,
+    "q_pmi_keywords" -> qPmiKeywords,
     "q_phrase_search" -> qPhraseSearch,
     "q_phrase_index" -> qPhraseIndex,
     "q_bm25_index" -> qBm25Index,
@@ -10008,6 +10270,11 @@ object QueryCatalog {
     "q_training_pipeline_v4" -> trainingPipelineV4Sql,
     "q_quality_upsample" -> qualityUpsampleSql,
     "q_contrastive_pairs" -> contrastivePairsSqlGen,
+    "q_lang_confusion" -> langConfusionSql,
+    "q_datasheet" -> datasheetSql,
+    "q_epoch_shuffle" -> epochShuffleSql,
+    "q_tokenizer_fertility" -> tokenizerFertilitySqlGen,
+    "q_pmi_keywords" -> pmiKeywordsSql,
     "q_phrase_search" -> phraseSearchSqlGen,
     "q_phrase_index" -> phraseIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,

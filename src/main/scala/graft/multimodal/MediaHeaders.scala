@@ -251,7 +251,8 @@ object MediaHeaders {
   private def isMp4(b: Array[Byte]) =
     b.length >= 12 && new String(b, 4, 4, US_ASCII) == "ftyp"
   private def isMp3(b: Array[Byte]) =
-    b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3'
+    (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
   private def isFlac(b: Array[Byte]) =
     b.length >= 42 && new String(b, 0, 4, US_ASCII) == "fLaC"
 
@@ -284,13 +285,16 @@ object MediaHeaders {
     }
   }
 
-  /** Skip the ID3v2 tag (syncsafe size), then decode the first frame
-    * header's bitrate/sample-rate indices through the published tables.
+  /** Skip the ID3v2 tag when present (syncsafe size; bare frame streams
+    * start at 0), then decode the first frame header's bitrate/sample-rate
+    * indices through the published tables.
     */
   private def parseMp3(b: Array[Byte]): Option[AvInfo] = {
-    val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
-      ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-    val off = 10 + tagSize
+    val off =
+      if (b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+      else 0
     if (off + 4 > b.length) return None
     if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return None
     val version = (b(off + 1) >> 3) & 3

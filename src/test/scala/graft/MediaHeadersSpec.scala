@@ -83,6 +83,10 @@ class MediaHeadersSpec extends SparkSpec {
     // mp3 whose ID3 size points past the payload
     val shortTag = mp3.clone(); shortTag(9) = 0x7f
     assert(MediaHeaders.parseAv(shortTag) === None)
+    // bare MP3 frame (no ID3 tag) is still recognized
+    assert(MediaHeaders.parseAv(MediaHeaders.mp3Bytes(5, 1).drop(10)) ===
+      Some(MediaHeaders.AvInfo("mp3", MediaHeaders.Mp3Bitrates(5).toLong,
+        MediaHeaders.Mp3SampleRates(1).toLong, 0L)))
     // flac whose first block is not STREAMINFO
     val flac = MediaHeaders.flacBytes(44100, 2, 1000)
     val badBlock = flac.clone(); badBlock(4) = 0x84.toByte
