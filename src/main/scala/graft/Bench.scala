@@ -34,7 +34,12 @@ object Bench {
     * the OUTPUT (accuracy booleans vs exact) is deterministic, the plan
     * string is not. Recorded as "volatile", skipped by the change gate.
     */
-  private val fpVolatile = Set("q_quantile_store")
+  private val fpVolatile = Set("q_quantile_store",
+    // q_zone_map's executed plan embeds the zone-map fixture's pruned FILE
+    // LIST; file names carry per-build UUIDs and listing order, so the
+    // text churns across runs while the plan SHAPE (and the result, incl.
+    // the pruning booleans) is deterministic.
+    "q_zone_map")
 
   /** Previous round's per-query plan fingerprints, read from the committed
     * BENCH_DETAILS.json BEFORE this run overwrites it — the regression gate
