@@ -6609,6 +6609,39 @@ object QueryCatalog {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming crawl-archive ingest (streaming.DocsStream.warcIngestDrain):
+    * WARC archives land in WAVES — wave 1 is drained, wave 2 arrives, the
+    * SAME checkpoint drains again — and the checkpointed file tracking
+    * must ingest every archive exactly once (no re-parse of wave 1, no
+    * miss of wave 2). The final corpus aggregates per source with content
+    * checksums; the oracle is the full-table aggregate (identical to the
+    * batch WARC round-trip), so any duplicate or dropped record breaks
+    * the hash.
+    */
+  private val qStreamWarcIngest: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swarc").toString
+    val docs = Tables.documents(s, dir)
+    graft.sources.Warc.write(docs.filter(col("doc_id") % 2 === 0),
+      s"$tmp/in/w1", numFiles = 3)
+    graft.streaming.DocsStream.warcIngestDrain(s, s"$tmp/in/*",
+      s"$tmp/out", s"$tmp/ck")
+    graft.sources.Warc.write(docs.filter(col("doc_id") % 2 === 1),
+      s"$tmp/in/w2", numFiles = 3)
+    graft.streaming.DocsStream.warcIngestDrain(s, s"$tmp/in/*",
+      s"$tmp/out", s"$tmp/ck")
+    s.read.parquet(s"$tmp/out")
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        rolling_hash(col("text")).as("fp"),
+        rolling_hash(col("lang")).as("lfp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        expr("bit_xor(fp)").as("text_xor"),
+        expr("bit_xor(lfp)").as("lang_xor"))
+      .orderBy("source")
+  }
+
   /** Streaming approximate distinct (streaming.EventsStream
     * .hourlyDistinctDrain): per-hour distinct users estimated by an HLL
     * sketch aggregate inside the watermarked window state (exact streaming
@@ -7926,6 +7959,37 @@ object QueryCatalog {
        |  $joins
        |WHERE t0.token = '${terms.head}'
        |GROUP BY t0.doc_id ORDER BY t0.doc_id""".stripMargin
+  }
+
+  /** Incremental index maintenance (functions.Bm25.appendIndex): the
+    * positional index is built over the first 60% of the corpus, the
+    * remaining documents arrive as an APPEND wave into the same bucket
+    * directories — no rebuild, historical postings never re-read — and the
+    * phrase probe over the merged store must equal a from-scratch build
+    * (the oracle replays the phrase against the FULL corpus). The pruning
+    * gate still holds on the merged store.
+    */
+  private val qPhraseIndexIncremental: Q = (s, dir) => {
+    import graft.functions.Bm25
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pidxinc").toString
+    val terms = PhraseQueries.head.split(" ").toSeq
+    val docs = Tables.documents(s, dir)
+    Bm25.writeIndex(
+      Bm25.buildPositionalIndex(docs.filter(col("doc_id") < 300)),
+      s"$tmp/pidx")
+    Bm25.appendIndex(
+      Bm25.buildPositionalIndex(docs.filter(col("doc_id") >= 300)),
+      s"$tmp/pidx")
+    val probed = Bm25.probePositionalIndex(s, s"$tmp/pidx", terms)
+    val nSelected: Int = probed.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+    val nBuckets = terms.map(Bm25.bucketOf(_)).distinct.size
+    Bm25.phraseSearch(probed, terms)
+      .withColumn("pruned_scan", lit(nSelected <= nBuckets))
+      .orderBy("doc_id")
   }
 
   /** Hybrid lexical+dense retrieval with Reciprocal Rank Fusion
@@ -9986,7 +10050,7 @@ object QueryCatalog {
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
       "q_stream_dedup_hourly", "q_stream_classify", "q_stream_visual_gate",
-      "q_stream_distinct")
+      "q_stream_distinct", "q_stream_warc_ingest")
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
@@ -10005,6 +10069,7 @@ object QueryCatalog {
     "q_pmi_keywords" -> qPmiKeywords,
     "q_phrase_search" -> qPhraseSearch,
     "q_phrase_index" -> qPhraseIndex,
+    "q_phrase_index_incremental" -> qPhraseIndexIncremental,
     "q_bm25_index" -> qBm25Index,
     "q_label_prop" -> qLabelProp,
     "q_weighted_sample" -> qWeightedSample,
@@ -10217,6 +10282,7 @@ object QueryCatalog {
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_enrich" -> qStreamEnrich,
     "q_stream_distinct" -> qStreamDistinct,
+    "q_stream_warc_ingest" -> qStreamWarcIngest,
     "q_stream_dedup_hourly" -> qStreamDedupHourly,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_interp" -> qStreamInterp,
@@ -10277,6 +10343,7 @@ object QueryCatalog {
     "q_pmi_keywords" -> pmiKeywordsSql,
     "q_phrase_search" -> phraseSearchSqlGen,
     "q_phrase_index" -> phraseIndexSqlGen,
+    "q_phrase_index_incremental" -> phraseIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,
     "q_label_prop" -> labelPropSql,
     "q_weighted_sample" -> weightedSampleSql,
@@ -10500,6 +10567,7 @@ object QueryCatalog {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_stream_distinct" -> streamDistinctSql,
+    "q_stream_warc_ingest" -> warcRoundtripSqlGen,
     "q_stream_dedup_hourly" -> eventsHourlyStreamSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_interp" -> timeseriesInterpSql, // bit-identical to the batch twin

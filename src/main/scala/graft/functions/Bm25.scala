@@ -109,6 +109,20 @@ object Bm25 {
       .repartition(col("token_bucket"))
       .write.partitionBy("token_bucket").mode("overwrite").parquet(path)
 
+  /** Incremental index maintenance: APPEND a new document wave's postings
+    * into the same bucket directories — no rebuild, no read of historical
+    * postings (the incremental-corpus discipline of `Dedup.appendBands`).
+    * Readers see old∪new because bucket files are unioned by the scan;
+    * `bucketOf` is a pure hash, so a token's postings never split across
+    * buckets. Compaction of accumulated small files per bucket is
+    * [[graft.sources.Compaction]]'s job, unchanged.
+    */
+  def appendIndex(index: DataFrame, path: String,
+      buckets: Int = IndexBuckets): Unit =
+    index.withColumn("token_bucket", tokenBucket(col("token"), buckets))
+      .repartition(col("token_bucket"))
+      .write.partitionBy("token_bucket").mode("append").parquet(path)
+
   /** Read back only the query terms' postings: the `token_bucket` filter is
     * a partition-directory prune (computed driver-side from the terms), the
     * `token` filter a pushed parquet predicate within those directories.
