@@ -5271,6 +5271,35 @@ object QueryCatalog {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS paths_equal
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** IVF index maintenance (similarity.IvfStore.append): the store is
+    * built over the first 60% of the corpus, the remaining vectors arrive
+    * as an APPEND wave — assigned by the PERSISTED quantizer (centroids
+    * frozen, history never re-read) into the same cluster partitions — and
+    * probing the merged store must return row-identical results to the
+    * in-memory search over the full corpus with the same quantizer. The
+    * vector twin of q_phrase_index_incremental.
+    */
+  private val qIvfAppend: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = ivfCentroids(emb, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    graft.similarity.IvfStore.build(emb.filter(col("vec_id") < 300), tmp, cents)
+    graft.similarity.IvfStore.append(emb.filter(col("vec_id") >= 300), tmp)
+    val queries = emb.filter(col("vec_id") < 5)
+    val store = graft.similarity.IvfStore.probe(queries, tmp, k = 5, nprobe = 4)
+    val mem = KMeansIvf.search(KMeansIvf.index(emb, cents), queries, cents,
+      k = 5, nprobe = 4)
+    val cols = Seq("query_id", "neighbor_id", "cos", "rk").map(col)
+    val d1 = store.select(cols: _*).exceptAll(mem.select(cols: _*))
+      .agg(count(lit(1)).as("d1"))
+    val d2 = mem.select(cols: _*).exceptAll(store.select(cols: _*))
+      .agg(count(lit(1)).as("d2"))
+    queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+      .crossJoin(broadcast(d1)).crossJoin(broadcast(d2))
+      .select(col("n_queries"),
+        (col("d1") === 0L && col("d2") === 0L).as("paths_equal"))
+  }
+
   /** PQ-ADC ANN (similarity.ProductQuantizer): 8×16 codebooks (≈32×
     * compression of the float index), ADC candidate ranking by table
     * lookups, exact cosine re-rank of the survivors. Same recall contract
@@ -10184,6 +10213,7 @@ object QueryCatalog {
     "q_subword_tokens" -> qSubwordTokens,
     "q_training_pipeline_v3" -> qTrainingPipelineV3,
     "q_ivf_store" -> qIvfStore,
+    "q_ivf_append" -> qIvfAppend,
     "q_avro_roundtrip" -> qAvroRoundtrip,
     "q_proto_roundtrip" -> qProtoRoundtrip,
     "q_proto_vectors" -> qProtoVectors,
@@ -10505,6 +10535,7 @@ object QueryCatalog {
     "q_subword_tokens" -> subwordTokensSqlGen,
     "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,
     "q_ivf_store" -> ivfStoreSql,
+    "q_ivf_append" -> ivfStoreSql,
     "q_avro_roundtrip" -> avroRoundtripSql,
     "q_proto_roundtrip" -> protoRoundtripSql,
     "q_proto_vectors" -> protoVectorsSql,

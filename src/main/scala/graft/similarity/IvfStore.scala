@@ -32,6 +32,20 @@ object IvfStore {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incremental maintenance: APPEND a new vector wave into the existing
+    * inverted lists — assigned by the PERSISTED quantizer (centroids are
+    * frozen; re-fitting would orphan historical assignments), written with
+    * append mode into the same cluster partitions. No rebuild, history
+    * never re-read; probes see old∪new because partition files union at
+    * the scan. Quantizer drift after many waves is a compaction-time
+    * refit + rewrite, the classic IVF operational trade.
+    */
+  def append(wave: DataFrame, dir: String): Unit = {
+    val cents = centroids(wave.sparkSession, dir)
+    KMeansIvf.index(wave, cents)
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/vectors")
+  }
+
   /** The persisted quantizer (k×dim doubles — driver-sized by design). */
   def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"$dir/centroids").orderBy("cluster")
