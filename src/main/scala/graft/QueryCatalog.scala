@@ -4159,6 +4159,37 @@ object QueryCatalog {
       .orderBy("new_id", "indexed_id")
   }
 
+  /** Band-index compaction (sources.Compaction.compactPartitions): the
+    * index accrues THREE append waves (base + two), leaving a small-file
+    * layer per band partition per wave; per-partition in-place compaction
+    * (atomic-swap per directory) collapses them, and the probe over the
+    * compacted store must produce the identical pair set — the oracle
+    * replays the band probe against the logical index content (file
+    * layout cannot matter), and the query gates that files really shrank.
+    */
+  private val qBandCompaction: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bandcmp").toString
+    Dedup.buildBandIndex(docs.filter(col("doc_id") < 150), tmp,
+      mode = "overwrite")
+    Dedup.buildBandIndex(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 275), tmp)
+    Dedup.buildBandIndex(
+      docs.filter(col("doc_id") >= 275 && col("doc_id") < 400), tmp)
+    val st = graft.sources.Compaction.compactPartitions(s, s"$tmp/bands")
+    Dedup.probeBandIndex(docs.filter(col("doc_id") >= 400), s, tmp,
+      minEstJaccard = 0.5)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("bit_xor(new_id * 1000000 + indexed_id)").as("pair_xor"))
+      .withColumn("files_reduced", lit(st.filesAfter < st.filesBefore))
+  }
+
+  private val bandCompactionSql =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(bit_xor(new_id * 1000000 + indexed_id) AS BIGINT) AS pair_xor,
+       |  TRUE AS files_reduced
+       |FROM (${SketchOracleSql.bandIndexProbeSql(400L, 0.5)})""".stripMargin
+
   /** The ONLINE ingest gate as a declared streaming query: documents with
     * doc_id ≥ 400 arrive as a multi-micro-batch stream (8 input files,
     * 2 per trigger) and are near-dup-checked — against the base index
@@ -10274,6 +10305,7 @@ object QueryCatalog {
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_seqfile_roundtrip" -> qSeqfileRoundtrip,
     "q_band_index_probe" -> qBandIndexProbe,
+    "q_band_compaction" -> qBandCompaction,
     "q_stream_neardup" -> qStreamNeardup,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -10475,6 +10507,7 @@ object QueryCatalog {
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_seqfile_roundtrip" -> csvRoundtripSql,
     "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
+    "q_band_compaction" -> bandCompactionSql,
     "q_stream_neardup" -> // same kernel as the drain, one batch replay (pair set is boundary-independent)
       SketchOracleSql.streamIngestGateSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),

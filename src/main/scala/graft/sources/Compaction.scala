@@ -42,4 +42,27 @@ object Compaction {
     fs.delete(old, true)
     Stats(dataFiles.length, n, bytes)
   }
+
+  /** Compact every first-level `col=value` partition directory of a
+    * partitioned store in place — the maintenance pass for append-mode
+    * indexes (band stores, bucketed postings, IVF lists), where each
+    * arriving wave leaves another small-file layer per partition. Each
+    * partition compacts independently (parallelizable across a cluster's
+    * driver pool; file counts within one partition are the unit of work),
+    * readers of the PARENT keep seeing the partition column from the
+    * directory name, and the per-directory atomic-swap discipline of
+    * [[compact]] applies unchanged.
+    */
+  def compactPartitions(spark: SparkSession, root: String,
+      format: String = "parquet",
+      targetBytes: Long = 256L * 1024 * 1024): Stats = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    val all = parts.map(st =>
+      compact(spark, st.getPath.toString, format, targetBytes))
+    Stats(all.map(_.filesBefore).sum, all.map(_.filesAfter).sum,
+      all.map(_.bytes).sum)
+  }
 }
