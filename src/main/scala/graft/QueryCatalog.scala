@@ -6702,6 +6702,64 @@ object QueryCatalog {
       .orderBy("source")
   }
 
+  /** Streaming crawl CURATION (streaming.DocsStream.crawlCurateDrain):
+    * landing WARC archives are parsed AND Gopher-rule-gated inside one
+    * stateless drain — rejects never reach the sink — and the surviving
+    * corpus aggregates per language with content checksums. The oracle
+    * applies the same integer rule bundle to the full table, so a doc
+    * wrongly passed, wrongly dropped, or corrupted in the parse breaks
+    * the hash. The online half of the v4 release flow's gate.
+    */
+  private val qStreamCrawlCurate: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scurate").toString
+    graft.sources.Warc.write(Tables.documents(s, dir), s"$tmp/in/w1",
+      numFiles = 6)
+    graft.streaming.DocsStream.crawlCurateDrain(s, s"$tmp/in/*",
+      s"$tmp/out", s"$tmp/ck")
+    s.read.parquet(s"$tmp/out")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        rolling_hash(col("text")).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        expr("bit_xor(fp)").as("text_xor"))
+      .orderBy("lang")
+  }
+
+  private def streamCrawlCurateSql: String = {
+    import graft.quality.RuleFilters._
+    val stop = graft.functions.TextFunctions.EnglishStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+       |      AS word_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+       |    CAST((length(text) - length(replace(text, '#', ''))) +
+       |      (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS symbols,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> list_contains($stop, w))) AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, text, n_words FROM t
+       |  WHERE n_words >= $MinWords AND n_words <= $MaxWords
+       |    AND word_chars >= $MinMeanWordLen * n_words
+       |    AND word_chars <= $MaxMeanWordLen * n_words
+       |    AND symbols * 10 < n_words
+       |    AND alpha_words * 5 >= n_words * 4
+       |    AND stop_hits >= $MinStopwordHits)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+       |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT)
+       |    AS text_xor
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Streaming approximate distinct (streaming.EventsStream
     * .hourlyDistinctDrain): per-hour distinct users estimated by an HLL
     * sketch aggregate inside the watermarked window state (exact streaming
@@ -10110,7 +10168,7 @@ object QueryCatalog {
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
       "q_stream_dedup_hourly", "q_stream_classify", "q_stream_visual_gate",
-      "q_stream_distinct", "q_stream_warc_ingest")
+      "q_stream_distinct", "q_stream_warc_ingest", "q_stream_crawl_curate")
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
@@ -10345,6 +10403,7 @@ object QueryCatalog {
     "q_stream_enrich" -> qStreamEnrich,
     "q_stream_distinct" -> qStreamDistinct,
     "q_stream_warc_ingest" -> qStreamWarcIngest,
+    "q_stream_crawl_curate" -> qStreamCrawlCurate,
     "q_stream_dedup_hourly" -> qStreamDedupHourly,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_interp" -> qStreamInterp,
@@ -10632,6 +10691,7 @@ object QueryCatalog {
     "q_stream_enrich" -> streamEnrichSql,
     "q_stream_distinct" -> streamDistinctSql,
     "q_stream_warc_ingest" -> warcRoundtripSqlGen,
+    "q_stream_crawl_curate" -> streamCrawlCurateSql,
     "q_stream_dedup_hourly" -> eventsHourlyStreamSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_interp" -> timeseriesInterpSql, // bit-identical to the batch twin

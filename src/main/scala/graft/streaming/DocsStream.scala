@@ -155,6 +155,43 @@ object DocsStream {
     q.awaitTermination()
   }
 
+  /** Streaming crawl CURATION: the [[warcIngestDrain]] parse composed with
+    * the published Gopher rule gate (quality.RuleFilters — integer-rule
+    * codegen projection) in ONE drain: archives land, documents flow out
+    * already gated, rejects never hit the sink. Both stages are map-only,
+    * so the whole online pipeline is stateless — exactly-once comes from
+    * the file-source checkpoint alone.
+    */
+  def crawlCurateDrain(spark: SparkSession, inGlob: String, outDir: String,
+      checkpoint: String): Unit = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val docs = spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", "2")
+      .load(inGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        graft.sources.Warc.parse(graft.sources.Codecs.decodeBytes(p, bytes))
+      }
+      .toDF()
+    val gated = graft.quality.RuleFilters.gopher(docs).filter(col("keep"))
+      .select("doc_id", "lang", "source", "text")
+    val q = gated.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Stream documents through the hashed-linear quality gate to parquet. */
   def classifyDrain(spark: SparkSession, sfDir: String, outDir: String,
       checkpoint: String): Unit = {
