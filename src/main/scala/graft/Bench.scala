@@ -39,7 +39,13 @@ object Bench {
     // LIST; file names carry per-build UUIDs and listing order, so the
     // text churns across runs while the plan SHAPE (and the result, incl.
     // the pruning booleans) is deterministic.
-    "q_zone_map")
+    "q_zone_map",
+    // multi-countDistinct plans rewrite through an Expand whose projection
+    // lists are ordered by exprId — ids shift whenever the CATALOG grows,
+    // so the normalized text moves positions even though the plan shape is
+    // identical (observed: q_unicode_dedup churned between two runs of
+    // unchanged query code). Mark every 2-countDistinct query volatile.
+    "q_unicode_dedup", "q_datasheet")
 
   /** Previous round's per-query plan fingerprints, read from the committed
     * BENCH_DETAILS.json BEFORE this run overwrites it — the regression gate
