@@ -6669,6 +6669,49 @@ object QueryCatalog {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming windowed quantiles (streaming.EventsStream
+    * .hourlyQuantilesDrain): per-hour p50/p95 estimated by the
+    * percentile sketch inside the watermarked window state (exact
+    * percentiles would buffer every value), drained AvailableNow, then
+    * each estimate validated against the batch data by RANK ERROR in
+    * exact integer form — |100·rank(est) − φ·100·n| ≤ n + 200, the
+    * sketch's ≤ n/accuracy guarantee plus definitional slack. The oracle
+    * emits the exact per-hour counts and expects every accuracy boolean
+    * TRUE.
+    */
+  private val qStreamQuantiles: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-squant").toString
+    graft.streaming.EventsStream.hourlyQuantilesDrain(s, dir, s"$tmp/out",
+      s"$tmp/ck")
+    val est = s.read.parquet(s"$tmp/out")
+    val ev = Tables.events(s, dir)
+    val closed = ev.crossJoin(broadcast(ev.agg(
+        (max(col("ts")).cast("long") - lit(1800L)).as("wm"))))
+      .filter(unix_seconds(date_trunc("hour", col("ts"))) + lit(3600L) <=
+        col("wm"))
+      .select(date_trunc("hour", col("ts")).as("hour"), col("value"))
+    closed.join(broadcast(est), Seq("hour"))
+      .groupBy(col("hour"), col("n_rows"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("r95"))
+      .select(col("hour"), col("n"),
+        (col("n") === col("n_rows")).as("rows_match"),
+        (abs(col("r50") * 100 - col("n") * 50) <= col("n") + 200)
+          .as("p50_ok"),
+        (abs(col("r95") * 100 - col("n") * 95) <= col("n") + 200)
+          .as("p95_ok"))
+      .orderBy("hour")
+  }
+
+  private val streamQuantilesSql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+      |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |  COUNT(*) AS n, TRUE AS rows_match, TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM events, wm
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming crawl-archive ingest (streaming.DocsStream.warcIngestDrain):
     * WARC archives land in WAVES — wave 1 is drained, wave 2 arrives, the
     * SAME checkpoint drains again — and the checkpointed file tracking
@@ -10168,7 +10211,7 @@ object QueryCatalog {
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
       "q_stream_dedup_hourly", "q_stream_classify", "q_stream_visual_gate",
-      "q_stream_distinct", "q_stream_warc_ingest", "q_stream_crawl_curate")
+      "q_stream_distinct", "q_stream_warc_ingest", "q_stream_crawl_curate", "q_stream_quantiles")
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
@@ -10404,6 +10447,7 @@ object QueryCatalog {
     "q_stream_distinct" -> qStreamDistinct,
     "q_stream_warc_ingest" -> qStreamWarcIngest,
     "q_stream_crawl_curate" -> qStreamCrawlCurate,
+    "q_stream_quantiles" -> qStreamQuantiles,
     "q_stream_dedup_hourly" -> qStreamDedupHourly,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_interp" -> qStreamInterp,
@@ -10692,6 +10736,7 @@ object QueryCatalog {
     "q_stream_distinct" -> streamDistinctSql,
     "q_stream_warc_ingest" -> warcRoundtripSqlGen,
     "q_stream_crawl_curate" -> streamCrawlCurateSql,
+    "q_stream_quantiles" -> streamQuantilesSql,
     "q_stream_dedup_hourly" -> eventsHourlyStreamSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_interp" -> timeseriesInterpSql, // bit-identical to the batch twin

@@ -518,6 +518,36 @@ object EventsStream {
     * q_approx_distinct discipline — the estimate is deterministic, so the
     * booleans are too).
     */
+  /** Streaming windowed quantiles: per-hour p50/p95 of the event value via
+    * `percentile_approx` inside the watermarked window state — the
+    * GK-sketch shape a stream can afford (exact percentiles would buffer
+    * every value; the sketch is O(accuracy) per open window and its
+    * partials merge like any aggregate). The declared query validates each
+    * emitted estimate against the batch data by its RANK ERROR — the
+    * sketch's published guarantee (≤ n/accuracy) — as oracle-comparable
+    * booleans, the q_approx_quantiles discipline.
+    */
+  def hourlyQuantilesDrain(spark: SparkSession, sfDir: String, outDir: String,
+      checkpoint: String, accuracy: Int = 100): Unit = {
+    val q = readEvents(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"percentile_approx(value, array(0.5D, 0.95D), $accuracy)")
+          .as("qs"),
+        count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("hour"),
+        col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p95"),
+        col("n_rows"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def hourlyDistinctDrain(spark: SparkSession, sfDir: String, outDir: String,
       checkpoint: String): Unit = {
     val q = readEvents(spark, sfDir)
