@@ -8554,6 +8554,97 @@ object QueryCatalog {
        |FROM x GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Corpus release diff — the audit between two dataset versions: docs
+    * only in A (removed), only in B (added), present in both with changed
+    * content (fingerprint mismatch), and unchanged. Releases are
+    * formula-derived views (A drops id%10=0, B drops id%10=1 and revises
+    * text where id%7=0), the diff is two fingerprint anti/inner joins —
+    * 16-byte shuffle rows, never text — and the oracle rebuilds both
+    * releases and the same classification.
+    */
+  private val qReleaseDiff: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val relA = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
+    val relB = docs.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"),
+        rolling_hash(when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
+    val a = relA.withColumnRenamed("fp", "fp_a")
+    val b = relB.withColumnRenamed("fp", "fp_b")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("kind"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("id_xor"))
+      .orderBy("kind")
+  }
+
+  private def releaseDiffSqlGen: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, ${u64ToSigned(rollingFoldSql("text"))} AS fp_a
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |b AS (
+       |  SELECT doc_id, ${u64ToSigned(rollingFoldSql(
+             "CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END"))}
+       |    AS fp_b
+       |  FROM documents WHERE doc_id % 10 <> 1),
+       |j AS (
+       |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |    CASE WHEN a.doc_id IS NULL THEN 'added'
+       |         WHEN b.doc_id IS NULL THEN 'removed'
+       |         WHEN fp_a <> fp_b THEN 'changed'
+       |         ELSE 'unchanged' END AS kind
+       |  FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id)
+       |SELECT kind, COUNT(*) AS n, CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+       |FROM j GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Format parity matrix — one corpus through EVERY text-capable sink
+    * (parquet, tuned ORC, gzip JSONL, zstd JSONL shards, WARC archives)
+    * and back, emitting one row per format with identical order-free
+    * content checksums: a single query certifying that no interchange
+    * path loses or alters a byte. The oracle computes the checksum once
+    * from the source table and expects it five times.
+    */
+  private val qFormatMatrix: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmtx").toString
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    docs.write.mode("overwrite").parquet(s"$tmp/pq")
+    graft.sources.OrcSink.write(docs, s"$tmp/orc",
+      graft.etl.JobConfig("format_matrix"))
+    graft.sources.Sources.jsonlWrite(docs, s"$tmp/jsonl", partitions = 4)
+    graft.sources.Sources.jsonlZstWrite(docs, s"$tmp/zst", numShards = 4)
+    graft.sources.Warc.write(docs, s"$tmp/warc", numFiles = 4)
+    val readers: Seq[(String, DataFrame)] = Seq(
+      "1_parquet" -> s.read.parquet(s"$tmp/pq"),
+      "2_orc" -> graft.sources.Sources.orc(s, s"$tmp/orc"),
+      "3_jsonl" -> graft.sources.Sources.jsonl(s, s"$tmp/jsonl", docs.schema),
+      "4_jsonl_zst" -> graft.sources.Sources.jsonlZst(s, s"$tmp/zst", docs.schema),
+      "5_warc" -> graft.sources.Warc.read(s, s"$tmp/warc"))
+    readers.map { case (name, df) =>
+      df.select(rolling_hash(col("text")).as("fp"), col("doc_id"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("id_xor"),
+          expr("bit_xor(fp)").as("text_xor"))
+        .withColumn("format", lit(name))
+        .select("format", "n", "id_xor", "text_xor")
+    }.reduce(_.unionByName(_)).orderBy("format")
+  }
+
+  private def formatMatrixSqlGen: String = {
+    val row = (n: String) =>
+      s"""SELECT '$n' AS format, COUNT(*) AS n,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+         |  CAST(bit_xor(${u64ToSigned(rollingFoldSql("text"))}) AS BIGINT)
+         |    AS text_xor
+         |FROM documents""".stripMargin
+    Seq("1_parquet", "2_orc", "3_jsonl", "4_jsonl_zst", "5_warc")
+      .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY format")
+  }
+
   /** v4 composed pipeline — the CORPUS-RELEASE flow
     * (pipeline.TrainingDataPipeline.summaryV4): published Gopher rule gate
     * (integer cross-multiplied thresholds) → exact dedup keep-canonical →
@@ -10221,6 +10312,8 @@ object QueryCatalog {
     "q_neardup_eval" -> qNeardupEval,
     "q_bitext_mining" -> qBitextMining,
     "q_training_pipeline_v4" -> qTrainingPipelineV4,
+    "q_release_diff" -> qReleaseDiff,
+    "q_format_matrix" -> qFormatMatrix,
     "q_quality_upsample" -> qQualityUpsample,
     "q_contrastive_pairs" -> qContrastivePairs,
     "q_lang_confusion" -> qLangConfusion,
@@ -10499,6 +10592,8 @@ object QueryCatalog {
     "q_neardup_eval" -> neardupEvalSqlGen,
     "q_bitext_mining" -> bitextMiningSql,
     "q_training_pipeline_v4" -> trainingPipelineV4Sql,
+    "q_release_diff" -> releaseDiffSqlGen,
+    "q_format_matrix" -> formatMatrixSqlGen,
     "q_quality_upsample" -> qualityUpsampleSql,
     "q_contrastive_pairs" -> contrastivePairsSqlGen,
     "q_lang_confusion" -> langConfusionSql,
