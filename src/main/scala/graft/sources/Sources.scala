@@ -103,9 +103,13 @@ object Sources {
       .option("pathGlobFilter", "*.jsonl.zst").load(path)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        new String(Codecs.decodeBytes(p, bytes),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n", -1).iterator.filter(_.nonEmpty)
+        // line-streaming decode: peak memory is the compressed shard (the
+        // binaryFile row) + one line — never the whole decompressed text
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          Codecs.decompressFor(p, new java.io.ByteArrayInputStream(bytes)),
+          java.nio.charset.StandardCharsets.UTF_8), 64 * 1024)
+        Iterator.continually(br.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty)
       }
       .toDF("line")
       .select(from_json(col("line"), schema).as("r"))
