@@ -59,7 +59,11 @@ object Compaction {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(p).filter(st =>
-      st.isDirectory && st.getPath.getName.contains("="))
+      st.isDirectory && st.getPath.getName.contains("=") &&
+        // an empty partition dir has nothing to compact, and reading it
+        // as a dataset would fail schema inference — skip it
+        fs.listStatus(st.getPath).exists(f =>
+          f.isFile && !f.getPath.getName.startsWith("_")))
     val all = parts.map(st =>
       compact(spark, st.getPath.toString, format, targetBytes))
     Stats(all.map(_.filesBefore).sum, all.map(_.filesAfter).sum,
