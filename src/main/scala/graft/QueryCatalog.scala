@@ -8122,6 +8122,56 @@ object QueryCatalog {
        |GROUP BY t0.doc_id ORDER BY t0.doc_id""".stripMargin
   }
 
+  /** Stop-postings index pruning (functions.Bm25.pruneIndex): tokens with
+    * df > 395 — the corpus-wide stopwords carrying the longest posting
+    * lists and the least idf mass — are dropped, the index provably
+    * shrinks (exact posting counts both sides), and scoring the query
+    * terms (all below the threshold) over the pruned index is
+    * row-identical to the full index. The oracle recomputes both posting
+    * counts and the BM25 scores exactly.
+    */
+  private val PruneMaxDf = 395L
+
+  private val qPrunedIndex: Q = (s, dir) => {
+    import graft.functions.Bm25
+    val docs = Tables.documents(s, dir)
+    val full = Bm25.buildIndex(docs).localCheckpoint()
+    val pruned = Bm25.pruneIndex(full, PruneMaxDf)
+    val lens = Bm25.docLengths(docs)
+    val s1 = Bm25.score(full, lens, Bm25Terms)
+    val s2 = Bm25.score(pruned, lens, Bm25Terms)
+    val cols = Seq("doc_id", "n_terms", "score_u").map(col)
+    val d1 = s1.select(cols: _*).exceptAll(s2.select(cols: _*))
+      .agg(count(lit(1)).as("d1"))
+    val d2 = s2.select(cols: _*).exceptAll(s1.select(cols: _*))
+      .agg(count(lit(1)).as("d2"))
+    s2.agg(count(lit(1)).as("n_docs_scored"),
+        expr("bit_xor(score_u)").as("score_xor"))
+      .crossJoin(broadcast(full.agg(count(lit(1)).as("postings_full"))))
+      .crossJoin(broadcast(pruned.agg(count(lit(1)).as("postings_pruned"))))
+      .crossJoin(broadcast(d1)).crossJoin(broadcast(d2))
+      .select(col("n_docs_scored"), col("score_xor"),
+        col("postings_full"), col("postings_pruned"),
+        (col("d1") === 0L && col("d2") === 0L).as("scores_equal"))
+  }
+
+  private def prunedIndexSqlGen: String = {
+    val bm = graft.functions.Bm25.oracleSql(Bm25Terms)
+    s"""WITH bm AS (SELECT * FROM ($bm)),
+       |tokp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |idx AS (SELECT token, doc_id, COUNT(*) AS tf FROM tokp
+       |        WHERE token <> '' GROUP BY 1, 2),
+       |dfs AS (SELECT token, COUNT(*) AS df FROM idx GROUP BY 1)
+       |SELECT CAST((SELECT COUNT(*) FROM bm) AS BIGINT) AS n_docs_scored,
+       |  CAST((SELECT bit_xor(score_u) FROM bm) AS BIGINT) AS score_xor,
+       |  CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS postings_full,
+       |  CAST((SELECT COUNT(*) FROM idx JOIN dfs USING (token)
+       |        WHERE df <= $PruneMaxDf) AS BIGINT) AS postings_pruned,
+       |  TRUE AS scores_equal""".stripMargin
+  }
+
   /** Incremental index maintenance (functions.Bm25.appendIndex): the
     * positional index is built over the first 60% of the corpus, the
     * remaining documents arrive as an APPEND wave into the same bucket
@@ -10324,6 +10374,7 @@ object QueryCatalog {
     "q_phrase_search" -> qPhraseSearch,
     "q_phrase_index" -> qPhraseIndex,
     "q_phrase_index_incremental" -> qPhraseIndexIncremental,
+    "q_pruned_index" -> qPrunedIndex,
     "q_bm25_index" -> qBm25Index,
     "q_label_prop" -> qLabelProp,
     "q_weighted_sample" -> qWeightedSample,
@@ -10604,6 +10655,7 @@ object QueryCatalog {
     "q_phrase_search" -> phraseSearchSqlGen,
     "q_phrase_index" -> phraseIndexSqlGen,
     "q_phrase_index_incremental" -> phraseIndexSqlGen,
+    "q_pruned_index" -> prunedIndexSqlGen,
     "q_bm25_index" -> bm25IndexSql,
     "q_label_prop" -> labelPropSql,
     "q_weighted_sample" -> weightedSampleSql,

@@ -168,6 +168,20 @@ object Bm25 {
       .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
   }
 
+  /** Stop-postings pruning — the classic index-size optimization: tokens
+    * whose document frequency exceeds `maxDf` (corpus-wide stopwords)
+    * carry the longest posting lists while contributing the least BM25
+    * mass (idf → 0 as df → N); dropping them shrinks the index by the
+    * heavy tail and leaves every query over surviving terms EXACTLY as
+    * scored before (per-term contributions are independent). One
+    * df-aggregate + a semi join — the word-count shuffle shape.
+    */
+  def pruneIndex(index: DataFrame, maxDf: Long): DataFrame = {
+    val keep = index.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("token")
+    index.join(keep, Seq("token"), "left_semi")
+  }
+
   /** Batch retrieval: score MANY queries in ONE pass — the serving shape
     * at scale (a per-query loop re-scans postings N times; this joins the
     * query-term relation against the postings once). `queries` is
