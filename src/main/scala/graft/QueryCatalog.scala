@@ -8122,6 +8122,51 @@ object QueryCatalog {
        |GROUP BY t0.doc_id ORDER BY t0.doc_id""".stripMargin
   }
 
+  /** Index-store bucket balance (the ops check for a hash-partitioned
+    * store): postings land in md5 token buckets (Bm25.writeIndex layout),
+    * and this report counts tokens/postings per bucket from the PERSISTED
+    * store plus an exact-integer balance gate (max bucket ≤ 4× the even
+    * share) — hash skew in the partition key is what silently turns a
+    * pruned probe into a full scan, so it is measured, not assumed. The
+    * oracle rebuilds the bucket assignment digit-by-digit from the same
+    * md5 window.
+    */
+  private val qBucketStats: Q = (s, dir) => {
+    import graft.functions.Bm25
+    val tmp = Fixtures.getOrBuild(s"bucketstats-idx:$dir") { f =>
+      Bm25.writeIndex(Bm25.buildIndex(Tables.documents(s, dir)), f)
+    }
+    val store = s.read.parquet(tmp)
+    val total = store.agg(count(lit(1)).as("n_total"))
+    store.groupBy(col("token_bucket").cast("long").as("bucket"))
+      .agg(countDistinct(col("token")).as("n_tokens"),
+        count(lit(1)).as("n_postings"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_tokens"), col("n_postings"),
+        (col("n_postings") * lit(graft.functions.Bm25.IndexBuckets.toLong) <=
+          col("n_total") * 4L).as("balanced"))
+      .orderBy("bucket")
+  }
+
+  private val bucketStatsSql = {
+    def hexDigit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(token), $i, 1)) - 1)"
+    val bucket = s"((${hexDigit(1)}*4096 + ${hexDigit(2)}*256 + " +
+      s"${hexDigit(3)}*16 + ${hexDigit(4)}) % ${graft.functions.Bm25.IndexBuckets})"
+    s"""WITH tokb AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |idx AS (SELECT token, doc_id FROM tokb WHERE token <> ''
+       |        GROUP BY token, doc_id),
+       |b AS (SELECT CAST($bucket AS BIGINT) AS bucket, token FROM idx),
+       |tot AS (SELECT COUNT(*) AS n_total FROM b)
+       |SELECT bucket, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+       |  COUNT(*) AS n_postings,
+       |  (COUNT(*) * ${graft.functions.Bm25.IndexBuckets} <= n_total * 4)
+       |    AS balanced
+       |FROM b, tot GROUP BY bucket, n_total ORDER BY bucket""".stripMargin
+  }
+
   /** Stop-postings index pruning (functions.Bm25.pruneIndex): tokens with
     * df > 395 — the corpus-wide stopwords carrying the longest posting
     * lists and the least idf mass — are dropped, the index provably
@@ -10375,6 +10420,7 @@ object QueryCatalog {
     "q_phrase_index" -> qPhraseIndex,
     "q_phrase_index_incremental" -> qPhraseIndexIncremental,
     "q_pruned_index" -> qPrunedIndex,
+    "q_bucket_stats" -> qBucketStats,
     "q_bm25_index" -> qBm25Index,
     "q_label_prop" -> qLabelProp,
     "q_weighted_sample" -> qWeightedSample,
@@ -10656,6 +10702,7 @@ object QueryCatalog {
     "q_phrase_index" -> phraseIndexSqlGen,
     "q_phrase_index_incremental" -> phraseIndexSqlGen,
     "q_pruned_index" -> prunedIndexSqlGen,
+    "q_bucket_stats" -> bucketStatsSql,
     "q_bm25_index" -> bm25IndexSql,
     "q_label_prop" -> labelPropSql,
     "q_weighted_sample" -> weightedSampleSql,
