@@ -177,7 +177,11 @@ object Bm25 {
     * df-aggregate + a semi join — the word-count shuffle shape.
     */
   def pruneIndex(index: DataFrame, maxDf: Long): DataFrame = {
-    val keep = index.groupBy("token").agg(count(lit(1)).as("df"))
+    // df = DISTINCT docs per token (matches scoreBatch), not row count:
+    // on the positional index (same module, compatible schema) a plain
+    // count(*) would tally positions and silently prune mid-freq tokens.
+    val keep = index.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= maxDf).select("token")
     index.join(keep, Seq("token"), "left_semi")
   }

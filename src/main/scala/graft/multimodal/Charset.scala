@@ -9,7 +9,12 @@ package graft.multimodal
   * sequences, no overlongs, no surrogates, max U+10FFFF) rather than a
   * `CharsetDecoder`, so the result is fully specified — each byte that
   * cannot begin or continue a valid sequence counts as one `bad` byte and
-  * scanning resumes at the next byte, the standard replacement policy.
+  * scanning resumes at the next byte. Note this is a per-byte resync
+  * policy (one `bad` count per rejected byte, including valid
+  * continuation prefixes of a truncated sequence), which is stricter
+  * bookkeeping than the Unicode/WHATWG maximal-subpart replacement
+  * policy (one replacement per truncated sequence); the three-way
+  * `kind` split is identical under both.
   * Runs inside the payload codec task ([[Multimodal]] discipline: bytes
   * never shuffle, only the per-doc stat row does).
   */

@@ -271,13 +271,19 @@ object MediaHeaders {
       }
       None
     }
+    // Total over hostile crawl bytes: a box smaller than its fixed field
+    // layout (mvhd needs 20 body bytes through `duration`, tkhd 84 through
+    // `height`) or a zero timescale yields None, never a throw.
     for {
       (moovS, moovE) <- findBox("moov", 0, b.length)
-      (mvhdS, _) <- findBox("mvhd", moovS, moovE)
+      (mvhdS, mvhdE) <- findBox("mvhd", moovS, moovE)
+      if mvhdE - mvhdS >= 20
       (trakS, trakE) <- findBox("trak", moovS, moovE)
-      (tkhdS, _) <- findBox("tkhd", trakS, trakE)
+      (tkhdS, tkhdE) <- findBox("tkhd", trakS, trakE)
+      if tkhdE - tkhdS >= 84
+      timescale = readBe32(b, mvhdS + 12).toLong
+      if timescale != 0L
     } yield {
-      val timescale = readBe32(b, mvhdS + 12).toLong
       val ticks = readBe32(b, mvhdS + 16).toLong
       val w = readBe32(b, tkhdS + 76) >>> 16
       val h = readBe32(b, tkhdS + 80) >>> 16

@@ -79,19 +79,40 @@ object Sources {
   def jsonlZstWrite(df: DataFrame, path: String, numShards: Int): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, struct, to_json}
+    // Ship the SESSION's Hadoop conf to executors (object-store creds, FS
+    // impls) — a fresh Configuration() on the executor would silently drop
+    // them. Serialized as entries; Configuration itself isn't Serializable.
+    val confEntries: Array[(String, String)] = {
+      val hc = df.sparkSession.sparkContext.hadoopConfiguration
+      val it = hc.iterator(); val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
     val cols = df.columns.map(col)
     df.select(to_json(struct(cols.toIndexedSeq: _*)).as("line"))
       .repartition(numShards)
       .as[String]
       .foreachPartition { it: Iterator[String] =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val p = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.jsonl.zst")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val hc = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => hc.set(k, v) }
+        val fin = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.jsonl.zst")
+        // Task-commit protocol for a raw-FS sink: each attempt writes an
+        // attempt-unique temp file, then renames onto the final name — a
+        // speculative/zombie attempt racing a retry can never interleave
+        // bytes into the shard; the last complete rename wins whole.
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$path/.part-$pid%05d.jsonl.zst.attempt-${tc.taskAttemptId()}")
+        val fs = fin.getFileSystem(hc)
         val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          Codecs.compress("zstd", fs.create(p, true)),
+          Codecs.compress("zstd", fs.create(tmp, true)),
           java.nio.charset.StandardCharsets.UTF_8), 64 * 1024)
         try it.foreach { l => out.write(l); out.write('\n') }
         finally out.close()
+        if (fs.exists(fin)) fs.delete(fin, false)
+        if (!fs.rename(tmp, fin))
+          throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
       }
   }
 

@@ -506,18 +506,6 @@ object EventsStream {
     q.awaitTermination()
   }
 
-  /** Streaming approximate-distinct: per-hour distinct users via an HLL
-    * sketch aggregate (lgK=12, ~1.6% RSE) inside the watermarked window
-    * state — the cardinality shape a 100 TB stream needs, because an EXACT
-    * streaming distinct would hold every key in state (Spark rightly
-    * refuses `count(distinct)` on streams). The sketch is a few KB per
-    * open window regardless of input rate; partials merge map-side like
-    * any aggregate. Emitted rows carry the estimate + the window's row
-    * count; the declared query joins them against the batch-exact distinct
-    * and emits accuracy booleans as oracle-comparable data (the
-    * q_approx_distinct discipline — the estimate is deterministic, so the
-    * booleans are too).
-    */
   /** Streaming windowed quantiles: per-hour p50/p95 of the event value via
     * `percentile_approx` inside the watermarked window state — the
     * GK-sketch shape a stream can afford (exact percentiles would buffer
@@ -548,6 +536,18 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Streaming approximate-distinct: per-hour distinct users via an HLL
+    * sketch aggregate (lgK=12, ~1.6% RSE) inside the watermarked window
+    * state — the cardinality shape a 100 TB stream needs, because an EXACT
+    * streaming distinct would hold every key in state (Spark rightly
+    * refuses `count(distinct)` on streams). The sketch is a few KB per
+    * open window regardless of input rate; partials merge map-side like
+    * any aggregate. Emitted rows carry the estimate + the window's row
+    * count; the declared query joins them against the batch-exact distinct
+    * and emits accuracy booleans as oracle-comparable data (the
+    * q_approx_distinct discipline — the estimate is deterministic, so the
+    * booleans are too).
+    */
   def hourlyDistinctDrain(spark: SparkSession, sfDir: String, outDir: String,
       checkpoint: String): Unit = {
     val q = readEvents(spark, sfDir)
