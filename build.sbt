@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // One bench/verify JVM executes ~280 whole-stage-codegen'd queries; the
+  // JDK default 240 MB code cache fills partway through, the JIT stops
+  // compiling, and EVERY later query slows uniformly (the r4 1.23x drift
+  // signature). Size it for the full catalog.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -74,8 +74,8 @@ object Bench {
     // read/agg machinery)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    def timeQueries(names: Iterable[String], executedFp: Boolean)
-        : Seq[(String, Seq[Double], String)] =
+    def timeQueries(names: Iterable[String], executedFp: Boolean,
+        runs: Int = 3): Seq[(String, Seq[Double], String)] =
       names.toSeq.sorted.map { name =>
         val fn = SparkEntry.queries(name)
         // Between queries: drop cached/checkpointed blocks left by fixture
@@ -85,10 +85,13 @@ object Bench {
         // timing (r3 dev run: a 0.3 s query measured at 52 s).
         spark.catalog.clearCache()
         System.gc()
-        // two timed runs, report the min: first run can absorb codegen/compile
-        // for plans not touched by the warmup; min is the steady-state cost
+        // three timed runs, report the min: the first can absorb codegen/
+        // compile for plans not touched by the warmup, and a stray full GC
+        // or compile storm can land in any ONE run — with three, the min is
+        // the steady-state cost with high probability (r4 post-mortem: two
+        // runs left a 1.23x uniform drift that masked real regressions)
         var lastDf: org.apache.spark.sql.DataFrame = null
-        val times = (1 to 2).map { _ =>
+        val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try { lastDf = fn(spark, sfDir); lastDf.count() }
           catch { case _: Throwable => lastDf = null; -1L }
@@ -115,8 +118,11 @@ object Bench {
     // AvailableNow, so both runs are full cold drains — comparable
     // round-over-round. run1−run2 bounds the fixture-write share; the drain
     // (state store + sink I/O) dominates both.
+    // drains/mutations build a fresh fixture + checkpoint per run (cold by
+    // construction, no JIT-sensitivity) and are the expensive section — two
+    // runs bound the noise without doubling the bench's wall clock
     val streaming = timeQueries(QueryCatalog.benchExcluded
-      .filter(SparkEntry.queries.contains), executedFp = true)
+      .filter(SparkEntry.queries.contains), executedFp = true, runs = 2)
 
     def s3(v: Double) = f"$v%.3f"
     // full per-query detail (runs + plan fingerprint) goes to a FILE — the

@@ -1274,6 +1274,27 @@ object QueryCatalog {
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The backfill twin of [[qEtlBackup]]: ONE `partitionBy(pid)` job writes
+    * every pending partition (`IncrementalBackup.runBulk`) instead of a job
+    * per partition. Same oracle — the at-rest layout and read-back are
+    * identical by contract; benched separately so the steady-state loop and
+    * the first-load path are each regression-tracked (the loop's ~84
+    * jobs × fixed overhead dominates at sf0.1 and would otherwise mask
+    * movement in either path).
+    */
+  private val qEtlBulk: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl-qb").toString
+    val cfg = etl.JobConfig(tableName = "orders", numMappers = 4)
+    val job = new etl.IncrementalBackup(
+      s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
+    job.runBulk(Tables.orders(s, dir))
+    job.readBack()
+      .groupBy(col("pid").cast("long").as("month_sid"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("month_sid")
+  }
+
   // ------------------------------------------------ analytics (extended ops)
 
   private val qCubeOrders: Q = (s, dir) =>
@@ -6884,7 +6905,7 @@ object QueryCatalog {
     * closed-window aggregate of the ORIGINAL table, so both state
     * machines' semantics are hash-checked together.
     */
-  private val qStreamDedupHourly: Q = (s, dir) => {
+  private def streamDedupHourlyBody(s: SparkSession, dir: String) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sdh").toString
     val ev = Tables.events(s, dir)
     ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
@@ -6902,6 +6923,39 @@ object QueryCatalog {
       .select(col("hour"), col("event_type"), col("n"), col("total_value"))
       .orderBy("hour", "event_type")
   }
+
+  private val qStreamDedupHourly: Q = (s, dir) => streamDedupHourlyBody(s, dir)
+
+  /** State-store-backend scope: run a drain with the named provider, then
+    * restore the session's previous provider. The provider is a session
+    * conf read at stream start, so the scope is the per-query discipline
+    * (Verify/Bench run queries sequentially on one session).
+    */
+  private def withStateProvider[T](s: SparkSession, clazz: String)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, clazz)
+    try f
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** [[qStreamDedupHourly]] on the RocksDB state store — the backend the
+    * heavy drains need at 100×: the default HDFS-backed store keeps every
+    * key's state ON HEAP (dedup keys + open windows grow with traffic →
+    * executor OOM is the first thing to fall over), while RocksDB spills
+    * state to local SSD with bounded memory. SAME oracle as the default-
+    * backend twin: results must be identical — only the state machine's
+    * storage moves. Benched as a separate entry so the backends' costs are
+    * compared round-over-round.
+    */
+  private val qStreamDedupHourlyRocksdb: Q = (s, dir) =>
+    withStateProvider(s, RocksDbProvider)(streamDedupHourlyBody(s, dir))
 
   /** Streaming exact dedup, end-to-end: the events table is doubled (every
     * event delivered twice), written as a single-file stream source, drained
@@ -7142,7 +7196,7 @@ object QueryCatalog {
     * semantics differ from the declared rule (calibrated empirically,
     * same device as q_stream_sessions).
     */
-  private val qStreamAttributionOuter: Q = (s, dir) => {
+  private def streamAttributionOuterBody(s: SparkSession, dir: String) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-souter").toString
     Tables.events(s, dir).coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
     val schema = s.read.parquet(s"$tmp/in").schema
@@ -7161,6 +7215,18 @@ object QueryCatalog {
       .agg(sum(when(col("click_id").isNotNull, 1L).otherwise(0L)).as("n_clicks"))
       .orderBy("purchase_id")
   }
+
+  private val qStreamAttributionOuter: Q = (s, dir) =>
+    streamAttributionOuterBody(s, dir)
+
+  /** [[qStreamAttributionOuter]] on the RocksDB state store (see
+    * [[qStreamDedupHourlyRocksdb]] for why): the outer interval join is the
+    * heaviest state machine in the catalog — both sides buffered up to the
+    * watermark horizon — so it's the first drain to need off-heap state at
+    * 100×. Same oracle; identical results required.
+    */
+  private val qStreamAttributionOuterRocksdb: Q = (s, dir) =>
+    withStateProvider(s, RocksDbProvider)(streamAttributionOuterBody(s, dir))
 
   private val streamAttributionOuterSql =
     """WITH p AS (
@@ -10392,7 +10458,8 @@ object QueryCatalog {
     * them).
     */
   val benchExcluded: Set[String] =
-    Set("q_etl_backup", "q_events_hourly_stream", "q_stream_dedup", "q_stream_neardup",
+    Set("q_etl_backup", "q_etl_bulk", "q_events_hourly_stream",
+      "q_stream_dedup_hourly_rocksdb", "q_stream_attribution_outer_rocksdb", "q_stream_dedup", "q_stream_neardup",
       "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
       "q_stream_running",
@@ -10430,6 +10497,7 @@ object QueryCatalog {
     "q_topk_agg" -> qTopkAgg,
     "q_bigram_lm" -> qBigramLm,
     "q_etl_backup" -> qEtlBackup,
+    "q_etl_bulk" -> qEtlBulk,
     "q_partition_discovery" -> qPartitionDiscovery,
     "q_oldest_pending" -> qOldestPending,
     "q_partition_rowcount" -> qPartitionRowcount,
@@ -10639,11 +10707,13 @@ object QueryCatalog {
     "q_stream_crawl_curate" -> qStreamCrawlCurate,
     "q_stream_quantiles" -> qStreamQuantiles,
     "q_stream_dedup_hourly" -> qStreamDedupHourly,
+    "q_stream_dedup_hourly_rocksdb" -> qStreamDedupHourlyRocksdb,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_interp" -> qStreamInterp,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_attribution_outer" -> qStreamAttributionOuter,
+    "q_stream_attribution_outer_rocksdb" -> qStreamAttributionOuterRocksdb,
     "q_stream_scd2" -> qStreamScd2,
     "q_stream_running" -> qStreamRunning,
     "q_chunking" -> qChunking,
@@ -10712,6 +10782,7 @@ object QueryCatalog {
     "q_topk_agg" -> topkAggSql,
     "q_bigram_lm" -> bigramLmSql,
     "q_etl_backup" -> etlBackupSql,
+    "q_etl_bulk" -> etlBackupSql,
     "q_partition_discovery" -> partitionDiscoverySql,
     "q_oldest_pending" -> (partitionDiscoverySql.replace("ORDER BY d.month_sid", "ORDER BY d.month_sid LIMIT 1")),
     "q_partition_rowcount" ->
@@ -10932,11 +11003,13 @@ object QueryCatalog {
     "q_stream_crawl_curate" -> streamCrawlCurateSql,
     "q_stream_quantiles" -> streamQuantilesSql,
     "q_stream_dedup_hourly" -> eventsHourlyStreamSql,
+    "q_stream_dedup_hourly_rocksdb" -> eventsHourlyStreamSql,
     "q_stream_sessions" -> streamSessionsSql,
     "q_stream_interp" -> timeseriesInterpSql, // bit-identical to the batch twin
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_attribution" -> streamAttributionSql,
     "q_stream_attribution_outer" -> streamAttributionOuterSql,
+    "q_stream_attribution_outer_rocksdb" -> streamAttributionOuterSql,
     "q_stream_scd2" -> streamScd2Sql,
     "q_stream_running" -> streamRunningSql,
     "q_chunking" -> chunkingSql,

@@ -16,7 +16,10 @@ final case class JobConfig(
     outputFileFormat: String = "orc",   // OUTPUT_FILE_FORMAT (at-rest format)
     skipLatestMonths: Int = 0,       // SKIP_LATEST_MONTHS (agg_geo_lucid_daily.yaml:10)
     orcStripeSize: Long = 268435456L, // ORC_STRIPE_SIZE (agg_geo_lucid_daily.yaml:11)
-    orcIndexStride: Int = 500000) {  // ORC_INDEX_STRIDE (agg_geo_lucid_daily.yaml:12)
+    orcIndexStride: Int = 500000,    // ORC_INDEX_STRIDE (agg_geo_lucid_daily.yaml:12)
+    sequence: String = "") {         // SEQUENCE (agg_geo_lucid_daily.yaml:5) — the
+                                     // surrogate-key sequence the reference's temp-table
+                                     // populate consumes; graft's analog is DictEncode
 
   def isFullSnapshot: Boolean = primaryId.isEmpty
 }

@@ -156,4 +156,111 @@ class EtlSpec extends SparkSpec {
     val head = java.nio.file.Files.readAllBytes(part.toPath).take(3)
     assert(new String(head, "US-ASCII") == "SEQ")
   }
+
+  // The reference's seven deployed config files (run_sqoop_job.sh:15-25 +
+  // advertiser_dim), reconstructed key-for-key: six monthly facts and one
+  // full-snapshot dim (PRIMARY_ID: ""). Written at test time so parsing is
+  // exercised against the exact on-disk shape a reference user would bring.
+  private def writeReferenceYamls(dir: String): Seq[String] = {
+    val envPath = s"$dir/env.yaml"
+    Files.writeString(java.nio.file.Paths.get(envPath),
+      """DSN : 'VerticaDSN'
+        |HIVE_HOST : 'hive.example.internal'
+        |USER_NAME : 'sqoop2'
+        |SET_SCHEMA_SQL : 'set search_path to mstr_datamart'
+        |HDFS_STORAGE_HOST : 'hdfs://storage.example.internal:8020'
+        |API_STORAGE_GRID_HOST : 'http://grid.example.internal:8080/jobs'
+        |""".stripMargin)
+    val facts = Seq("agg_advt_domain_cat_daily", "agg_advt_revshare_daily",
+      "agg_geo_lucid_daily_storage", "agg_geo_lucid_daily",
+      "agg_pub_ch_advt_rev_daily", "agg_pub_revshare_daily")
+    def body(primaryId: String, db: String) =
+      s"""ENV : $envPath
+         |
+         |NUM_MAPPERS : '8'
+         |PRIMARY_ID: $primaryId
+         |SEQUENCE : "mstr_datamart.sequence_graft"
+         |HIVE_DB: "$db"
+         |DW_DB: "$db"
+         |SQOOP_COMPRESSION: "SNAPPY"
+         |OUTPUT_FILE_FORMAT: "TEXT_FILE"
+         |SKIP_LATEST_MONTHS: "0"
+         |ORC_STRIPE_SIZE: '268435456'
+         |ORC_INDEX_STRIDE: '500000'
+         |""".stripMargin
+    val paths = facts.map { t =>
+      val p = s"$dir/$t.yaml"
+      Files.writeString(java.nio.file.Paths.get(p), body("'month_sid'", "legacy_tables"))
+      p
+    } :+ {
+      val p = s"$dir/advertiser_dim.yaml"
+      Files.writeString(java.nio.file.Paths.get(p), body("\"\"", "mstr_datamart"))
+      p
+    }
+    paths
+  }
+
+  test("YAML loader parses all seven reference configs with the reference's exact keys") {
+    val dir = Files.createTempDirectory("graft-yaml").toString
+    val paths = writeReferenceYamls(dir)
+    val loaded = paths.map(p => graft.etl.YamlConfig.load(p))
+    assert(loaded.map(_._1.tableName).toSet ==
+      Set("agg_advt_domain_cat_daily", "agg_advt_revshare_daily",
+        "agg_geo_lucid_daily_storage", "agg_geo_lucid_daily",
+        "agg_pub_ch_advt_rev_daily", "agg_pub_revshare_daily",
+        "advertiser_dim"))
+    val (fact, factEnv) = loaded.find(_._1.tableName == "agg_geo_lucid_daily").get
+    assert(fact.numMappers == 8 && fact.primaryId == "month_sid" &&
+      fact.hiveDb == "legacy_tables" && fact.compression == "snappy" &&
+      fact.outputFileFormat == "csv" && fact.skipLatestMonths == 0 &&
+      fact.orcStripeSize == 268435456L && fact.orcIndexStride == 500000 &&
+      fact.sequence == "mstr_datamart.sequence_graft" && !fact.isFullSnapshot)
+    assert(factEnv.dsn.contains("VerticaDSN") &&
+      factEnv.userName.contains("sqoop2") &&
+      factEnv.hdfsStorageHost.exists(_.startsWith("hdfs://")))
+    // PRIMARY_ID: "" selects the snapshot path (sqoop_table.py:141-143)
+    val (dim, _) = loaded.find(_._1.tableName == "advertiser_dim").get
+    assert(dim.primaryId.isEmpty && dim.isFullSnapshot &&
+      dim.hiveDb == "mstr_datamart")
+  }
+
+  test("flat-YAML subset parser: quotes, comments, blanks; loud on nesting/dups") {
+    import graft.etl.YamlConfig.parseFlat
+    val m = parseFlat(
+      "# header\nA : 'x'\nB: \"y z\"\nC : bare # trailing\n\nD: 'ha#sh'\n")
+    assert(m == Map("A" -> "x", "B" -> "y z", "C" -> "bare", "D" -> "ha#sh"))
+    intercept[IllegalArgumentException](parseFlat("A:\n  - nested"))
+    intercept[IllegalArgumentException](parseFlat("A: 1\nA: 2"))
+    intercept[IllegalArgumentException](parseFlat("A: {x: 1}"))
+  }
+
+  test("EtlMain runs from YAML config files end-to-end (fact loop + snapshot dim)") {
+    val dir = Files.createTempDirectory("graft-yamlrun").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/orders.yaml"),
+      """NUM_MAPPERS : '2'
+        |PRIMARY_ID: 'month_sid'
+        |OUTPUT_FILE_FORMAT: "PARQUET_FILE"
+        |SKIP_LATEST_MONTHS: "0"
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/customer.yaml"),
+      """NUM_MAPPERS : '2'
+        |PRIMARY_ID: ""
+        |OUTPUT_FILE_FORMAT: "PARQUET_FILE"
+        |""".stripMargin)
+    val root = s"$dir/work"
+    val line = EtlMain.run(spark, sf, root,
+      Seq(s"$dir/orders.yaml", s"$dir/customer.yaml"))
+    // orders: every month copied; customer: the one snapshot "partition"
+    val months = Tables.orders(spark, sf)
+      .select(ReferenceOps.monthSid(col("o_orderdate"))).distinct().count()
+    assert(line.contains(s""""orders":$months"""))
+    assert(line.contains(""""customer":1"""))
+    // re-entry is idempotent: second run copies nothing new
+    val again = EtlMain.run(spark, sf, root,
+      Seq(s"$dir/orders.yaml", s"$dir/customer.yaml"))
+    assert(again.contains(""""orders":0"""))
+    // the at-rest data really is the YAML's format and complete
+    val back = spark.read.parquet(s"$root/data/orders")
+    assert(back.count() == Tables.orders(spark, sf).count())
+  }
 }
