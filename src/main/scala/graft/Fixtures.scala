@@ -18,7 +18,7 @@ import scala.collection.concurrent.TrieMap
   * Queries that MUTATE their fixture take a [[mutableCopy]] per run; the
   * pristine build is what is cached.
   */
-object Fixtures {
+private[graft] object Fixtures {
   private val cache = TrieMap.empty[String, String]
 
   /** Build-once directory fixture: `build` populates a fresh temp dir the

@@ -5784,12 +5784,20 @@ object QueryCatalog {
   /** The grouped-BMP payload fixture shared by the dHash queries: docs in
     * a group share dims and most pixels, with doc-specific perturbations.
     */
-  private def imagePayloads(s: SparkSession, dir: String): DataFrame = {
+  private def imagePayloads(s: SparkSession, dir: String,
+      partitions: Int = 0): DataFrame = {
     import s.implicits._
     import graft.multimodal.PixelCodec
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { ids =>
-        ids.map { id =>
+    // when a caller needs a specific output layout, the shuffle happens
+    // HERE, on bare 8-byte ids — synthesizing pixels first and then
+    // repartitioning would shuffle the payload bytes themselves (measured
+    // at sf1: ~1 GB moved for a 26 MB corpus), exactly the anti-pattern
+    // the multimodal contract forbids
+    val ids0 = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val ids = if (partitions > 0) ids0.repartition(partitions) else ids0
+    ids
+      .mapPartitions { part =>
+        part.map { id =>
           val g = (id % 40).toInt
           val w = 9 + (g * 3) % 8
           val h = 8 + (g * 5) % 7
@@ -6220,7 +6228,10 @@ object QueryCatalog {
         Multimodal.imageDhash(payloads.filter(col("doc_id") < 250)), f)
     }
     val idx = Fixtures.mutableCopy(baseIdx)
-    payloads.filter(col("doc_id") >= 250).repartition(6)
+    // stream input: 6 shards via an ID-level shuffle inside imagePayloads
+    // (payload bytes stay in their synthesis task; see imagePayloads note)
+    imagePayloads(s, dir, partitions = 6)
+      .filter(col("doc_id") >= 250)
       .write.parquet(s"$tmp/in")
     graft.streaming.DocsStream.visualGateDrain(s, s"$tmp/in", idx,
       s"$tmp/out", s"$tmp/ck", maxHamming = 3)

@@ -1,0 +1,167 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The sf1 scale rehearsal (VERDICT r4 task 1): measure the flagship
+  * families at sf0.01 → sf0.1 → sf1 (10× fixtures from [[ScaleFixtures]])
+  * and write `BENCH_sf1.json` with wall time, shuffle bytes, and the
+  * per-point scaling ratio — the empirical check behind every SCALE.md
+  * argument. A family whose sf0.1→sf1 time ratio materially exceeds the
+  * 10× data ratio is flagged `superlinear: true`; bucket/partition balance
+  * for the three index families is measured (`q_bucket_stats` discipline),
+  * not assumed.
+  *
+  * Interpretation note, recorded here because the numbers will show it:
+  * at these absolute sizes (sf1 ≈ 26 MB of parquet) most families are
+  * dominated by fixed per-job overhead (scheduling, codegen, file
+  * listing), so ratios ≪ 10 are expected for the cheap families; the gate
+  * is one-sided — sublinear is fine, superlinear is the failure signal.
+  */
+object ScaleBench {
+
+  private final class ShuffleMeter extends SparkListener {
+    val read = new AtomicLong(0L)
+    val written = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot: (Long, Long) = (read.get(), written.get())
+  }
+
+  /** The flagship families (VERDICT r4's list): dedup, retrieval index +
+    * batch probe, persisted ANN store build/append, the corpus pipeline,
+    * ETL bulk load, and the three heaviest streaming drains. `runs` is
+    * per-point; streaming drains get one (each run is a full cold drain —
+    * minutes at sf1 — and cold-start noise is small relative to that).
+    */
+  private val families: Seq[(String, Int)] = Seq(
+    "q_minhash_neardups" -> 2,
+    "q_bm25_index" -> 2,
+    "q_batch_retrieval" -> 2,
+    "q_ivf_store" -> 2,
+    "q_ivf_append" -> 2,
+    "q_training_pipeline_v4" -> 2,
+    "q_etl_bulk" -> 2,
+    "q_stream_attribution_outer" -> 1,
+    "q_stream_dedup_hourly" -> 1,
+    "q_stream_visual_gate" -> 1)
+
+  def main(args: Array[String]): Unit = {
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/scale/sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SF1_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$sf1Dir/documents.parquet"))) {
+      ScaleFixtures.generate(spark, "/root/testdata/sf0.1", sf1Dir, factor)
+    }
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val points = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf1" -> sf1Dir)
+
+    def s3(v: Double) = f"$v%.3f"
+
+    val results = families.map { case (name, runs) =>
+      val fn = SparkEntry.queries(name)
+      val perPoint = points.map { case (label, dir) =>
+        spark.catalog.clearCache()
+        System.gc()
+        var shuffle = (0L, 0L)
+        var rows = 0L
+        val times = (1 to runs).map { _ =>
+          val before = meter.snapshot
+          val t0 = System.nanoTime()
+          rows = fn(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val after = meter.snapshot
+          // shuffle bytes of the LAST run (fixture-build stages amortize
+          // away on the second run for the batch families)
+          shuffle = (after._1 - before._1, after._2 - before._2)
+          dt
+        }
+        (label, times.min, shuffle, rows)
+      }
+      val t01 = perPoint.find(_._1 == "sf0.1").get._2
+      val t1 = perPoint.find(_._1 == "sf1").get._2
+      val ratio = t1 / math.max(t01, 1e-9)
+      // RESULT cardinality growth separates input scaling from output
+      // scaling: a pair-emitting family whose true-duplicate structure is
+      // quadratic in the fixture (fixed visual-group count) will show
+      // rows_ratio ≈ factor² — time/shuffle tracking the OUTPUT there is
+      // output-bound behavior, not a scale defect
+      val r01 = perPoint.find(_._1 == "sf0.1").get._4
+      val r1 = perPoint.find(_._1 == "sf1").get._4
+      val rowsRatio = r1.toDouble / math.max(r01.toDouble, 1.0)
+      // one-sided gate with headroom: fixed overhead + measurement noise
+      // can push a sub-second family around, so flag only a time ratio
+      // beyond BOTH the data factor and the output growth by >30%
+      val superlinear = ratio > math.max(factor.toDouble, rowsRatio) * 1.3
+      val pts = perPoint.map { case (l, t, (sr, sw), n) =>
+        s""""$l":{"sec":${s3(t)},"rows":$n,"shuffle_read_mb":${s3(sr / 1e6)},"shuffle_write_mb":${s3(sw / 1e6)}}"""
+      }.mkString(",")
+      System.err.println(f"[scale] $name%-28s sf0.1=${t01}%.2fs sf1=${t1}%.2fs ratio=${ratio}%.2f")
+      s""""$name":{$pts,"ratio_sf01_to_sf1":${s3(ratio)},"rows_ratio_sf01_to_sf1":${s3(rowsRatio)},"superlinear":$superlinear}"""
+    }
+
+    // ---- bucket/partition balance at sf1 (measured, not assumed) -------
+    import spark.implicits._
+
+    def balanceOf(counts: org.apache.spark.sql.DataFrame): String = {
+      // counts: (bucket, n). Skew = max/mean; p99 via exact sort (bucket
+      // cardinality is bounded: bands × hash buckets or k clusters).
+      val r = counts.agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).cast("double").as("mx"),
+        avg(col("n")).as("mean")).head()
+      val skew = r.getDouble(1) / math.max(r.getDouble(2), 1e-9)
+      s"""{"n_buckets":${r.getLong(0)},"max":${r.getDouble(1).toLong},"mean":${s3(r.getDouble(2))},"skew_max_over_mean":${s3(skew)}}"""
+    }
+
+    val docs1 = Tables.documents(spark, sf1Dir)
+    val bandBalance = balanceOf(
+      graft.dedup.Dedup.minHashBands(docs1)
+        .groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("n")))
+
+    val emb1 = Tables.embeddings(spark, sf1Dir)
+    val cents = graft.similarity.KMeansIvf.fit(emb1, k = 16, iters = 3)
+    val ivfBalance = balanceOf(
+      graft.similarity.KMeansIvf.index(emb1, cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n")))
+
+    val bm25Stats = SparkEntry.queries("q_bucket_stats")(spark, sf1Dir)
+    val bm25Unbalanced =
+      bm25Stats.filter(!col("balanced")).count()
+    val bm25Balance = balanceOf(
+      bm25Stats.select(col("bucket"), col("n_postings").as("n")))
+
+    val balance =
+      s""""minhash_band_buckets":$bandBalance,"ivf_clusters":$ivfBalance,"bm25_token_buckets":$bm25Balance,"bm25_unbalanced_buckets":$bm25Unbalanced"""
+
+    val json =
+      s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")},"balance":{$balance}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_sf1.json"), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -10,7 +10,7 @@ import org.apache.spark.sql.graftx.{RollingHash, SketchKernels}
   * identical) and converts back. Everything is generated from the same Scala
   * constants the kernels use, so the sides cannot drift.
   */
-object U64Sql {
+private[graft] object U64Sql {
   /** 2^64 */
   val Wrap = "CAST('18446744073709551616' AS HUGEINT)"
   /** 2^63 */
@@ -61,7 +61,7 @@ object U64Sql {
   * `list_transform` CTEs (one step per stage) to keep the expression tree
   * linear instead of exponentially duplicated.
   */
-object SketchOracleSql {
+private[graft] object SketchOracleSql {
   import U64Sql._
 
   /** Rolling polynomial fold of a SQL string expression — the per-token

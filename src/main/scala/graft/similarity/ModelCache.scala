@@ -13,7 +13,7 @@ import scala.collection.concurrent.TrieMap
   * fixed-point sums), so a cached model is bit-identical to a refit one;
   * correctness results cannot depend on cache hits.
   */
-object ModelCache {
+private[graft] object ModelCache {
   private val cache = TrieMap.empty[String, AnyRef]
 
   def getOrFit[T <: AnyRef](key: String)(fit: => T): T =
