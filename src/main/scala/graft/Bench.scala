@@ -67,6 +67,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Plan TEXT truncation is fingerprint poison: Spark elides metadata
+      // strings (DataFilters, Location) past 100 chars BEFORE our exprId
+      // normalization, so the cut position depends on the raw exprId
+      // widths — i.e. on how many queries ran earlier in the session and
+      // on catalog size. r4→r5 false churn (q13/q14) was exactly this.
+      // Print everything; the normalizer handles ids and temp paths.
+      .config("spark.sql.maxMetadataStringLength", "100000")
+      .config("spark.sql.debug.maxToStringFields", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb JIT +

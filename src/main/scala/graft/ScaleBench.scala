@@ -51,6 +51,10 @@ object ScaleBench {
     "q_training_pipeline_v4" -> 2,
     "q_etl_bulk" -> 2,
     "q_stream_attribution_outer" -> 1,
+    // the RocksDB twin at 10x: the backend whose reason to exist IS scale —
+    // measured beside the default store so the comparison rides the same
+    // fixtures (identical results enforced by the shared oracle)
+    "q_stream_attribution_outer_rocksdb" -> 1,
     "q_stream_dedup_hourly" -> 1,
     "q_stream_visual_gate" -> 1)
 

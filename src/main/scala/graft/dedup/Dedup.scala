@@ -250,7 +250,7 @@ object Dedup {
 
   /** Core of every band-index probe: an already-computed `(doc_id, sig)`
     * frame against the store at `path` — banding join for candidates,
-    * [[estJaccard]] to score. Returns (new_id, indexed_id, est_jaccard)
+    * `estJaccard` to score. Returns (new_id, indexed_id, est_jaccard)
     * with est ≥ `minEstJaccard`.
     */
   def probeSigsAgainstIndex(sigs: DataFrame,

@@ -9,9 +9,9 @@ import graft.similarity.Similarity
 /** Semantic (embedding-space) deduplication, SemDeDup-style: cluster
   * near-duplicate embeddings and keep one representative per cluster.
   *
-  * Pipeline: LSH-blocked cosine pairs ([[Similarity.cosineNearDups]] — an
+  * Pipeline: LSH-blocked cosine pairs ([[graft.similarity.Similarity.cosineNearDups]] — an
   * equality join on deterministic hyperplane buckets, never all-pairs) →
-  * connected components over the pair graph ([[ConnectedComponents]] —
+  * connected components over the pair graph ([[graft.operators.ConnectedComponents]] —
   * min-label, no driver-side graph) → drop every member whose component
   * representative (min id) is someone else.
   *

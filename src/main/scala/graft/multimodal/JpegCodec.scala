@@ -433,7 +433,7 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline JPEG to [[Media]] ("jpeg", w, h, 1 or 3, gray or
+  /** Decode a baseline JPEG to [[PixelCodec.Media]] ("jpeg", w, h, 1 or 3, gray or
     * RGB values). None for anything but 8-bit baseline sequential with
     * 1×1 sampling (grayscale or 4:4:4).
     */

@@ -22,7 +22,7 @@ import graft.etl.TypeMapping
   * Vertica-specific read mappings: every Vertica integer is 64-bit (`INT`
   * reports as `Types.BIGINT`), so LongType round-trips; `NUMERIC` with
   * Vertica's default precision 37 (reported when DDL said bare `numeric`)
-  * maps through [[TypeMapping.verticaToSpark]]'s default. Identifier
+  * maps through [[graft.etl.TypeMapping.verticaToSpark]]'s default. Identifier
   * quoting is ANSI double-quote, with embedded quotes doubled.
   */
 object VerticaDialect extends JdbcDialect {
@@ -31,7 +31,7 @@ object VerticaDialect extends JdbcDialect {
     url.toLowerCase(Locale.ROOT).startsWith("jdbc:vertica:")
 
   /** Spark → Vertica DDL (write path, CREATE TABLE generation). Delegates
-    * the type-name spelling to [[TypeMapping.sparkToVertica]].
+    * the type-name spelling to [[graft.etl.TypeMapping.sparkToVertica]].
     */
   override def getJDBCType(dt: DataType): Option[JdbcType] = {
     val jdbcCode = dt match {

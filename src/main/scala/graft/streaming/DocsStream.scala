@@ -25,7 +25,7 @@ object DocsStream {
     * drained output replays under the same mod-2^64 batch oracle.
     *
     * `indexPath` is MUTATED (append per batch): pass a
-    * [[graft.Fixtures.mutableCopy]] of a shared index fixture, never the
+    * `graft.Fixtures.mutableCopy` of a shared index fixture, never the
     * fixture itself.
     */
   def neardupGateDrain(spark: SparkSession, inDir: String, indexPath: String,
@@ -85,7 +85,7 @@ object DocsStream {
     * (doc_id, sig) rows reach the index and the pair shuffles.
     *
     * `indexPath` is MUTATED (append per batch): pass a
-    * [[graft.Fixtures.mutableCopy]] of a shared fixture, never the fixture.
+    * `graft.Fixtures.mutableCopy` of a shared fixture, never the fixture.
     */
   def visualGateDrain(spark: SparkSession, inDir: String, indexPath: String,
       outDir: String, checkpoint: String, maxHamming: Int): Unit = {

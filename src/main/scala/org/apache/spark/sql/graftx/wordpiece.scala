@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * pipeline (length filtering, packing budgets, per-language token counts
   * all operate on subword counts, not whitespace words).
   *
-  * The vocabulary ([[WordPiece.Vocab]]) contains every printable-ASCII
+  * The vocabulary ([[WordPiece.MultiChar]] + [[WordPiece.SingleChar]]) contains every printable-ASCII
   * single char (so greedy matching always advances — no unk path) plus
   * multi-char merges; at each position the longest matching piece is
   * unique because at most one string of each length matches. Inference is
