@@ -7607,6 +7607,62 @@ object QueryCatalog {
        |    AS chunk_md5
        |FROM st ORDER BY doc_id, start""".stripMargin
 
+  /** GPT-style sequence packing ([[graft.pipeline.Packing]]): documents
+    * concatenated (with EOS) per hash shard and cut into fixed 64-token
+    * training windows; the query is the SPAN MANIFEST (one row per
+    * document × window it occupies). Unlike q_seq_packing (doc-level
+    * greedy grouping, no splitting), documents STRADDLE window boundaries
+    * here — zero padding except each shard's final window, the actual
+    * autoregressive-pretraining layout. The oracle replays the per-shard
+    * prefix sum and the closed-form window arithmetic — straddles, spans
+    * and offsets must match to the token.
+    */
+  private val PackL = 64
+  private val PackShards = 8
+
+  private val qPackManifest: Q = (s, dir) =>
+    graft.pipeline.Packing
+      .packManifest(Tables.documents(s, dir), PackL, PackShards)
+      .orderBy("shard", "window_id", "doc_id")
+
+  private val packManifestSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS ntok,
+       |    CAST(doc_id % $PackShards AS BIGINT) AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ntok, shard,
+       |    SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id) AS tend
+       |  FROM d),
+       |s AS (SELECT doc_id, ntok, shard, tend, tend - ntok AS tstart FROM c)
+       |SELECT shard, CAST(w AS BIGINT) AS window_id, doc_id,
+       |  CAST(GREATEST(w*$PackL - tstart, 0) AS BIGINT) AS tok_from,
+       |  CAST(LEAST(ntok, (w+1)*$PackL - tstart) AS BIGINT) AS tok_to,
+       |  CAST(GREATEST(tstart - w*$PackL, 0) AS BIGINT) AS win_offset
+       |FROM s, UNNEST(range(CAST(tstart // $PackL AS BIGINT),
+       |  CAST((tend - 1) // $PackL + 1 AS BIGINT))) AS r(w)
+       |ORDER BY shard, window_id, doc_id""".stripMargin
+
+  /** Packing efficiency per shard — padding exists only in each shard's
+    * final window; the number that sizes `shards` at 100 TB.
+    */
+  private val qPackingStats: Q = (s, dir) =>
+    graft.pipeline.Packing
+      .packStats(Tables.documents(s, dir), PackL, PackShards)
+      .orderBy("shard")
+
+  private val packingStatsSql =
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS ntok,
+       |    CAST(doc_id % $PackShards AS BIGINT) AS shard FROM documents)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  CAST((SUM(ntok) + ${PackL - 1}) // $PackL AS BIGINT) AS n_windows,
+       |  CAST(((SUM(ntok) + ${PackL - 1}) // $PackL) * $PackL - SUM(ntok)
+       |    AS BIGINT) AS padding
+       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   private val qEventsJson: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
@@ -10728,6 +10784,8 @@ object QueryCatalog {
     "q_stream_scd2" -> qStreamScd2,
     "q_stream_running" -> qStreamRunning,
     "q_chunking" -> qChunking,
+    "q_pack_manifest" -> qPackManifest,
+    "q_packing_stats" -> qPackingStats,
     "q_change_feed" -> qChangeFeed,
     "q_time_travel" -> qTimeTravel,
     "q_funnel" -> qFunnel,
@@ -11024,6 +11082,8 @@ object QueryCatalog {
     "q_stream_scd2" -> streamScd2Sql,
     "q_stream_running" -> streamRunningSql,
     "q_chunking" -> chunkingSql,
+    "q_pack_manifest" -> packManifestSql,
+    "q_packing_stats" -> packingStatsSql,
     "q_change_feed" -> changeFeedSql,
     "q_time_travel" -> timeTravelSql,
     "q_funnel" -> funnelSql,

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** GPT-style sequence packing: concatenate documents (with a trailing
+  * EOS token each) in a deterministic order and cut the token stream into
+  * fixed-length training windows, emitting the MANIFEST of document spans
+  * per window — the layout step every autoregressive pretraining pipeline
+  * runs between "curated corpus" and "token shards". Documents straddle
+  * window boundaries (that is the point: zero padding except the final
+  * window of each shard), so one document may emit several spans.
+  *
+  * Scale design: a single global concatenation order would need a global
+  * sort and a global prefix sum — the classic scale-killer. Real packers
+  * pack WITHIN OUTPUT SHARDS, so that is the unit here: docs hash to
+  * `shards` groups, and the prefix sum + window arithmetic run per shard
+  * (`Window.partitionBy(shard)`) — one hash shuffle, in-partition sort,
+  * all arithmetic closed-form and codegen'd. Shard count is chosen so a
+  * shard's tokens fit a worker (100 TB / shards ≈ shard budget); window
+  * ids never coordinate across shards. Assignment is fully deterministic
+  * (doc_id order within shard), so re-runs and the SQL oracle reproduce
+  * the manifest bit-for-bit — no RNG, unlike shuffle-based packers.
+  *
+  * Reference scope note: the reference pipeline (SURVEY §2) ends at ORC
+  * tables; packing is a north-star addition of the training-data surface.
+  */
+object Packing {
+
+  /** Tokens per document INCLUDING the EOS separator appended after it. */
+  private def ntok(text: Column): Column =
+    TextFunctions.tokenCount(text) + lit(1L)
+
+  /** The span manifest: one row per (document × window it occupies).
+    *
+    * Columns: `shard`, `window_id` (per-shard, 0-based), `doc_id`,
+    * `tok_from`/`tok_to` (the doc's token span landing in this window,
+    * 0-based, end-exclusive, EOS = last token), `win_offset` (where the
+    * span starts inside the window). Every window is exactly `seqLen`
+    * tokens except each shard's last.
+    */
+  def packManifest(docs: DataFrame, seqLen: Int, shards: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
+    val byShard = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), ntok(col("text")).as("ntok"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("tend", sum(col("ntok")).over(byShard))
+      .withColumn("tstart", col("tend") - col("ntok"))
+      // integer-exact window range this doc touches: [w0, w1]
+      .withColumn("w0", expr(s"tstart div $seqLen"))
+      .withColumn("w1", expr(s"(tend - 1) div $seqLen"))
+      .select(col("shard"), col("doc_id"), col("ntok"), col("tstart"),
+        explode(sequence(col("w0"), col("w1"))).as("window_id"))
+      .select(
+        col("shard"), col("window_id"), col("doc_id"),
+        greatest(col("window_id") * L - col("tstart"), lit(0L)).as("tok_from"),
+        least(col("ntok"), (col("window_id") + 1) * L - col("tstart"))
+          .as("tok_to"),
+        greatest(col("tstart") - col("window_id") * L, lit(0L))
+          .as("win_offset"))
+  }
+
+  /** Packing efficiency per shard: window count, token totals, and the
+    * padding that exists ONLY in each shard's final window — the number an
+    * operator watches to size `shards` (padding fraction ≈ shards × L/2 /
+    * total tokens).
+    */
+  def packStats(docs: DataFrame, seqLen: Int, shards: Int): DataFrame = {
+    val L = seqLen.toLong
+    docs
+      .select(ntok(col("text")).as("ntok"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${L - 1}) div $L").as("n_windows"),
+        (expr(s"(n_tokens + ${L - 1}) div $L") * L - col("n_tokens"))
+          .as("padding"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Packing
+
+/** The packing manifest must be a perfect tiling: every document token
+  * lands in exactly one window span, every window is exactly seqLen tokens
+  * (except each shard's last), and spans are contiguous both within a
+  * document and within a window.
+  */
+class PackingSpec extends SparkSpec {
+  private val L = 32
+  private val Shards = 4
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val manifest = Packing.packManifest(docs, L, Shards).cache()
+
+  test("every document's spans cover its tokens (incl. EOS) exactly once, in order") {
+    val perDoc = manifest
+      .groupBy("doc_id")
+      .agg(sum(col("tok_to") - col("tok_from")).as("covered"),
+        min("tok_from").as("first"), max("tok_to").as("last"),
+        count(lit(1)).as("n_spans"))
+    val expected = docs.select(col("doc_id"),
+      (size(split(col("text"), " ")) + 1).cast("long").as("ntok"))
+    val bad = perDoc.join(expected, "doc_id")
+      .filter(col("covered") =!= col("ntok") || col("first") =!= 0 ||
+        col("last") =!= col("ntok"))
+    assert(bad.isEmpty, bad.take(3).mkString(";"))
+  }
+
+  test("every window is exactly seqLen tokens except each shard's last") {
+    val winSize = manifest
+      .groupBy("shard", "window_id")
+      .agg(sum(col("tok_to") - col("tok_from")).as("fill"))
+    val lastWin = manifest.groupBy("shard")
+      .agg(max("window_id").as("last_w"))
+    val bad = winSize.join(lastWin, "shard")
+      .filter(col("window_id") =!= col("last_w") && col("fill") =!= L)
+    assert(bad.isEmpty, bad.take(3).mkString(";"))
+    // and the final windows' fill matches packStats padding
+    val pad = Packing.packStats(docs, L, Shards)
+      .select(col("shard"), (lit(L.toLong) - col("padding")).as("fill_expect"))
+    val badLast = winSize.join(lastWin, "shard")
+      .filter(col("window_id") === col("last_w"))
+      .join(pad, "shard")
+      .filter(col("fill") =!= col("fill_expect"))
+    assert(badLast.isEmpty, badLast.take(3).mkString(";"))
+  }
+
+  test("spans tile each window contiguously from its start") {
+    // within a window, ordering docs by win_offset: each span starts where
+    // the previous ended, and the first starts at 0
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard", "window_id").orderBy("win_offset")
+    val bad = manifest
+      .withColumn("prev_end",
+        lag(col("win_offset") + col("tok_to") - col("tok_from"), 1, 0L).over(w))
+      .filter(col("win_offset") =!= col("prev_end"))
+    assert(bad.isEmpty, bad.take(3).mkString(";"))
+  }
+
+  test("stats: windows = ceil(tokens/L) per shard; padding < L") {
+    val stats = Packing.packStats(docs, L, Shards).collect()
+    assert(stats.length == Shards)
+    stats.foreach { r =>
+      val (tokens, windows, padding) =
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("padding"))
+      assert(windows == (tokens + L - 1) / L)
+      assert(padding == windows * L - tokens && padding >= 0 && padding < L)
+    }
+  }
+}
