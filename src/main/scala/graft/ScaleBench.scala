@@ -61,6 +61,11 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/scale/sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SF1_FACTOR", "10").toInt
+    // dev knobs for extra scale points (e.g. a 30x decade on the batch
+    // families): filter the family list, redirect the output JSON
+    val familyFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val outJson = sys.env.getOrElse("SPARK_GRAFT_SCALE_JSON", "BENCH_sf1.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,7 +89,9 @@ object ScaleBench {
 
     def s3(v: Double) = f"$v%.3f"
 
-    val results = families.map { case (name, runs) =>
+    val results = families
+      .filter { case (name, _) => familyFilter.forall(_.contains(name)) }
+      .map { case (name, runs) =>
       val fn = SparkEntry.queries(name)
       val perPoint = points.map { case (label, dir) =>
         spark.catalog.clearCache()
@@ -164,7 +171,7 @@ object ScaleBench {
     val json =
       s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")},"balance":{$balance}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_sf1.json"), json)
+      java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
   }

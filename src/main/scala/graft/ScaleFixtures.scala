@@ -38,9 +38,20 @@ object ScaleFixtures {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
+  /** Replica-k letter permutation: AFFINE cipher x → a·x + b (mod 26) with
+    * a coprime to 26 — 312 distinct permutations, so replicas stay
+    * textually distinct for any practical factor. A plain Caesar shift
+    * (a = 1) wraps at k = 26: a factor-30 run would make replicas 26–29
+    * byte-identical to 0–3 and quadratically inflate the dedup workload
+    * (measured: ×116 pair rows at factor 30 before this fix). k < 26
+    * keeps a = 1, so factor-10 fixtures are unchanged.
+    */
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
-    val lo = Lower.drop(k % 26) + Lower.take(k % 26)
-    val up = Upper.drop(k % 26) + Upper.take(k % 26)
+    val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = coprimes((k / 26) % coprimes.length)
+    val b = k % 26
+    val lo = Array.tabulate(26)(i => ('a' + (a * i + b) % 26).toChar).mkString
+    val up = lo.toUpperCase
     translate(c, Lower + Upper, lo + up)
   }
 

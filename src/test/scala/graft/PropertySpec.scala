@@ -409,4 +409,49 @@ class PropertySpec extends SparkSpec {
       r
     }))
   }
+
+  test("packing manifest tiles any corpus exactly (property over random lengths)") {
+    import spark.implicits._
+    // random word-count corpora: packManifest only reads whitespace token
+    // counts, so docs are synthesized as n-token strings
+    val corpus: Gen[List[Int]] =
+      Gen.nonEmptyListOf(Gen.choose(1, 200)).map(_.take(60))
+    for ((lens, i) <- cases(corpus, 40).zipWithIndex) {
+      val L = 16 + (i % 3) * 17 // 16, 33, 50
+      val docs = lens.zipWithIndex.map { case (n, id) =>
+        (id.toLong, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val m = graft.pipeline.Packing.packManifest(docs, L, shards = 3)
+        .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("window_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("tok_from"),
+          r.getAs[Long]("tok_to"), r.getAs[Long]("win_offset")))
+      // exact cover: each doc's spans sum to ntok (words + EOS), start at 0
+      val byDoc = m.groupBy(_._3)
+      lens.zipWithIndex.foreach { case (n, id) =>
+        val spans = byDoc(id.toLong).sortBy(_._4)
+        assert(spans.map(s => s._5 - s._4).sum == n + 1, s"case $i doc $id")
+        assert(spans.head._4 == 0 && spans.last._5 == n + 1)
+        // spans are consecutive windows with contiguous token ranges
+        spans.sliding(2).filter(_.length == 2).foreach { pair =>
+          val (a, b) = (pair(0), pair(1))
+          assert(b._2 == a._2 + 1 && b._4 == a._5)
+        }
+      }
+      // windows fill to exactly L except each shard's last
+      val byWin = m.groupBy(x => (x._1, x._2))
+      val lastW = m.groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).max }
+      byWin.foreach { case ((sh, w), xs) =>
+        val fill = xs.map(s => s._5 - s._4).sum
+        if (w != lastW(sh)) assert(fill == L.toLong, s"case $i shard $sh win $w")
+        else assert(fill >= 1 && fill <= L)
+        // offsets tile the window contiguously from 0
+        val sorted = xs.sortBy(_._6)
+        assert(sorted.head._6 == 0)
+        sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+          val (a, b) = (pair(0), pair(1))
+          assert(b._6 == a._6 + (a._5 - a._4))
+        }
+      }
+    }
+  }
 }
