@@ -7644,6 +7644,47 @@ object QueryCatalog {
        |  CAST((tend - 1) // $PackL + 1 AS BIGINT))) AS r(w)
        |ORDER BY shard, window_id, doc_id""".stripMargin
 
+  /** Incremental packing ([[graft.pipeline.Packing.packAppend]]): the
+    * corpus is split at doc_id 250 into "history" and an "arriving wave";
+    * the wave is packed continuing each shard's stream from history's
+    * running totals. Because wave ids follow history ids within every
+    * shard, the appended spans must be BIT-IDENTICAL to the same docs'
+    * spans in a from-scratch pack of everything — which is exactly what
+    * the oracle computes (full manifest filtered to the wave).
+    */
+  private val qPackAppend: Q = (s, dir) => {
+    val all = Tables.documents(s, dir)
+    val hist = all.filter(col("doc_id") < 250)
+    val wave = all.filter(col("doc_id") >= 250)
+    graft.pipeline.Packing.packAppend(wave,
+        graft.pipeline.Packing.packStats(hist, PackL, PackShards)
+          .select(col("shard"), col("n_tokens")),
+        PackL, PackShards)
+      .orderBy("shard", "window_id", "doc_id")
+  }
+
+  // oracle: the from-scratch full manifest, restricted to the wave's docs
+  // (identity the query asserts); same CTE chain as packManifestSql
+  private val packAppendSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS ntok,
+       |    CAST(doc_id % $PackShards AS BIGINT) AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ntok, shard,
+       |    SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id) AS tend
+       |  FROM d),
+       |s AS (SELECT doc_id, ntok, shard, tend, tend - ntok AS tstart FROM c)
+       |SELECT shard, CAST(w AS BIGINT) AS window_id, doc_id,
+       |  CAST(GREATEST(w*$PackL - tstart, 0) AS BIGINT) AS tok_from,
+       |  CAST(LEAST(ntok, (w+1)*$PackL - tstart) AS BIGINT) AS tok_to,
+       |  CAST(GREATEST(tstart - w*$PackL, 0) AS BIGINT) AS win_offset
+       |FROM s, UNNEST(range(CAST(tstart // $PackL AS BIGINT),
+       |  CAST((tend - 1) // $PackL + 1 AS BIGINT))) AS r(w)
+       |WHERE doc_id >= 250
+       |ORDER BY shard, window_id, doc_id""".stripMargin
+
   /** Packing efficiency per shard — padding exists only in each shard's
     * final window; the number that sizes `shards` at 100 TB.
     */
@@ -10785,6 +10826,7 @@ object QueryCatalog {
     "q_stream_running" -> qStreamRunning,
     "q_chunking" -> qChunking,
     "q_pack_manifest" -> qPackManifest,
+    "q_pack_append" -> qPackAppend,
     "q_packing_stats" -> qPackingStats,
     "q_change_feed" -> qChangeFeed,
     "q_time_travel" -> qTimeTravel,
@@ -11083,6 +11125,7 @@ object QueryCatalog {
     "q_stream_running" -> streamRunningSql,
     "q_chunking" -> chunkingSql,
     "q_pack_manifest" -> packManifestSql,
+    "q_pack_append" -> packAppendSql,
     "q_packing_stats" -> packingStatsSql,
     "q_change_feed" -> changeFeedSql,
     "q_time_travel" -> timeTravelSql,

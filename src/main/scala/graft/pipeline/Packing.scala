@@ -64,6 +64,44 @@ object Packing {
           .as("win_offset"))
   }
 
+  /** Incremental packing: pack a NEW wave of documents continuing each
+    * shard's token stream exactly where the previous waves ended —
+    * `priorTokens` is (shard, n_tokens) from [[packStats]] over history
+    * (or the persisted running totals). Historical windows and spans never
+    * change (append-only manifest); each shard's partially-filled final
+    * window is COMPLETED by the next wave, so steady-state padding stays
+    * one partial window per shard regardless of wave count. When every
+    * wave-1 doc_id precedes every wave-2 doc_id within a shard (waves cut
+    * by ingestion-ordered ids — the landing-directory reality), the union
+    * of per-wave manifests is bit-identical to packing everything at once
+    * ([[PackingSpec]] asserts it). Cost: the same one hash shuffle as
+    * [[packManifest]] plus a broadcast of the (≤ shards)-row totals.
+    */
+  def packAppend(newDocs: DataFrame, priorTokens: DataFrame, seqLen: Int,
+      shards: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
+    val byShard = Window.partitionBy("shard").orderBy("doc_id")
+    newDocs
+      .select(col("doc_id"), ntok(col("text")).as("ntok"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .join(broadcast(priorTokens.select(col("shard"),
+        col("n_tokens").as("prior"))), Seq("shard"), "left")
+      .na.fill(0L, Seq("prior"))
+      .withColumn("tend", sum(col("ntok")).over(byShard) + col("prior"))
+      .withColumn("tstart", col("tend") - col("ntok"))
+      .withColumn("w0", expr(s"tstart div $seqLen"))
+      .withColumn("w1", expr(s"(tend - 1) div $seqLen"))
+      .select(col("shard"), col("doc_id"), col("ntok"), col("tstart"),
+        explode(sequence(col("w0"), col("w1"))).as("window_id"))
+      .select(
+        col("shard"), col("window_id"), col("doc_id"),
+        greatest(col("window_id") * L - col("tstart"), lit(0L)).as("tok_from"),
+        least(col("ntok"), (col("window_id") + 1) * L - col("tstart"))
+          .as("tok_to"),
+        greatest(col("tstart") - col("window_id") * L, lit(0L))
+          .as("win_offset"))
+  }
+
   /** Packing efficiency per shard: window count, token totals, and the
     * padding that exists ONLY in each shard's final window — the number an
     * operator watches to size `shards` (padding fraction ≈ shards × L/2 /

@@ -61,6 +61,28 @@ class PackingSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(3).mkString(";"))
   }
 
+  test("append continues each shard's stream: wave manifest == from-scratch manifest of the wave") {
+    val hist = docs.filter(col("doc_id") < 200)
+    val wave = docs.filter(col("doc_id") >= 200)
+    val appended = Packing.packAppend(wave,
+      Packing.packStats(hist, L, Shards).select(col("shard"), col("n_tokens")),
+      L, Shards)
+    val fromScratch = Packing.packManifest(docs, L, Shards)
+      .filter(col("doc_id") >= 200)
+    assert(appended.exceptAll(fromScratch).isEmpty &&
+      fromScratch.exceptAll(appended).isEmpty)
+    // and history's own manifest is untouched by the append (append-only)
+    val histAlone = Packing.packManifest(hist, L, Shards)
+    val histInFull = Packing.packManifest(docs, L, Shards)
+      .filter(col("doc_id") < 200)
+    assert(histAlone.exceptAll(histInFull).isEmpty &&
+      histInFull.exceptAll(histAlone).isEmpty)
+    // empty wave: zero rows, no error
+    assert(Packing.packAppend(docs.filter(col("doc_id") < 0),
+      Packing.packStats(hist, L, Shards).select(col("shard"), col("n_tokens")),
+      L, Shards).isEmpty)
+  }
+
   test("stats: windows = ceil(tokens/L) per shard; padding < L") {
     val stats = Packing.packStats(docs, L, Shards).collect()
     assert(stats.length == Shards)
