@@ -74,14 +74,27 @@ object ScaleFixtures {
           .withColumn("text", caesar(col("text"), k))
     })
 
+    // rotation wraps at the vector dimension (slice would go negative past
+    // it — hit at factor 100 on dim-64 vectors); each full wrap negates the
+    // vector instead, which preserves the norm and coordinate distribution
+    // while keeping replicas directionally distinct up to 2×dim factors
+    val dim = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
     out("embeddings", replicate(Tables.embeddings(spark, srcDir), factor) {
       (d, k) =>
         if (k == 0) d
-        else d.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
-          .withColumn("embedding",
-            concat(slice(col("embedding"), lit(k + 1),
-                size(col("embedding")) - lit(k)),
-              slice(col("embedding"), lit(1), lit(k))))
+        else {
+          val r = k % dim
+          val rotated =
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), lit(r + 1),
+                size(col("embedding")) - lit(r)),
+              slice(col("embedding"), lit(1), lit(r)))
+          val flipped =
+            if ((k / dim) % 2 == 1) transform(rotated, x => -x) else rotated
+          d.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+            .withColumn("embedding", flipped)
+        }
     })
 
     out("events", replicate(Tables.events(spark, srcDir), factor) { (d, k) =>
