@@ -33,7 +33,14 @@ object ScaleBench {
         written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     }
-    def snapshot: (Long, Long) = (read.get(), written.get())
+    /** Drain the async listener bus first so the counters include every
+      * completed stage of the action just measured (ADVICE r5) — without
+      * the drain, late StageCompleted events leak into the NEXT window.
+      */
+    def snapshot(sc: org.apache.spark.SparkContext): (Long, Long) = {
+      org.apache.spark.graftx.ListenerBusDrain.drain(sc)
+      (read.get(), written.get())
+    }
   }
 
   /** The flagship families (VERDICT r4's list): dedup, retrieval index +
@@ -99,11 +106,11 @@ object ScaleBench {
         var shuffle = (0L, 0L)
         var rows = 0L
         val times = (1 to runs).map { _ =>
-          val before = meter.snapshot
+          val before = meter.snapshot(spark.sparkContext)
           val t0 = System.nanoTime()
           rows = fn(spark, dir).count()
           val dt = (System.nanoTime() - t0) / 1e9
-          val after = meter.snapshot
+          val after = meter.snapshot(spark.sparkContext)
           // shuffle bytes of the LAST run (fixture-build stages amortize
           // away on the second run for the batch families)
           shuffle = (after._1 - before._1, after._2 - before._2)

@@ -57,9 +57,18 @@ object YamlConfig {
   }
 
   private def unquote(v: String, lineNo: Int): String =
-    if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head)
-      v.substring(1, v.length - 1)
-    else {
+    if (v.nonEmpty && (v.head == '\'' || v.head == '"')) {
+      // Quoted scalar: find the CLOSING quote first, so a '#' inside the
+      // quotes is literal and a trailing `# comment` after the close quote
+      // is dropped. Anything else after the close quote is outside the
+      // subset — fail loudly rather than silently truncating.
+      val close = v.indexOf(v.head, 1)
+      require(close > 0, s"line $lineNo: unterminated quoted value: $v")
+      val rest = v.substring(close + 1).trim
+      require(rest.isEmpty || rest.startsWith("#"),
+        s"line $lineNo: trailing content after quoted value: $v")
+      v.substring(1, close)
+    } else {
       // bare scalar: strip a trailing comment, reject subset violations
       val bare = (v.indexOf('#') match {
         case -1 => v

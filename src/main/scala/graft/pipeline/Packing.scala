@@ -81,12 +81,33 @@ object Packing {
       shards: Int): DataFrame = {
     val L = lit(seqLen.toLong)
     val byShard = Window.partitionBy("shard").orderBy("doc_id")
-    newDocs
+    // The append-only guarantee REQUIRES every new doc_id to follow all
+    // historical doc_ids within its shard. When the caller's totals carry
+    // `max_doc_id` (see [[packTotals]]), that precondition is CHECKED on
+    // every row, in the executors (raise_error — no collect): a violating
+    // wave fails the job instead of silently emitting spans that overlap
+    // committed history. Totals without the column keep the old contract
+    // (documented-only) for backward compatibility.
+    val hasMax = priorTokens.columns.contains("max_doc_id")
+    val prior0 = priorTokens.select(
+      (col("shard") +: col("n_tokens").as("prior") +:
+        (if (hasMax) Seq(col("max_doc_id").as("hist_max")) else Nil)): _*)
+    val base = newDocs
       .select(col("doc_id"), ntok(col("text")).as("ntok"),
         pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
-      .join(broadcast(priorTokens.select(col("shard"),
-        col("n_tokens").as("prior"))), Seq("shard"), "left")
+      .join(broadcast(prior0), Seq("shard"), "left")
       .na.fill(0L, Seq("prior"))
+    val checked =
+      if (!hasMax) base
+      else base.withColumn("doc_id",
+        when(col("hist_max").isNotNull && col("doc_id") <= col("hist_max"),
+          raise_error(concat(lit("packAppend: wave doc_id "),
+            col("doc_id").cast("string"),
+            lit(" does not follow historical max "),
+            col("hist_max").cast("string"),
+            lit(" in shard "), col("shard").cast("string"))).cast("long"))
+          .otherwise(col("doc_id")))
+    checked
       .withColumn("tend", sum(col("ntok")).over(byShard) + col("prior"))
       .withColumn("tstart", col("tend") - col("ntok"))
       .withColumn("w0", expr(s"tstart div $seqLen"))
@@ -101,6 +122,18 @@ object Packing {
         greatest(col("tstart") - col("window_id") * L, lit(0L))
           .as("win_offset"))
   }
+
+  /** Per-shard running totals for [[packAppend]]: token count PLUS the max
+    * historical doc_id, which arms packAppend's append-only precondition
+    * check. Use this (not a bare n_tokens projection) when threading state
+    * between waves.
+    */
+  def packTotals(docs: DataFrame, shards: Int): DataFrame =
+    docs
+      .select(col("doc_id"), ntok(col("text")).as("ntok"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .groupBy(col("shard"))
+      .agg(sum(col("ntok")).as("n_tokens"), max(col("doc_id")).as("max_doc_id"))
 
   /** Packing efficiency per shard: window count, token totals, and the
     * padding that exists ONLY in each shard's final window — the number an

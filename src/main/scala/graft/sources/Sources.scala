@@ -88,6 +88,20 @@ object Sources {
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
+    // Overwrite semantics are settled DRIVER-side, before any task runs:
+    // stale shards and orphaned attempt temps from a prior run are removed
+    // here, where no speculative attempt can race the delete. Executors
+    // then never delete the final name — so a zombie attempt can never
+    // remove a sibling's committed shard.
+    {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir))
+        fs.listStatus(dir).map(_.getPath)
+          .filter(p => p.getName.endsWith(".jsonl.zst") ||
+            p.getName.contains(".jsonl.zst.attempt-"))
+          .foreach(p => fs.delete(p, false))
+    }
     val cols = df.columns.map(col)
     df.select(to_json(struct(cols.toIndexedSeq: _*)).as("line"))
       .repartition(numShards)
@@ -105,14 +119,22 @@ object Sources {
         val tmp = new org.apache.hadoop.fs.Path(
           f"$path/.part-$pid%05d.jsonl.zst.attempt-${tc.taskAttemptId()}")
         val fs = fin.getFileSystem(hc)
-        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          Codecs.compress("zstd", fs.create(tmp, true)),
-          java.nio.charset.StandardCharsets.UTF_8), 64 * 1024)
-        try it.foreach { l => out.write(l); out.write('\n') }
-        finally out.close()
-        if (fs.exists(fin)) fs.delete(fin, false)
-        if (!fs.rename(tmp, fin))
-          throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+        // The finally-delete guarantees an aborted/lost attempt never leaves
+        // a `.part-*.attempt-*` orphan; rename-failure-with-dest-present is
+        // success (another attempt of this partition already committed a
+        // whole file), so a zombie attempt can neither clobber the winner
+        // nor spuriously fail the task.
+        try {
+          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            Codecs.compress("zstd", fs.create(tmp, true)),
+            java.nio.charset.StandardCharsets.UTF_8), 64 * 1024)
+          try it.foreach { l => out.write(l); out.write('\n') }
+          finally out.close()
+          if (!fs.rename(tmp, fin) && !fs.exists(fin))
+            throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+        } finally {
+          if (fs.exists(tmp)) fs.delete(tmp, false)
+        }
       }
   }
 

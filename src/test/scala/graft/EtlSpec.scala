@@ -229,6 +229,11 @@ class EtlSpec extends SparkSpec {
     val m = parseFlat(
       "# header\nA : 'x'\nB: \"y z\"\nC : bare # trailing\n\nD: 'ha#sh'\n")
     assert(m == Map("A" -> "x", "B" -> "y z", "C" -> "bare", "D" -> "ha#sh"))
+    // quoted value + trailing comment: comment dropped, '#' inside quotes kept
+    assert(parseFlat("A : 'ha#sh' # note") == Map("A" -> "ha#sh"))
+    assert(parseFlat("A : \"v\"   # note") == Map("A" -> "v"))
+    intercept[IllegalArgumentException](parseFlat("A: 'unterminated"))
+    intercept[IllegalArgumentException](parseFlat("A: 'x' trailing-junk"))
     intercept[IllegalArgumentException](parseFlat("A:\n  - nested"))
     intercept[IllegalArgumentException](parseFlat("A: 1\nA: 2"))
     intercept[IllegalArgumentException](parseFlat("A: {x: 1}"))

@@ -83,6 +83,26 @@ class PackingSpec extends SparkSpec {
       L, Shards).isEmpty)
   }
 
+  test("append precondition: totals with max_doc_id accept ordered waves, fail out-of-order ones") {
+    val hist = docs.filter(col("doc_id") < 200)
+    val totals = Packing.packTotals(hist, Shards)
+    // ordered wave through the guarded path ≡ unguarded path
+    val wave = docs.filter(col("doc_id") >= 200)
+    val guarded = Packing.packAppend(wave, totals, L, Shards)
+    val unguarded = Packing.packAppend(wave,
+      totals.select(col("shard"), col("n_tokens")), L, Shards)
+    assert(guarded.exceptAll(unguarded).isEmpty &&
+      unguarded.exceptAll(guarded).isEmpty)
+    // a wave containing a doc_id at-or-below history's max fails LOUDLY
+    val bad = docs.filter(col("doc_id") < 100) // entirely inside history
+    val ex = intercept[Exception] {
+      Packing.packAppend(bad, totals, L, Shards).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("does not follow historical max")), ex.getMessage)
+  }
+
   test("stats: windows = ceil(tokens/L) per shard; padding < L") {
     val stats = Packing.packStats(docs, L, Shards).collect()
     assert(stats.length == Shards)
