@@ -1295,6 +1295,32 @@ object QueryCatalog {
       .orderBy("month_sid")
   }
 
+  /** The manifest-pruned steady-state twin of [[qEtlBackup]] (r5 verdict
+    * task 1): the source lands as a TIME-ORDERED lake table (range-
+    * partitioned by order date — the ingest reality), a StatsStore manifest
+    * over the DERIVED month key is built once, and then each month's copy
+    * opens only the files whose [min, max] month interval contains it —
+    * `IncrementalBackup.runPruned`. Same oracle as the unpruned loop: the
+    * manifest is a superset guarantee, so results are identical; only the
+    * IO per iteration changes (file subset instead of full history).
+    */
+  private val qEtlPruned: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl-qp").toString
+    Tables.orders(s, dir)
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(s"$tmp/src")
+    val cfg = etl.JobConfig(tableName = "orders", numMappers = 4)
+    val job = new etl.IncrementalBackup(
+      s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
+    job.runPruned(s"$tmp/src")
+    job.readBack()
+      .groupBy(col("pid").cast("long").as("month_sid"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("month_sid")
+  }
+
   // ------------------------------------------------ analytics (extended ops)
 
   private val qCubeOrders: Q = (s, dir) =>
@@ -10566,7 +10592,7 @@ object QueryCatalog {
     * them).
     */
   val benchExcluded: Set[String] =
-    Set("q_etl_backup", "q_etl_bulk", "q_events_hourly_stream",
+    Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_events_hourly_stream",
       "q_stream_dedup_hourly_rocksdb", "q_stream_attribution_outer_rocksdb", "q_stream_dedup", "q_stream_neardup",
       "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
@@ -10606,6 +10632,7 @@ object QueryCatalog {
     "q_bigram_lm" -> qBigramLm,
     "q_etl_backup" -> qEtlBackup,
     "q_etl_bulk" -> qEtlBulk,
+    "q_etl_pruned" -> qEtlPruned,
     "q_partition_discovery" -> qPartitionDiscovery,
     "q_oldest_pending" -> qOldestPending,
     "q_partition_rowcount" -> qPartitionRowcount,
@@ -10894,6 +10921,7 @@ object QueryCatalog {
     "q_bigram_lm" -> bigramLmSql,
     "q_etl_backup" -> etlBackupSql,
     "q_etl_bulk" -> etlBackupSql,
+    "q_etl_pruned" -> etlBackupSql,
     "q_partition_discovery" -> partitionDiscoverySql,
     "q_oldest_pending" -> (partitionDiscoverySql.replace("ORDER BY d.month_sid", "ORDER BY d.month_sid LIMIT 1")),
     "q_partition_rowcount" ->

@@ -26,11 +26,13 @@ object ScaleBench {
   private final class ShuffleMeter extends SparkListener {
     val read = new AtomicLong(0L)
     val written = new AtomicLong(0L)
+    val input = new AtomicLong(0L)
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
       }
     }
     /** Drain the async listener bus first so the counters include every
@@ -175,8 +177,97 @@ object ScaleBench {
     val balance =
       s""""minhash_band_buckets":$bandBalance,"ivf_clusters":$ivfBalance,"bm25_token_buckets":$bm25Balance,"bm25_unbalanced_buckets":$bm25Unbalanced"""
 
+    // ---- ETL steady-state: loop-iteration cost vs history size ---------
+    // (r5 verdict tasks 1+2.) H1 = sf0.1 orders (~80 months) in a time-
+    // ordered lake layout; H10 = ten date-shifted replicas (~800 months,
+    // SAME per-month volume, 10× files). A manifest-pruned month copy must
+    // cost ~the same under both (reads a file subset); the unpruned copy
+    // re-scans history and is expected to grow ~10×. Also: the salted bulk
+    // backfill's rows-per-file balance (max/mean gate).
+    val etlJson = {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-scale-etl").toString
+      val orders01 = Tables.orders(spark, "/root/testdata/sf0.1")
+      def writeHist(mult: Int, dir: String): Unit = {
+        val reps = (0 until mult).map { k =>
+          // +2600 days per replica ≈ +7.1 years: month ranges never overlap
+          orders01.withColumn("o_orderdate",
+            date_add(col("o_orderdate"), k * 2600))
+        }.reduce(_ unionByName _)
+        reps.repartitionByRange(8 * mult, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate")
+          .write.parquet(dir)
+      }
+      writeHist(1, s"$tmpRoot/h1")
+      writeHist(10, s"$tmpRoot/h10")
+      // wall time at this fixture size is job-overhead-bound (~0.5 s fixed),
+      // so the scale-faithful signal is BYTES READ per iteration: the
+      // pruned copy's input must stay flat as history grows 10×, while the
+      // unpruned copy's input grows with history. Bytes are deterministic;
+      // seconds at 100 TB follow bytes.
+      def inputBytes(f: => Unit): Long = {
+        val b = { org.apache.spark.graftx.ListenerBusDrain.drain(spark.sparkContext); meter.input.get() }
+        f
+        org.apache.spark.graftx.ListenerBusDrain.drain(spark.sparkContext)
+        meter.input.get() - b
+      }
+      def probe(srcDir: String): (Double, Double, Long, Long, Int, Int) = {
+        val src = spark.read.parquet(srcDir)
+        val cfg = graft.etl.JobConfig(tableName = "orders", numMappers = 4)
+        val dest = s"$tmpRoot/dest-${srcDir.split('/').last}"
+        val job = new graft.etl.IncrementalBackup(spark, cfg,
+          new graft.etl.StatusStore(spark, s"$dest/status"), s"$dest/out")
+        val months = src
+          .select(graft.operators.ReferenceOps.monthSid(col("o_orderdate")).as("m"))
+          .distinct().as[Long].collect().sorted
+        val mid = months(months.length / 2)
+        job.discover(src)
+        val stats = graft.sources.StatsStore.collectExpr(
+          spark, srcDir, Seq("pid" -> job.pidCol(src))).cache()
+        stats.count()
+        val nPruned = job.prunedFiles(stats, mid).size
+        val nTotal = src.inputFiles.length
+        // two timed copies each (overwrite-idempotent), min: absorbs codegen
+        val tP = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          job.copyPartitionPruned(srcDir, stats, mid)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val tF = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          job.copyPartition(src, mid)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        // bytes of the DATA slice read alone (the part that scales with
+        // history): the API-level copy also re-reads the partition-list-
+        // sized status store, which is O(months) noise at this fixture size
+        val files = job.prunedFiles(stats, mid)
+        val bP = inputBytes {
+          val sub = spark.read.parquet(files: _*)
+          sub.filter(job.pidCol(sub) === mid).count(); ()
+        }
+        val bF = inputBytes {
+          src.filter(job.pidCol(src) === mid).count(); ()
+        }
+        stats.unpersist()
+        (tP, tF, bP, bF, nPruned, nTotal)
+      }
+      val (p1, f1, bp1, bf1, n1, t1e) = probe(s"$tmpRoot/h1")
+      val (p10, f10, bp10, bf10, n10, t10e) = probe(s"$tmpRoot/h10")
+      System.err.println(f"[scale] etl_history_growth pruned ${p1}%.2fs/${bp1 / 1e6}%.1fMB -> ${p10}%.2fs/${bp10 / 1e6}%.1fMB (files $n10/$t10e), full ${f1}%.2fs/${bf1 / 1e6}%.1fMB -> ${f10}%.2fs/${bf10 / 1e6}%.1fMB")
+      // salted bulk backfill balance on the h1 source
+      val bcfg = graft.etl.JobConfig(tableName = "orders", numMappers = 4)
+      val bdest = s"$tmpRoot/bulk"
+      val bjob = new graft.etl.IncrementalBackup(spark, bcfg,
+        new graft.etl.StatusStore(spark, s"$bdest/status"), s"$bdest/out")
+      bjob.runBulk(spark.read.parquet(s"$tmpRoot/h1"))
+      val bulkBalance = balanceOf(
+        bjob.readBack().select(input_file_name().as("f"))
+          .groupBy(col("f")).agg(count(lit(1)).as("n")))
+      s""""etl_history_growth":{"h1_pruned_s":${s3(p1)},"h10_pruned_s":${s3(p10)},"pruned_time_ratio":${s3(p10 / math.max(p1, 1e-9))},"h1_full_s":${s3(f1)},"h10_full_s":${s3(f10)},"h1_pruned_read_mb":${s3(bp1 / 1e6)},"h10_pruned_read_mb":${s3(bp10 / 1e6)},"pruned_bytes_ratio":${s3(bp10.toDouble / math.max(bp1.toDouble, 1.0))},"h1_full_read_mb":${s3(bf1 / 1e6)},"h10_full_read_mb":${s3(bf10 / 1e6)},"full_bytes_ratio":${s3(bf10.toDouble / math.max(bf1.toDouble, 1.0))},"h1_files_read":$n1,"h1_files_total":$t1e,"h10_files_read":$n10,"h10_files_total":$t10e},"etl_bulk_file_balance":$bulkBalance"""
+    }
+
     val json =
-      s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")},"balance":{$balance}}"""
+      s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")},"balance":{$balance},$etlJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outJson), json)
     println(json)

@@ -92,6 +92,66 @@ final class IncrementalBackup(
     copied
   }
 
+  /** The file subset one partition's copy must read, per the min/max
+    * manifest: files whose derived-pid interval contains `pid`. Exposed so
+    * specs can assert the subset property directly.
+    */
+  def prunedFiles(stats: DataFrame, pid: Long): Seq[String] =
+    graft.sources.StatsStore.survivingFiles(stats, "pid", pid, pid)
+
+  /** [[copyPartition]] for a LAKE-resident source: instead of filtering a
+    * full-history scan on the derived pid (which no file source can prune —
+    * the r5 scale finding), the copy opens ONLY the files whose per-file
+    * [min_pid, max_pid] interval (from a [[graft.sources.StatsStore]]
+    * manifest over the DERIVED key) contains the month. With time-ordered
+    * ingest the intervals are tight, so one month's copy reads ~one month
+    * of files no matter how long history grows — the elimination Vertica's
+    * physical partitioning gives the reference (`sqoop_table.py:97`) for
+    * free. The predicate is still applied to the rows read (manifest
+    * pruning is a superset guarantee), so results are identical to the
+    * unpruned path.
+    */
+  def copyPartitionPruned(sourcePath: String, stats: DataFrame, pid: Long): Unit = {
+    val files = prunedFiles(stats, pid)
+    val slice =
+      if (files.isEmpty)
+        spark.read.parquet(sourcePath).filter(lit(false))
+      else {
+        val sub = spark.read.parquet(files: _*)
+        sub.filter(pidCol(sub) === lit(pid))
+      }
+    OrcSink.write(
+      slice.repartition(cfg.numMappers),
+      s"$destRoot/${cfg.tableName}/pid=$pid", cfg)
+    status.markComplete(cfg.tableName, pid, now())
+  }
+
+  /** Steady-state drain against a lake path: discovery is ONE column-pruned
+    * scan of the pid-deriving column (unavoidable — exact distinct months),
+    * the manifest is ONE more single-column scan (incrementally maintainable
+    * via [[graft.sources.StatsStore.collectExprAppend]] between drains), and
+    * then each month's copy is file-subset-read only. Loop cost is therefore
+    * proportional to the PENDING data, not to history size.
+    */
+  def runPruned(sourcePath: String): Seq[Long] = {
+    val source = spark.read.parquet(sourcePath)
+    discover(source)
+    val stats = graft.sources.StatsStore
+      .collectExpr(spark, sourcePath, Seq("pid" -> pidCol(source)))
+      .cache()
+    try {
+      var copied = Vector.empty[Long]
+      var pending = status.pending(cfg.tableName).collect().sortBy(_.primaryPartitionValue)
+      while (pending.nonEmpty) {
+        val next = pending.head.primaryPartitionValue
+        copyPartitionPruned(sourcePath, stats, next)
+        copied :+= next
+        pending = status.pending(cfg.tableName).collect().sortBy(_.primaryPartitionValue)
+      }
+      copied
+    } finally { stats.unpersist(); () }
+  }
+
   /** Bulk variant of the drain loop: ONE job writes every pending partition
     * via `partitionBy(pid)` instead of a job per partition. At 100 TB this
     * is the first-load / backfill path (the per-partition loop is the
@@ -107,8 +167,21 @@ final class IncrementalBackup(
     if (pending.nonEmpty) {
       val withPid = source.withColumn("pid", pidCol(source))
         .filter(col("pid").isin(pending: _*))
+      // Salt WITHIN pid so a hot month splits across tasks: hashing on pid
+      // alone capped intra-partition parallelism at one task per month (the
+      // r5 scale finding) — the reference's own mappers split within one
+      // partition via rowId ranges (`sqoop_table.py:94-104`), and so does
+      // the loop path's repartition(n). The salt is a deterministic
+      // row-content hash mod numMappers, so each pid still lands in at most
+      // NUM_MAPPERS files (the X4 throttle) while task count scales with
+      // the partition count. Cap guards the degenerate huge-backfill case.
+      val salt = pmod(
+        xxhash64(source.columns.map(col).toIndexedSeq: _*),
+        lit(cfg.numMappers.toLong))
+      val nTasks = math.min(
+        cfg.numMappers.toLong * pending.size, 100000L).toInt
       withPid
-        .repartition(cfg.numMappers, col("pid"))
+        .repartition(nTasks, col("pid"), salt)
         .write.mode("overwrite")
         .partitionBy("pid")
         .format(cfg.outputFileFormat)

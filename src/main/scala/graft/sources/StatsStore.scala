@@ -32,6 +32,57 @@ object StatsStore {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[collect]] generalized to DERIVED columns: per-file (count, min, max)
+    * of arbitrary expressions — the device that makes a derived partition
+    * key (e.g. `month_sid(o_orderdate)`) prunable even though no file
+    * source can push a predicate on it. Correct for ANY expression (the
+    * read-side still applies the real predicate); tight exactly when the
+    * expression is monotone in the file layout (time-ordered ingest makes
+    * a date-derived month key monotone per file).
+    */
+  def collectExpr(spark: SparkSession, dataPath: String,
+      derived: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val df = spark.read.parquet(dataPath)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      derived.flatMap { case (n, _) =>
+        Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n")) }
+    df.select(input_file_name().as("file") +:
+        derived.map { case (n, e) => e.as(n) }: _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental manifest maintenance: stats are computed ONLY for files
+    * not already covered by `prior` — the steady-state discipline at
+    * 100 TB, where each drain appends a handful of files to a manifest
+    * covering years of history. One file-listing plus a scan of the NEW
+    * files; history is never re-read.
+    */
+  def collectExprAppend(spark: SparkSession, dataPath: String,
+      derived: Seq[(String, org.apache.spark.sql.Column)],
+      prior: DataFrame): DataFrame = {
+    val known = prior.select("file").collect().map(_.getString(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(dataPath))
+      .map(_.getPath).filter(p => p.getName.endsWith(".parquet"))
+    // input_file_name() yields URI-encoded full paths; normalize both sides
+    val fresh = all.filter(p => !known.contains(p.toUri.toString) &&
+      !known.contains(p.toString)).map(_.toString)
+    if (fresh.isEmpty) prior
+    else {
+      val df = spark.read.parquet(fresh: _*)
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++
+        derived.flatMap { case (n, _) =>
+          Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n")) }
+      val add = df.select(input_file_name().as("file") +:
+          derived.map { case (n, e) => e.as(n) }: _*)
+        .groupBy(col("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      prior.unionByName(add)
+    }
+  }
+
   /** Data files whose [min_c, max_c] intersects [lo, hi]. */
   def survivingFiles(stats: DataFrame, c: String, lo: Long, hi: Long): Seq[String] =
     stats.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))

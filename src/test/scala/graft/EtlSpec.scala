@@ -50,6 +50,66 @@ class EtlSpec extends SparkSpec {
     assert(job.readBack().count() == orders.count())
   }
 
+  test("pruned steady-state loop: one month's copy reads a strict file subset; results match the unpruned loop") {
+    val tmp = Files.createTempDirectory("graft-etlpr").toString
+    val orders = Tables.orders(spark, sf)
+    // time-ordered lake layout: range-partitioned by date → tight per-file
+    // month intervals (the ingest reality the manifest exploits)
+    orders.repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(s"$tmp/src")
+    val cfg = JobConfig(tableName = "orders", numMappers = 2)
+    val store = new StatusStore(spark, s"$tmp/status")
+    val job = new IncrementalBackup(spark, cfg, store, s"$tmp/dest")
+
+    // the subset assertion: a mid-history month's slice opens strictly
+    // fewer files than history holds, and the PLAN reads only those files
+    val stats = graft.sources.StatsStore.collectExpr(
+      spark, s"$tmp/src", Seq("pid" -> job.pidCol(spark.read.parquet(s"$tmp/src"))))
+    import spark.implicits._
+    val allMonths = orders.select(ReferenceOps.monthSid(col("o_orderdate")))
+      .distinct().as[Long].collect().sorted
+    val mid = allMonths(allMonths.length / 2)
+    val subset = job.prunedFiles(stats, mid)
+    val total = spark.read.parquet(s"$tmp/src").inputFiles.length
+    assert(subset.nonEmpty && subset.size < total,
+      s"expected strict subset, got ${subset.size} of $total files")
+    // the pruned slice's actual input files are exactly that subset
+    val slice = spark.read.parquet(subset: _*)
+    assert(slice.inputFiles.map(f => java.net.URLDecoder.decode(f, "UTF-8")).toSet ==
+      subset.map(f => java.net.URLDecoder.decode(f, "UTF-8")).toSet)
+
+    // and the full pruned drain reproduces the source exactly
+    val copied = job.runPruned(s"$tmp/src")
+    assert(copied.toSet == allMonths.toSet)
+    assert(job.readBack().count() == orders.count())
+    assert(job.runPruned(s"$tmp/src").isEmpty) // idempotent re-entry
+  }
+
+  test("bulk backfill salts within pid: a hot month spans multiple files, still <= NUM_MAPPERS per pid") {
+    val tmp = Files.createTempDirectory("graft-etlsalt").toString
+    val cfg = JobConfig(tableName = "orders", numMappers = 4)
+    val store = new StatusStore(spark, s"$tmp/status")
+    val job = new IncrementalBackup(spark, cfg, store, s"$tmp/dest")
+    val orders = Tables.orders(spark, sf)
+    job.runBulk(orders)
+    assert(job.readBack().count() == orders.count())
+    // per-pid file counts from the at-rest layout
+    val perPid = job.readBack()
+      .select(col("pid"), input_file_name().as("f"))
+      .groupBy(col("pid"))
+      .agg(countDistinct(col("f")).as("n_files"),
+        count(lit(1)).as("n_rows")).collect()
+    assert(perPid.forall(_.getAs[Long]("n_files") <= cfg.numMappers),
+      "X4 throttle: more than NUM_MAPPERS files for a pid")
+    // the hottest months actually split across tasks (the r5 fix): at
+    // sf0.001 every populated month has > numMappers rows, so the salt
+    // must spread each across >1 file
+    val hot = perPid.sortBy(-_.getAs[Long]("n_rows")).take(3)
+    assert(hot.forall(_.getAs[Long]("n_files") > 1),
+      s"hot pids wrote through a single file: ${hot.mkString(";")}")
+  }
+
   test("full-snapshot mode (PRIMARY_ID='') copies once, then no-ops") {
     val tmp = Files.createTempDirectory("graft-etl3").toString
     val cfg = JobConfig(tableName = "nation", primaryId = "")
