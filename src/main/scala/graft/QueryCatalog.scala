@@ -3951,6 +3951,55 @@ object QueryCatalog {
       |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** A1/A4 executed WAREHOUSE-side (r5 "what's missing" #1): the catalog
+    * probes the reference runs inside Vertica — `count(*)` per unit and
+    * min/max split bounds (`sqoop_table.py:54-57`, `:145`) — through the
+    * DSv2 JDBC catalog with aggregate pushdown, against a real embedded
+    * Derby database. `agg_pushed` is computed FROM THE PLAN (scan must
+    * carry `PushedAggregates` — i.e. no row fetch precedes the aggregate)
+    * and hash-checked by the oracle's literal `true`, so a silent fallback
+    * to row-fetch-then-aggregate fails the correctness gate, not just a
+    * spec.
+    */
+  private val qJdbcAgg: Q = (s, dir) => {
+    val fx = Fixtures.getOrBuild(s"jdbcagg:$dir") { f =>
+      val url = s"jdbc:derby:$f/db;create=true"
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .write
+        // Derby's default String mapping is CLOB, which the warehouse
+        // refuses to GROUP BY — declare a comparable VARCHAR instead
+        // (real warehouse DDL would, too)
+        .option("createTableColumnTypes", "o_orderpriority VARCHAR(32)")
+        .jdbc(url, "orders_t", new java.util.Properties())
+    }
+    val cat = "graftdw_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    graft.sources.Sources.jdbcCatalog(s, cat, s"jdbc:derby:$fx/db")
+    // DSv1 write.jdbc leaves the TABLE name unquoted (Derby normalizes it
+    // to upper case) while quoting COLUMN names — so the V2 identifier is
+    // upper-case, the columns stay lower-case.
+    val t = s.table(s"$cat.ORDERS_T")
+    val agg = t.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    val pushed = agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregates")
+    agg.withColumn("agg_pushed", lit(pushed)).orderBy("o_orderpriority")
+  }
+
+  private val jdbcAggSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      |  TRUE AS agg_pushed
+      |FROM orders
+      |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Small-file compaction as a declared round-trip: lineitem scattered
     * into 64 tiny files, compacted to a byte-size target with the atomic
     * rename swap, read back and aggregated. The oracle aggregates the
@@ -10794,6 +10843,7 @@ object QueryCatalog {
     "q_stats_pruning" -> qStatsPruning,
     "q_bloom_index" -> qBloomIndex,
     "q_jdbc_extract" -> qJdbcExtract,
+    "q_jdbc_agg" -> qJdbcAgg,
     "q_compaction" -> qCompaction,
     "q_bucketed_join" -> qBucketedJoin,
     "q_csv_roundtrip" -> qCsvRoundtrip,
@@ -11009,6 +11059,7 @@ object QueryCatalog {
     "q_stats_pruning" -> statsPruningSql,
     "q_bloom_index" -> bloomIndexSql,
     "q_jdbc_extract" -> jdbcExtractSql,
+    "q_jdbc_agg" -> jdbcAggSql,
     "q_compaction" -> compactionSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_csv_roundtrip" -> csvRoundtripSql,

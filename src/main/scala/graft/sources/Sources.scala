@@ -36,6 +36,31 @@ object Sources {
     props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
+  /** Warehouse-side aggregate execution: register a DSv2 JDBC catalog so
+    * Spark pushes WHOLE aggregates (COUNT / MIN / MAX / SUM + GROUP BY)
+    * into the database — the way the reference runs its row-count and
+    * boundary probes inside Vertica (`sqoop_table.py:54-57`, `:145`)
+    * instead of hauling rows out. The DSv1 `format("jdbc")` path (S1/S2)
+    * pushes filters but always fetches rows before aggregating; the V2
+    * `JDBCTableCatalog` compiles the aggregate to dialect SQL and, on an
+    * unpartitioned read, executes it COMPLETELY warehouse-side (the plan
+    * shows `PushedAggregates` and no row-level scan). Read tables as
+    * `spark.table(s"$name.<table>")`.
+    *
+    * Catalog instances are cached by name in the session's CatalogManager
+    * after first resolution — callers must use a distinct `name` per URL.
+    */
+  def jdbcCatalog(spark: SparkSession, name: String, url: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+    extra.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v) }
+  }
+
   /** S7: delimited-text source — the reference's Hive external text table
     * (`sqoop_pyhive.py:28-40`: FIELDS TERMINATED BY ',' LINES '\n').
     */
