@@ -7760,6 +7760,45 @@ object QueryCatalog {
        |WHERE doc_id >= 250
        |ORDER BY shard, window_id, doc_id""".stripMargin
 
+  /** Size-balanced packing ([[graft.pipeline.Packing.packManifestBalanced]],
+    * r5 verdict task 8): docs are dealt to shards by size-ranked
+    * round-robin within hash super-groups instead of `doc_id % shards`, so
+    * doc-length skew cannot overfill a shard's token budget. The oracle
+    * replays the ranking window, the deal, and the per-shard prefix-sum
+    * window arithmetic — assignment and spans must match to the token.
+    */
+  private val PackG = 2 // super-groups; each feeds PackShards/PackG shards
+
+  private val qPackBalanced: Q = (s, dir) =>
+    graft.pipeline.Packing
+      .packManifestBalanced(Tables.documents(s, dir), PackL, PackShards, PackG)
+      .orderBy("shard", "window_id", "doc_id")
+
+  private val packBalancedSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS ntok,
+       |    CAST(doc_id % $PackG AS BIGINT) AS sg
+       |  FROM documents),
+       |a AS (
+       |  SELECT doc_id, ntok,
+       |    CAST(sg * ${PackShards / PackG} +
+       |      (row_number() OVER (PARTITION BY sg ORDER BY ntok DESC, doc_id)
+       |        - 1) % ${PackShards / PackG} AS BIGINT) AS shard
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, ntok, shard,
+       |    SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id) AS tend
+       |  FROM a),
+       |s AS (SELECT doc_id, ntok, shard, tend, tend - ntok AS tstart FROM c)
+       |SELECT shard, CAST(w AS BIGINT) AS window_id, doc_id,
+       |  CAST(GREATEST(w*$PackL - tstart, 0) AS BIGINT) AS tok_from,
+       |  CAST(LEAST(ntok, (w+1)*$PackL - tstart) AS BIGINT) AS tok_to,
+       |  CAST(GREATEST(tstart - w*$PackL, 0) AS BIGINT) AS win_offset
+       |FROM s, UNNEST(range(CAST(tstart // $PackL AS BIGINT),
+       |  CAST((tend - 1) // $PackL + 1 AS BIGINT))) AS r(w)
+       |ORDER BY shard, window_id, doc_id""".stripMargin
+
   /** Packing efficiency per shard — padding exists only in each shard's
     * final window; the number that sizes `shards` at 100 TB.
     */
@@ -10904,6 +10943,7 @@ object QueryCatalog {
     "q_chunking" -> qChunking,
     "q_pack_manifest" -> qPackManifest,
     "q_pack_append" -> qPackAppend,
+    "q_pack_balanced" -> qPackBalanced,
     "q_packing_stats" -> qPackingStats,
     "q_change_feed" -> qChangeFeed,
     "q_time_travel" -> qTimeTravel,
@@ -11205,6 +11245,7 @@ object QueryCatalog {
     "q_chunking" -> chunkingSql,
     "q_pack_manifest" -> packManifestSql,
     "q_pack_append" -> packAppendSql,
+    "q_pack_balanced" -> packBalancedSql,
     "q_packing_stats" -> packingStatsSql,
     "q_change_feed" -> changeFeedSql,
     "q_time_travel" -> timeTravelSql,

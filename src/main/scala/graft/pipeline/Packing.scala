@@ -123,6 +123,63 @@ object Packing {
           .as("win_offset"))
   }
 
+  /** Token-mass-aware shard assignment (r5 verdict task 8): `pmod(doc_id,
+    * shards)` balances DOC COUNTS, so doc-length skew can overfill a
+    * shard's token budget. This assigns by SIZE-RANKED ROUND-ROBIN within
+    * hash super-groups: docs hash into `superGroups` groups, and inside
+    * each group they are ranked by (ntok desc, doc_id) and dealt across
+    * that group's `shards / superGroups` shards in rank order — the
+    * round-robin relaxation of LPT greedy binning, which a window function
+    * expresses exactly (deterministic, codegen'd, SQL-oracle-replayable;
+    * true greedy is inherently sequential). Within a group the dealt loads
+    * differ by at most one rank-row's spread; across groups hashing
+    * averages masses out. At 100 TB, size `superGroups` so one group's doc
+    * list fits a task (the window partitions by group — no global sort),
+    * and widen `shards / superGroups` for more balance.
+    */
+  def balancedAssign(docs: DataFrame, shards: Int, superGroups: Int): DataFrame = {
+    require(shards % superGroups == 0, "shards must be a multiple of superGroups")
+    val spg = shards / superGroups
+    val bySize = Window.partitionBy("sg").orderBy(col("ntok").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), ntok(col("text")).as("ntok"),
+        pmod(col("doc_id"), lit(superGroups.toLong)).as("sg"))
+      .withColumn("shard",
+        col("sg") * lit(spg.toLong) +
+          pmod(row_number().over(bySize) - lit(1), lit(spg)).cast("long"))
+      .select(col("doc_id"), col("ntok"), col("shard"))
+  }
+
+  /** [[packManifest]] over the size-balanced assignment — identical window
+    * arithmetic, only the doc→shard map changes.
+    */
+  def packManifestBalanced(docs: DataFrame, seqLen: Int, shards: Int,
+      superGroups: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
+    val byShard = Window.partitionBy("shard").orderBy("doc_id")
+    balancedAssign(docs, shards, superGroups)
+      .withColumn("tend", sum(col("ntok")).over(byShard))
+      .withColumn("tstart", col("tend") - col("ntok"))
+      .withColumn("w0", expr(s"tstart div $seqLen"))
+      .withColumn("w1", expr(s"(tend - 1) div $seqLen"))
+      .select(col("shard"), col("doc_id"), col("ntok"), col("tstart"),
+        explode(sequence(col("w0"), col("w1"))).as("window_id"))
+      .select(
+        col("shard"), col("window_id"), col("doc_id"),
+        greatest(col("window_id") * L - col("tstart"), lit(0L)).as("tok_from"),
+        least(col("ntok"), (col("window_id") + 1) * L - col("tstart"))
+          .as("tok_to"),
+        greatest(col("tstart") - col("window_id") * L, lit(0L))
+          .as("win_offset"))
+  }
+
+  /** Per-shard token masses under an assignment, with the balance number
+    * an operator gates on: `max_shard_tokens / mean_shard_tokens`.
+    */
+  def shardBalance(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+
   /** Per-shard running totals for [[packAppend]]: token count PLUS the max
     * historical doc_id, which arms packAppend's append-only precondition
     * check. Use this (not a bare n_tokens projection) when threading state

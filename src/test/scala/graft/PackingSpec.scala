@@ -103,6 +103,38 @@ class PackingSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("does not follow historical max")), ex.getMessage)
   }
 
+  test("balanced assignment: every doc exactly once, tighter token balance than hash, gated max/mean") {
+    val G = 2
+    val assigned = Packing.balancedAssign(docs, Shards, G).cache()
+    // partition property: every doc assigned to exactly one in-range shard
+    assert(assigned.count() == docs.count())
+    assert(assigned.filter(col("shard") < 0 || col("shard") >= Shards).isEmpty)
+    def ratio(a: org.apache.spark.sql.DataFrame): Double = {
+      val r = Packing.shardBalance(a)
+        .agg(max("n_tokens").cast("double"), avg("n_tokens")).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val balanced = ratio(assigned)
+    val hashed = ratio(
+      docs.select(col("doc_id"),
+        (size(split(col("text"), " ")) + 1).cast("long").as("ntok"),
+        pmod(col("doc_id"), lit(Shards.toLong)).as("shard")))
+    // the gate the pipeline runs at scale: max shard stays within 5% of
+    // mean, and never worse than the hash assignment it replaces
+    assert(balanced <= 1.05, s"balanced max/mean=$balanced")
+    assert(balanced <= hashed + 1e-9, s"balanced=$balanced vs hash=$hashed")
+    // and the balanced manifest still tiles: spans cover each doc's tokens
+    // exactly once (same invariant as packManifest)
+    val m = Packing.packManifestBalanced(docs, L, Shards, G)
+    val perDoc = m.groupBy("doc_id")
+      .agg(sum(col("tok_to") - col("tok_from")).as("covered"))
+    val expected = docs.select(col("doc_id"),
+      (size(split(col("text"), " ")) + 1).cast("long").as("ntok"))
+    assert(perDoc.join(expected, "doc_id")
+      .filter(col("covered") =!= col("ntok")).isEmpty)
+    assigned.unpersist()
+  }
+
   test("stats: windows = ceil(tokens/L) per shard; padding < L") {
     val stats = Packing.packStats(docs, L, Shards).collect()
     assert(stats.length == Shards)
