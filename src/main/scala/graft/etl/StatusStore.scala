@@ -44,7 +44,28 @@ final class StatusStore(spark: SparkSession, path: String) {
       finally in.close()
     }
 
-  def read(): Dataset[BackupStatus] = currentDir match {
+  /** Newest COMPLETE generation dir (has `_SUCCESS`), by the timestamp and
+    * nonce embedded in the name — the crash-recovery fallback when the
+    * pointer file is missing. A kill between `delete(_CURRENT)` and
+    * `rename(tmp, _CURRENT)` (the one non-atomic instant of the swap —
+    * HDFS rename won't overwrite, so delete-first is forced) previously
+    * read as an EMPTY store, which would silently re-pend every partition.
+    * In that window the newest complete gen is exactly the set being
+    * committed, so rolling forward to it is correct; when the pointer
+    * exists it always wins (an uncommitted newer gen must stay invisible).
+    */
+  private def latestCompleteGen: Option[String] = {
+    if (!fs.exists(root)) return None
+    val gens = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"$n/_SUCCESS")))
+    if (gens.isEmpty) None
+    else Some(gens.maxBy { n =>
+      val parts = n.split('-'); (parts(1).toLong, parts(2).toLong)
+    })
+  }
+
+  def read(): Dataset[BackupStatus] = currentDir.orElse(latestCompleteGen) match {
     case Some(dir) => spark.read.parquet(s"$path/$dir").as[BackupStatus]
     case None => spark.emptyDataset[BackupStatus]
   }
@@ -52,9 +73,12 @@ final class StatusStore(spark: SparkSession, path: String) {
   /** Full-set overwrite with atomic pointer swap: readers see either the old
     * or the new complete set, never a partial write (replays are safe —
     * idempotent like the reference's existence-guarded DDL,
-    * `sqoop_etl.py:61-75`).
+    * `sqoop_etl.py:61-75`). Superseded generations are garbage-collected,
+    * keeping the current one plus the previous (for a reader that resolved
+    * the pointer just before the swap).
     */
   def write(ds: Dataset[BackupStatus]): Unit = {
+    val prev = currentDir
     val gen = s"gen-${System.currentTimeMillis()}-${scala.util.Random.nextInt(Int.MaxValue)}"
     ds.coalesce(1).write.mode("overwrite").parquet(s"$path/$gen")
     val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.tmp.$gen")
@@ -62,6 +86,12 @@ final class StatusStore(spark: SparkSession, path: String) {
     try out.write(gen.getBytes("UTF-8")) finally out.close()
     fs.delete(pointer, false)
     fs.rename(tmp, pointer)
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale = (n.startsWith("gen-") && n != gen && !prev.contains(n)) ||
+        (n.startsWith("_CURRENT.tmp.") && n != s"_CURRENT.tmp.$gen")
+      if (stale) fs.delete(p, true)
+    }
   }
 
   /** M2: `update sqoop_etl_status set is_complete='t', end_date=now() where

@@ -42,6 +42,17 @@ object IvfStore {
     */
   def append(wave: DataFrame, dir: String): Unit = {
     val cents = centroids(wave.sparkSession, dir)
+    // Drop stale committer staging from a KILLED previous append first: a
+    // dead job's task dirs under `_temporary/<attempt>/task_*` would be
+    // merged — resurrected as duplicate rows — by THIS job's commit, since
+    // the Hadoop committer reuses the same staging root per output dir
+    // (CrashConsistencySpec injects exactly that debris). Safe because the
+    // store is single-writer by contract (append is index maintenance, one
+    // maintainer per store); readers never see `_`-prefixed paths either way.
+    val vecs = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val fs = vecs.getFileSystem(
+      wave.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(vecs, "_temporary"), true)
     KMeansIvf.index(wave, cents)
       .write.mode("append").partitionBy("cluster").parquet(s"$dir/vectors")
   }

@@ -18,8 +18,29 @@ object Compaction {
 
   final case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
+  /** Crash recovery for the two-rename swap: a kill between `p → old` and
+    * `tmp → p` leaves the live name MISSING (the one non-atomic instant of
+    * a directory swap on a rename-based FS). Because `tmp` is always a
+    * COMPLETE rewrite before any rename starts (`_SUCCESS` present), the
+    * resolution is mechanical: roll FORWARD to `tmp` if it completed, else
+    * roll BACK to the displaced original. Idempotent; called on entry to
+    * [[compact]] and safe for any reader to call when it finds the
+    * directory missing.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
+    val old = new Path(p.getParent, s".${p.getName}.compact.old")
+    if (!fs.exists(p)) {
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) { fs.rename(tmp, p); fs.delete(old, true) }
+      else if (fs.exists(old)) { fs.rename(old, p); fs.delete(tmp, true) }
+    }
+  }
+
   def compact(spark: SparkSession, path: String, format: String = "parquet",
       targetBytes: Long = 256L * 1024 * 1024): Stats = {
+    recover(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(p).filter { st =>
@@ -58,8 +79,21 @@ object Compaction {
       targetBytes: Long = 256L * 1024 * 1024): Stats = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish any child swap a previous run crashed inside (its live dir is
+    // missing; only `.X.compact.tmp`/`.compact.old` markers remain) BEFORE
+    // listing — a leftover `.band=3.compact.old` must be resolved, not
+    // mistaken for a partition directory
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith(".") &&
+        (n.endsWith(".compact.tmp") || n.endsWith(".compact.old")))
+      .map(_.stripPrefix(".").stripSuffix(".compact.tmp")
+        .stripSuffix(".compact.old"))
+      .distinct
+      .foreach(n => recover(spark, new Path(p, n).toString))
     val parts = fs.listStatus(p).filter(st =>
-      st.isDirectory && st.getPath.getName.contains("=") &&
+      st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_") &&
+        st.getPath.getName.contains("=") &&
         // an empty partition dir has nothing to compact, and reading it
         // as a dataset would fail schema inference — skip it
         fs.listStatus(st.getPath).exists(f =>

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.etl.{BackupStatus, StatusStore}
+import graft.sources.Compaction
+
+/** Failure injection at the swap boundaries of the atomic-swap stores
+  * (r5 verdict task 6): every store that commits via temp-write-then-rename
+  * must satisfy (a) a reader at ANY crash state sees the old complete set
+  * or the new complete set — never a mix, and (b) re-running the operation
+  * (or its recovery preamble) from any crash state converges to a correct
+  * store. Crashes are injected by performing the protocol's steps manually
+  * and stopping at each boundary.
+  */
+class CrashConsistencySpec extends SparkSpec {
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def statusRows(n: Int): Seq[BackupStatus] = {
+    val t = new java.sql.Timestamp(0L)
+    (1 to n).map(i =>
+      BackupStatus("t1", "db", t, None, "m", i.toLong, isComplete = false, 4))
+  }
+
+  test("StatusStore: kill between pointer delete and rename rolls forward to the committed set") {
+    val dir = Files.createTempDirectory("graft-crash-st").toString
+    val store = new StatusStore(spark, dir)
+    store.append(statusRows(3)) // old set, committed normally
+    // --- simulate write(newSet) crashing between delete(_CURRENT) and
+    // rename(tmp, _CURRENT): a complete newer gen + tmp pointer exist,
+    // the pointer is gone
+    import spark.implicits._
+    val newSet = statusRows(3).map(_.copy(isComplete = true))
+    val gen = s"gen-${System.currentTimeMillis() + 1000}-42"
+    spark.createDataset(newSet).coalesce(1).write.parquet(s"$dir/$gen")
+    val tmp = new Path(dir, s"_CURRENT.tmp.$gen")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(dir, "_CURRENT"), false)
+    // reader in the crash window: the newest COMPLETE gen — the set being
+    // committed — not an empty store
+    assert(store.read().collect().forall(_.isComplete),
+      "crash-window read must see the committed new set")
+    // and the store keeps working: a subsequent write commits + GCs
+    store.markComplete("t1", 1L, new java.sql.Timestamp(1L))
+    assert(store.read().count() == 3)
+    val gens = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .count(_.startsWith("gen-"))
+    assert(gens <= 2, s"generation GC left $gens dirs")
+  }
+
+  test("StatusStore: an UNCOMMITTED generation (no _SUCCESS) is never read") {
+    val dir = Files.createTempDirectory("graft-crash-st2").toString
+    val store = new StatusStore(spark, dir)
+    store.append(statusRows(2))
+    // a write that died mid-parquet-job: gen dir present, no _SUCCESS
+    val orphan = new Path(dir, s"gen-${System.currentTimeMillis() + 5000}-7")
+    fs.mkdirs(orphan)
+    val junk = fs.create(new Path(orphan, "part-00000.parquet"), true)
+    try junk.write(Array[Byte](1, 2, 3)) finally junk.close()
+    // pointer intact → pointer wins
+    assert(store.read().count() == 2)
+    // pointer lost → fallback must SKIP the incomplete gen
+    fs.delete(new Path(dir, "_CURRENT"), false)
+    assert(store.read().count() == 2)
+  }
+
+  test("Compaction: reader sees old or new at every crash state; recovery converges from each") {
+    val dir = Files.createTempDirectory("graft-crash-cp").toString
+    val t = s"$dir/t"
+    Tables.nation(spark, sf).repartition(4).write.parquet(t)
+    val expect = spark.read.parquet(t).collect().map(_.toString).sorted.toSeq
+    def rows() = spark.read.parquet(t).collect().map(_.toString).sorted.toSeq
+
+    val p = new Path(t)
+    val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
+    val old = new Path(p.getParent, s".${p.getName}.compact.old")
+
+    // state A: rewrite complete in tmp, live dir untouched → reader: old set
+    spark.read.parquet(t).repartition(1).write.parquet(tmp.toString)
+    assert(rows() == expect)
+    // state B: live dir renamed away (the kill window between the two
+    // renames) → live name missing; recovery rolls FORWARD (tmp complete)
+    fs.rename(p, old)
+    assert(!fs.exists(p))
+    Compaction.recover(spark, t)
+    assert(rows() == expect, "roll-forward must expose the complete rewrite")
+    assert(!fs.exists(old) && !fs.exists(tmp), "markers cleaned after recovery")
+
+    // crash with an INCOMPLETE rewrite (no _SUCCESS in tmp) → roll BACK
+    fs.mkdirs(tmp)
+    val junk = fs.create(new Path(tmp, "part-junk.parquet"), true)
+    try junk.write(Array[Byte](9)) finally junk.close()
+    fs.rename(p, old)
+    Compaction.recover(spark, t)
+    assert(rows() == expect, "roll-back must restore the displaced original")
+
+    // and a plain re-run from the healthy state still compacts
+    val st = Compaction.compact(spark, t, targetBytes = 1L << 30)
+    assert(st.filesAfter == 1 && rows() == expect)
+  }
+
+  test("compactPartitions: a crashed child swap is recovered, hidden markers are not mistaken for partitions") {
+    val dir = Files.createTempDirectory("graft-crash-cpp").toString
+    val root = s"$dir/store"
+    Tables.nation(spark, sf)
+      .withColumn("band", pmod(col("n_nationkey"), lit(3)))
+      .repartition(4)
+      .write.partitionBy("band").parquet(root)
+    val expect = spark.read.parquet(root).count()
+    // crash band=1 inside the swap window: rewrite complete, live dir gone
+    val child = new Path(s"$root/band=1")
+    val ctmp = new Path(child.getParent, ".band=1.compact.tmp")
+    spark.read.parquet(child.toString).repartition(1).write.parquet(ctmp.toString)
+    fs.rename(child, new Path(child.getParent, ".band=1.compact.old"))
+    // the maintenance pass must first finish that swap, then compact all
+    val st = Compaction.compactPartitions(spark, root, targetBytes = 1L << 30)
+    assert(st.filesAfter == 3, s"expected one file per partition, got $st")
+    assert(spark.read.parquet(root).count() == expect)
+    assert(!fs.listStatus(new Path(root)).exists(_.getPath.getName.startsWith(".")),
+      "no hidden marker dirs may survive the maintenance pass")
+  }
+
+  test("IvfStore: a died append (uncommitted temp files) is invisible; the retry lands exactly once") {
+    val dir = Files.createTempDirectory("graft-crash-ivf").toString
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 200)
+    val wave = emb.filter(col("vec_id") >= 200 && col("vec_id") < 240)
+    val cents = graft.similarity.KMeansIvf.fit(base, k = 4, iters = 2)
+    graft.similarity.IvfStore.build(base, s"$dir/ivf", cents)
+    val before = spark.read.parquet(s"$dir/ivf/vectors").count()
+    // a killed append job leaves committer staging behind: an uncommitted
+    // attempt AND a committed-task dir (the dangerous one — a later job's
+    // commit would MERGE it into the store as duplicate rows if append
+    // didn't clean staging first). Neither may surface to readers.
+    val attempt = new Path(
+      s"$dir/ivf/vectors/_temporary/0/_temporary/attempt_0/cluster=0")
+    fs.mkdirs(attempt)
+    val j0 = fs.create(new Path(attempt, "part-00000.parquet"), true)
+    try j0.write(Array[Byte](1)) finally j0.close()
+    val tdir = new Path(s"$dir/ivf/vectors/_temporary/0/task_dead_0/cluster=0")
+    fs.mkdirs(tdir)
+    val j1 = fs.create(new Path(tdir, "part-00000.parquet"), true)
+    try j1.write(Array[Byte](1)) finally j1.close()
+    val j2 = fs.create(new Path(s"$dir/ivf/vectors/cluster=0/.part-dead.parquet.tmp"), true)
+    try j2.write(Array[Byte](2)) finally j2.close()
+    assert(spark.read.parquet(s"$dir/ivf/vectors").count() == before,
+      "uncommitted append debris must be invisible")
+    // the retry (the job's unit of replay) appends the wave exactly once
+    graft.similarity.IvfStore.append(wave, s"$dir/ivf")
+    assert(spark.read.parquet(s"$dir/ivf/vectors").count() ==
+      before + wave.count())
+  }
+}
