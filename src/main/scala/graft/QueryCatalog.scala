@@ -1103,6 +1103,38 @@ object QueryCatalog {
        |ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
+  /** Distributed connected components on the part co-occurrence graph with
+    * the single-task shortcut DISABLED (`maxLocalEdges = 0`), so the
+    * declared query exercises the pointer-jumping RDD loop — the path that
+    * carries a 100 TB edge list — at every scale point. (The adaptive
+    * default would solve graphs under ~2M edges in one task, which is what
+    * `q_dedup_clusters` keeps; this query exists so the distributed loop
+    * itself is oracle-gated and scale-measured, r5 verdict task 3.) Output
+    * is the component size profile; the oracle computes the same closure
+    * with a recursive CTE and must match exactly.
+    */
+  private val qCcCopurchase: Q = (s, dir) =>
+    graft.operators.ConnectedComponents(
+        coPurchaseEdges(s, dir), "a", "b", maxLocalEdges = 0L)
+      .groupBy(col("component").cast("long").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("component")
+
+  private val ccCopurchaseSql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey
+      |),
+      |edges AS (SELECT a AS u, b AS v FROM pairs
+      |          UNION SELECT b AS u, a AS v FROM pairs),
+      |reach(u, v) AS (SELECT u, v FROM edges
+      |                UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lbl AS (SELECT u, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+      |SELECT CAST(component AS BIGINT) AS component,
+      |  COUNT(*) AS n_nodes
+      |FROM lbl GROUP BY component ORDER BY component""".stripMargin
+
   /** Remaining ranking/navigation window functions in one query:
     * dense_rank, cume_dist, nth_value over an explicit ROWS frame.
     */
@@ -10688,7 +10720,44 @@ object QueryCatalog {
       "q_stream_dedup_hourly", "q_stream_classify", "q_stream_visual_gate",
       "q_stream_distinct", "q_stream_warc_ingest", "q_stream_crawl_curate", "q_stream_quantiles")
 
-  val queries: Map[String, Q] = Map(
+  /** The streaming drains — every query whose body starts and awaits
+    * Structured Streaming queries. The state-store BACKEND AXIS applies to
+    * exactly this set: [[withStateBackend]] wraps each of them, so one
+    * session/env switch runs the whole drain suite on HDFS-backed or
+    * RocksDB state with identical oracles. (The two `_rocksdb`-suffixed
+    * twins pin their provider inside their own bodies; the outer wrapper
+    * composes harmlessly — innermost setting wins at stream start.)
+    */
+  val streamingDrains: Set[String] =
+    benchExcluded -- Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned")
+
+  /** Run `f` with the named state-store backend ("rocksdb" | "hdfs" |
+    * "default"); the provider is a session conf read at stream start, so
+    * scoping it around a drain body is the per-query discipline
+    * (Verify/Bench run queries sequentially on one session).
+    */
+  def withStateBackend[T](s: SparkSession, backend: String)(f: => T): T =
+    backend match {
+      case "rocksdb"          => withStateProvider(s, RocksDbProvider)(f)
+      case "hdfs" | "default" => f
+      case other => sys.error(s"unknown state backend: $other")
+    }
+
+  /** Env-var axis for driver-run harnesses (Verify): every streaming drain
+    * honors `SPARK_GRAFT_STATE_BACKEND` (default: Spark's default
+    * HDFS-backed store).
+    */
+  private def backendWrapped(m: Map[String, Q]): Map[String, Q] =
+    sys.env.get("SPARK_GRAFT_STATE_BACKEND") match {
+      case None | Some("hdfs") | Some("default") => m
+      case Some(b) => m.map { case (n, f) =>
+        if (streamingDrains(n))
+          n -> ((s: SparkSession, d: String) => withStateBackend(s, b)(f(s, d)))
+        else n -> f
+      }
+    }
+
+  val queries: Map[String, Q] = backendWrapped(Map(
     "q_bm25" -> qBm25,
     "q_hybrid_retrieval" -> qHybridRetrieval,
     "q_retrieval_eval" -> qRetrievalEval,
@@ -10794,6 +10863,7 @@ object QueryCatalog {
     "q_training_pipeline_v2" -> qTrainingPipelineV2,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_cc_copurchase" -> qCcCopurchase,
     "q_word_freq" -> qWordFreq,
     "q_token_budget" -> qTokenBudget,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -10977,7 +11047,7 @@ object QueryCatalog {
     "q_zone_map" -> qZoneMap,
     "q_ppr" -> qPpr,
     "q_feature_scale" -> qFeatureScale,
-    "q_events_json" -> qEventsJson)
+    "q_events_json" -> qEventsJson))
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
@@ -11003,6 +11073,7 @@ object QueryCatalog {
     "q_bucket_stats" -> bucketStatsSql,
     "q_bm25_index" -> bm25IndexSql,
     "q_label_prop" -> labelPropSql,
+    "q_cc_copurchase" -> ccCopurchaseSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_mv_incremental" -> mvIncrementalSql,
     "q_triangles" -> trianglesSql,

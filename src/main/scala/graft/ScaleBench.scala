@@ -59,6 +59,13 @@ object ScaleBench {
     "q_ivf_append" -> 2,
     "q_training_pipeline_v4" -> 2,
     "q_etl_bulk" -> 2,
+    // the graph/clustering tier (r5 verdict task 3): forced-distributed CC
+    // (pointer-jumping loop, never the one-task shortcut), label
+    // propagation, PageRank — the iterative-shuffle shapes unmeasured past
+    // sf0.1 until now
+    "q_cc_copurchase" -> 1,
+    "q_label_prop" -> 2,
+    "q_pagerank" -> 2,
     "q_stream_attribution_outer" -> 1,
     // the RocksDB twin at 10x: the backend whose reason to exist IS scale —
     // measured beside the default store so the comparison rides the same
