@@ -63,7 +63,10 @@ object ScaleBench {
     // (pointer-jumping loop, never the one-task shortcut), label
     // propagation, PageRank — the iterative-shuffle shapes unmeasured past
     // sf0.1 until now
-    "q_cc_copurchase" -> 1,
+    // 2 runs: with one, the sf0.1 point absorbed a stray pause (17.3 s vs
+    // 9.8 s at sf1 with sanely-linear shuffle bytes) — min-of-2 restores a
+    // comparable wall number for the iterative loop
+    "q_cc_copurchase" -> 2,
     "q_label_prop" -> 2,
     "q_pagerank" -> 2,
     "q_stream_attribution_outer" -> 1,
@@ -270,7 +273,23 @@ object ScaleBench {
       val bulkBalance = balanceOf(
         bjob.readBack().select(input_file_name().as("f"))
           .groupBy(col("f")).agg(count(lit(1)).as("n")))
-      s""""etl_history_growth":{"h1_pruned_s":${s3(p1)},"h10_pruned_s":${s3(p10)},"pruned_time_ratio":${s3(p10 / math.max(p1, 1e-9))},"h1_full_s":${s3(f1)},"h10_full_s":${s3(f10)},"h1_pruned_read_mb":${s3(bp1 / 1e6)},"h10_pruned_read_mb":${s3(bp10 / 1e6)},"pruned_bytes_ratio":${s3(bp10.toDouble / math.max(bp1.toDouble, 1.0))},"h1_full_read_mb":${s3(bf1 / 1e6)},"h10_full_read_mb":${s3(bf10 / 1e6)},"full_bytes_ratio":${s3(bf10.toDouble / math.max(bf1.toDouble, 1.0))},"h1_files_read":$n1,"h1_files_total":$t1e,"h10_files_read":$n10,"h10_files_total":$t10e},"etl_bulk_file_balance":$bulkBalance"""
+      // The salt's own gate is WITHIN-pid balance: global max/mean across
+      // all files mixes month-volume variance (pids differ in size by
+      // design) into the ratio. Per pid: rows split across its ≤numMappers
+      // salted files; skew = max/mean within that pid; report the worst
+      // and average pid so a single hot-key month can't hide.
+      val withinPid = bjob.readBack()
+        .select(col("pid"), input_file_name().as("f"))
+        .groupBy(col("pid"), col("f")).agg(count(lit(1)).as("n"))
+        .groupBy(col("pid"))
+        .agg((max(col("n")) / avg(col("n"))).as("skew"),
+          count(lit(1)).as("files"))
+        .agg(count(lit(1)).as("n_pids"), max(col("skew")).as("worst"),
+          avg(col("skew")).as("mean_skew"), min(col("files")).as("min_files"))
+        .head()
+      val bulkWithinPid =
+        s"""{"n_pids":${withinPid.getLong(0)},"worst_skew_max_over_mean":${s3(withinPid.getDouble(1))},"mean_skew":${s3(withinPid.getDouble(2))},"min_files_per_pid":${withinPid.getLong(3)}}"""
+      s""""etl_history_growth":{"h1_pruned_s":${s3(p1)},"h10_pruned_s":${s3(p10)},"pruned_time_ratio":${s3(p10 / math.max(p1, 1e-9))},"h1_full_s":${s3(f1)},"h10_full_s":${s3(f10)},"h1_pruned_read_mb":${s3(bp1 / 1e6)},"h10_pruned_read_mb":${s3(bp10 / 1e6)},"pruned_bytes_ratio":${s3(bp10.toDouble / math.max(bp1.toDouble, 1.0))},"h1_full_read_mb":${s3(bf1 / 1e6)},"h10_full_read_mb":${s3(bf10 / 1e6)},"full_bytes_ratio":${s3(bf10.toDouble / math.max(bf1.toDouble, 1.0))},"h1_files_read":$n1,"h1_files_total":$t1e,"h10_files_read":$n10,"h10_files_total":$t10e},"etl_bulk_file_balance":$bulkBalance,"etl_bulk_within_pid":$bulkWithinPid"""
     }
 
     val json =
