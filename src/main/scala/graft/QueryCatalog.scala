@@ -1135,6 +1135,46 @@ object QueryCatalog {
       |  COUNT(*) AS n_nodes
       |FROM lbl GROUP BY component ORDER BY component""".stripMargin
 
+  /** Co-purchase pairs tagged with an ingest wave (70/30 split by order
+    * key), the input for incremental component maintenance — same
+    * build-once [[Fixtures]] discipline as [[coPurchaseEdges]], kept as a
+    * separate fixture because the wave tag needs the order key, which the
+    * plain edge fixture deliberately drops.
+    */
+  private def coPurchaseWaves(s: SparkSession, dir: String): DataFrame = {
+    val fx = Fixtures.getOrBuild(s"copurchase-waves:$dir") { out =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"),
+          when(pmod(col("x.ok"), lit(10)) < 7, lit(0)).otherwise(lit(1))
+            .as("wave"))
+        .write.parquet(s"$out/edges")
+    }
+    s.read.parquet(s"$fx/edges")
+  }
+
+  /** Incremental connected components: wave 0 of the co-purchase pairs is
+    * labeled from scratch, wave 1 is MERGED into those labels via
+    * [[graft.operators.ConnectedComponents.merge]] — the collapsed-graph
+    * maintenance path whose per-wave cost tracks the wave, not the
+    * accumulated edge history (at 100 TB the historical pair list is never
+    * even stored, only the label table). The oracle is the recursive-CTE
+    * closure over ALL pairs, so the hash check IS the incremental ≡
+    * from-scratch equivalence.
+    */
+  private val qCcIncremental: Q = (s, dir) => {
+    val waves = coPurchaseWaves(s, dir)
+    val prev = graft.operators.ConnectedComponents(
+      waves.filter(col("wave") === 0), "a", "b")
+    graft.operators.ConnectedComponents
+      .merge(prev, waves.filter(col("wave") === 1), "a", "b")
+      .groupBy(col("component").cast("long").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("component")
+  }
+
   /** Remaining ranking/navigation window functions in one query:
     * dense_rank, cume_dist, nth_value over an explicit ROWS frame.
     */
@@ -10864,6 +10904,7 @@ object QueryCatalog {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_clusters" -> qDedupClusters,
     "q_cc_copurchase" -> qCcCopurchase,
+    "q_cc_incremental" -> qCcIncremental,
     "q_word_freq" -> qWordFreq,
     "q_token_budget" -> qTokenBudget,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -11074,6 +11115,8 @@ object QueryCatalog {
     "q_bm25_index" -> bm25IndexSql,
     "q_label_prop" -> labelPropSql,
     "q_cc_copurchase" -> ccCopurchaseSql,
+    // deliberately the same closure: union-of-waves ≡ from-scratch is the claim
+    "q_cc_incremental" -> ccCopurchaseSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_mv_incremental" -> mvIncrementalSql,
     "q_triangles" -> trianglesSql,

@@ -65,6 +65,70 @@ object ConnectedComponents {
       distributedCC(raw, nEdges, maxIter).toDF("id", "component")
   }
 
+  /** Incrementally merge a wave of NEW edges into existing component labels
+    * — the maintenance path a dedup pipeline needs at scale: near-dup pairs
+    * arrive with every ingest wave, and re-running CC over the full
+    * accumulated pair graph makes wave cost grow with HISTORY (the same
+    * defect the ETL tier's manifest pruning closed for month copies).
+    *
+    * The trick is the standard contracted-graph argument: existing labels
+    * are a certified partition, so each previous component can be COLLAPSED
+    * to one node (its label, which by the min-member invariant is a real
+    * node id). Map both endpoints of every new edge through the previous
+    * labels (unseen nodes map to themselves), run CC on the collapsed edge
+    * list — whose size is the wave's edges, never history — then relabel:
+    * previous components that the collapsed run merged take their new
+    * label, untouched components keep theirs, and wave-only nodes come out
+    * of the collapsed run directly. Labels stay min-member ids: a collapsed
+    * group's min over {component mins ∪ new node ids} IS the merged
+    * component's min member. `OperatorsSpec` proves merge ≡ from-scratch on
+    * adversarial waves (bridges, intra-component edges, new node with an
+    * id below the old min); `q_cc_incremental` hash-checks the equivalence
+    * against the recursive-CTE closure over the UNION of the waves.
+    *
+    * Shuffle shape at 100 TB: two equality joins of the wave against the
+    * label store (shuffles sized by the wave), one CC on the collapsed
+    * graph (wave-sized), one label-keyed join to relabel history — the
+    * only history-sized shuffle, and it is a straight (long, long)
+    * equality join, embarrassingly partitionable. No step scans the
+    * historical EDGE list at all; it is never stored.
+    *
+    * @param prevLabels (id, component) from a prior [[apply]]/[[merge]]
+    * @param newEdges   this wave's undirected edges
+    * @return (id, component) over the union of both node sets
+    */
+  def merge(prevLabels: DataFrame, newEdges: DataFrame,
+      src: String = "src", dst: String = "dst", maxIter: Int = 30,
+      maxLocalEdges: Long = MaxLocalEdges): DataFrame = {
+    val prev = prevLabels
+      .select(col("id").cast("long"), col("component").cast("long"))
+      .localCheckpoint() // labels are read 3x below; don't re-run upstream
+    val e = newEdges.select(col(src).cast("long").as("ea"),
+      col(dst).cast("long").as("eb"))
+    // collapse endpoints to their previous component (self if unseen)
+    val la = prev.select(col("id").as("ea"), col("component").as("ca"))
+    val lb = prev.select(col("id").as("eb"), col("component").as("cb"))
+    val collapsed = e.join(la, Seq("ea"), "left").join(lb, Seq("eb"), "left")
+      .select(coalesce(col("ca"), col("ea")).as("u"),
+        coalesce(col("cb"), col("eb")).as("v"))
+    // CC on the wave-sized collapsed graph; its node ids are previous
+    // component ids and wave-only node ids (disjoint sets: a component id
+    // is a member of the previous graph, a wave-only id is not)
+    val relabel = apply(collapsed, "u", "v", maxIter, maxLocalEdges)
+      .localCheckpoint() // read 2x; the CC loop must not run twice
+    val prevComponents = prev.select(col("component").as("u")).distinct()
+    // previous nodes: follow their component through the collapsed run if
+    // it participated, else keep the old label
+    val rl = relabel.select(col("id").as("component"), col("component").as("newc"))
+    val relabeledPrev = prev.join(rl, Seq("component"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+    // wave-only nodes: collapsed rows whose id is not a previous component
+    val waveOnly = relabel.join(prevComponents,
+      relabel("id") === prevComponents("u"), "left_anti")
+      .select(col("id"), col("component"))
+    relabeledPrev.unionByName(waveOnly)
+  }
+
   /** Single-task exact CC: union–find with path compression, union-by-min so
     * every root IS its component's min id. Bounded by [[MaxLocalEdges]].
     */

@@ -172,6 +172,51 @@ class OperatorsSpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("incremental CC merge equals from-scratch on adversarial waves") {
+    // wave 0: chain {1..5}, triangle {10,11,12}, pair {20,21}, chain {30..35}
+    val wave0 = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L))
+      .toDF("src", "dst")
+    // wave 1 exercises every merge shape: a bridge joining two previous
+    // components ({1..5} ↔ {10,11,12}), a redundant edge INSIDE a previous
+    // component (collapsed self-loop, {30..35} must stay untouched), a new
+    // node with an id BELOW the old component min (0 joins {20,21} → the
+    // merged label must DROP to 0), a brand-new component {40,41}, and a
+    // chain of new nodes hanging off an old one (50-51-52 onto 35)
+    val wave1 = Seq(
+      (5L, 10L),
+      (31L, 34L),
+      (0L, 21L),
+      (40L, 41L),
+      (35L, 50L), (50L, 51L), (51L, 52L))
+      .toDF("src", "dst")
+    val scratch = graft.operators.ConnectedComponents(
+      wave0.unionByName(wave1)).as[(Long, Long)].collect().toMap
+    for (forceDistributed <- Seq(false, true)) {
+      val cap = if (forceDistributed) 0L else
+        graft.operators.ConnectedComponents.MaxLocalEdges
+      val prev = graft.operators.ConnectedComponents(
+        wave0, maxLocalEdges = cap)
+      val merged = graft.operators.ConnectedComponents
+        .merge(prev, wave1, maxLocalEdges = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(merged == scratch, s"forceDistributed=$forceDistributed")
+    }
+    // chained waves: merging the output of a merge stays consistent
+    val wave2 = Seq((41L, 52L), (12L, 30L)).toDF("src", "dst")
+    val twice = graft.operators.ConnectedComponents.merge(
+      graft.operators.ConnectedComponents.merge(
+        graft.operators.ConnectedComponents(wave0), wave1),
+      wave2).as[(Long, Long)].collect().toMap
+    val scratch3 = graft.operators.ConnectedComponents(
+      wave0.unionByName(wave1).unionByName(wave2))
+      .as[(Long, Long)].collect().toMap
+    assert(twice == scratch3)
+  }
+
   test("custom AsofJoinExec physical operator equals the compositional as-of join") {
     import org.apache.spark.sql.graftx.{AsofJoinExec, AsofPhysical}
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"),
