@@ -292,8 +292,48 @@ object ScaleBench {
       s""""etl_history_growth":{"h1_pruned_s":${s3(p1)},"h10_pruned_s":${s3(p10)},"pruned_time_ratio":${s3(p10 / math.max(p1, 1e-9))},"h1_full_s":${s3(f1)},"h10_full_s":${s3(f10)},"h1_pruned_read_mb":${s3(bp1 / 1e6)},"h10_pruned_read_mb":${s3(bp10 / 1e6)},"pruned_bytes_ratio":${s3(bp10.toDouble / math.max(bp1.toDouble, 1.0))},"h1_full_read_mb":${s3(bf1 / 1e6)},"h10_full_read_mb":${s3(bf10 / 1e6)},"full_bytes_ratio":${s3(bf10.toDouble / math.max(bf1.toDouble, 1.0))},"h1_files_read":$n1,"h1_files_total":$t1e,"h10_files_read":$n10,"h10_files_total":$t10e},"etl_bulk_file_balance":$bulkBalance,"etl_bulk_within_pid":$bulkWithinPid"""
     }
 
+    // ---- incremental CC: wave cost vs label-history size ---------------
+    // The merge() claim is "a wave's cost tracks the wave, not history".
+    // The co-purchase fixtures can't test it (scale replicas reuse the
+    // part-key space, so the label table doesn't grow with the factor), so
+    // the history axis is synthetic: a label table of N nodes in N/10
+    // ten-node components, at N=1M (H1) and N=10M (H10), with the SAME
+    // fixed 10k-edge wave (node ids < 890k, inside both histories). merge
+    // is timed against both; from-scratch CC over the H10 history's edge
+    // list (star edges — the cheapest edge set consistent with the
+    // labels, so the comparison favors from-scratch) anchors what
+    // re-clustering would cost instead.
+    val ccMergeJson = {
+      def hist(n: Long) = spark.range(n)
+        .select(col("id"), (col("id") - pmod(col("id"), lit(10L))).as("component"))
+      val wave = spark.range(10000L)
+        .select((col("id") * 89L).as("src"), (col("id") * 89L + 7L).as("dst"))
+        .localCheckpoint()
+      def timeMerge(n: Long): Double = {
+        val labels = hist(n).localCheckpoint()
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.ConnectedComponents.merge(labels, wave).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val m1 = timeMerge(1000000L)
+      val m10 = timeMerge(10000000L)
+      val scratch10 = {
+        val star = hist(10000000L)
+          .select(col("id").as("src"), col("component").as("dst"))
+          .unionByName(wave.select(col("src"), col("dst")))
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        graft.operators.ConnectedComponents(star).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(f"[scale] cc_merge_history h1=${m1}%.2fs h10=${m10}%.2fs (x${m10 / m1}%.2f for x10 history), from-scratch h10=${scratch10}%.2fs")
+      s""""cc_merge_history":{"wave_edges":10000,"h1_nodes":1000000,"h10_nodes":10000000,"h1_merge_s":${s3(m1)},"h10_merge_s":${s3(m10)},"history_time_ratio":${s3(m10 / math.max(m1, 1e-9))},"h10_scratch_s":${s3(scratch10)},"merge_speedup_vs_scratch":${s3(scratch10 / math.max(m10, 1e-9))}}"""
+    }
+
     val json =
-      s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")},"balance":{$balance},$etlJson}"""
+      s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")},"balance":{$balance},$etlJson,$ccMergeJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outJson), json)
     println(json)
