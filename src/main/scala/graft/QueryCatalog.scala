@@ -1393,6 +1393,30 @@ object QueryCatalog {
       .orderBy("month_sid")
   }
 
+  /** The concurrent twin of [[qEtlPruned]]: same lake layout, same manifest,
+    * but pending months drain through `runPrunedConcurrent(maxParallel=8)` —
+    * independent month-copy jobs submitted from a worker pool instead of a
+    * sequential loop, so the drain's wall clock is bounded by the widest
+    * copy, not (#months × per-job latency). Same oracle: concurrency only
+    * reorders completions; the at-rest layout and read-back are identical.
+    */
+  private val qEtlConc: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl-qc").toString
+    Tables.orders(s, dir)
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(s"$tmp/src")
+    val cfg = etl.JobConfig(tableName = "orders", numMappers = 4)
+    val job = new etl.IncrementalBackup(
+      s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
+    job.runPrunedConcurrent(s"$tmp/src", maxParallel = 8)
+    job.readBack()
+      .groupBy(col("pid").cast("long").as("month_sid"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("month_sid")
+  }
+
   // ------------------------------------------------ analytics (extended ops)
 
   private val qCubeOrders: Q = (s, dir) =>
@@ -10752,7 +10776,7 @@ object QueryCatalog {
     * them).
     */
   val benchExcluded: Set[String] =
-    Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_events_hourly_stream",
+    Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_events_hourly_stream",
       "q_stream_dedup_hourly_rocksdb", "q_stream_attribution_outer_rocksdb", "q_stream_dedup", "q_stream_neardup",
       "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
@@ -10769,7 +10793,7 @@ object QueryCatalog {
     * composes harmlessly — innermost setting wins at stream start.)
     */
   val streamingDrains: Set[String] =
-    benchExcluded -- Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned")
+    benchExcluded -- Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc")
 
   /** Run `f` with the named state-store backend ("rocksdb" | "hdfs" |
     * "default"); the provider is a session conf read at stream start, so
@@ -10830,6 +10854,7 @@ object QueryCatalog {
     "q_etl_backup" -> qEtlBackup,
     "q_etl_bulk" -> qEtlBulk,
     "q_etl_pruned" -> qEtlPruned,
+    "q_etl_conc" -> qEtlConc,
     "q_partition_discovery" -> qPartitionDiscovery,
     "q_oldest_pending" -> qOldestPending,
     "q_partition_rowcount" -> qPartitionRowcount,
@@ -11126,6 +11151,7 @@ object QueryCatalog {
     "q_etl_backup" -> etlBackupSql,
     "q_etl_bulk" -> etlBackupSql,
     "q_etl_pruned" -> etlBackupSql,
+    "q_etl_conc" -> etlBackupSql,
     "q_partition_discovery" -> partitionDiscoverySql,
     "q_oldest_pending" -> (partitionDiscoverySql.replace("ORDER BY d.month_sid", "ORDER BY d.month_sid LIMIT 1")),
     "q_partition_rowcount" ->

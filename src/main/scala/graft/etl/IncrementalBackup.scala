@@ -112,6 +112,15 @@ final class IncrementalBackup(
     * unpruned path.
     */
   def copyPartitionPruned(sourcePath: String, stats: DataFrame, pid: Long): Unit = {
+    writePruned(sourcePath, stats, pid)
+    status.markComplete(cfg.tableName, pid, now())
+  }
+
+  /** The copy half of [[copyPartitionPruned]] without the status flip —
+    * split out so the concurrent drain can serialize ONLY the mark (the
+    * status store is single-writer) while copies overlap.
+    */
+  private def writePruned(sourcePath: String, stats: DataFrame, pid: Long): Unit = {
     val files = prunedFiles(stats, pid)
     val slice =
       if (files.isEmpty)
@@ -123,7 +132,6 @@ final class IncrementalBackup(
     OrcSink.write(
       slice.repartition(cfg.numMappers),
       s"$destRoot/${cfg.tableName}/pid=$pid", cfg)
-    status.markComplete(cfg.tableName, pid, now())
   }
 
   /** Steady-state drain against a lake path: discovery is ONE column-pruned
@@ -149,6 +157,68 @@ final class IncrementalBackup(
         pending = status.pending(cfg.tableName).collect().sortBy(_.primaryPartitionValue)
       }
       copied
+    } finally { stats.unpersist(); () }
+  }
+
+  /** [[runPruned]] with OVERLAPPING month copies: the sequential loop pays
+    * (#pending × per-job latency) even when each copy uses a fraction of
+    * the cluster — at 100 TB steady state, pending months are independent
+    * read→write jobs whose input file sets are disjoint (manifest-pruned),
+    * so a pool of `maxParallel` driver threads submits them concurrently
+    * and Spark's scheduler interleaves their tasks. The reference gets this
+    * for free across TABLES (independent Sqoop jobs); within a table its
+    * loop is sequential (`sqoop_etl.py:77-83`) — this is the within-table
+    * generalization, throttled like X4 (`maxParallel` jobs × `numMappers`
+    * files each).
+    *
+    * Semantics are unchanged from the sequential drain: per month the order
+    * is still copy-then-mark (crash leaves a month pending, its overwrite
+    * replay is idempotent), and status flips serialize on a driver-side
+    * lock because [[StatusStore]] is single-writer by contract. Only
+    * completion ORDER is weakened (oldest-first submission, completion
+    * races) — acceptable because month copies are independent and the
+    * status set records each independently.
+    */
+  def runPrunedConcurrent(sourcePath: String, maxParallel: Int): Seq[Long] = {
+    val source = spark.read.parquet(sourcePath)
+    discover(source)
+    val stats = graft.sources.StatsStore
+      .collectExpr(spark, sourcePath, Seq("pid" -> pidCol(source)))
+      .cache()
+    stats.count() // materialize once; worker threads only re-read the cache
+    try {
+      val pending = status.pending(cfg.tableName).collect()
+        .map(_.primaryPartitionValue).sorted.toSeq
+      if (pending.isEmpty) Seq.empty
+      else {
+        val statusLock = new Object
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.max(1, maxParallel))
+        val copied = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+        val latch = new java.util.concurrent.CountDownLatch(pending.size)
+        try {
+          pending.foreach { pid =>
+            pool.execute { () =>
+              try {
+                if (failure.get() == null) { // fail fast: skip queued work
+                  writePruned(sourcePath, stats, pid)
+                  statusLock.synchronized {
+                    status.markComplete(cfg.tableName, pid, now())
+                  }
+                  copied.add(pid); ()
+                }
+              } catch {
+                case t: Throwable => failure.compareAndSet(null, t); ()
+              } finally latch.countDown()
+            }
+          }
+          latch.await()
+          if (failure.get() != null) throw failure.get()
+          import scala.jdk.CollectionConverters._
+          copied.asScala.toSeq.sorted
+        } finally { pool.shutdown(); () }
+      }
     } finally { stats.unpersist(); () }
   }
 

@@ -86,6 +86,42 @@ class EtlSpec extends SparkSpec {
     assert(job.runPruned(s"$tmp/src").isEmpty) // idempotent re-entry
   }
 
+  test("concurrent pruned drain: overlapping month copies reproduce the sequential result, mid-drain crash resumes") {
+    val tmp = Files.createTempDirectory("graft-etlcc").toString
+    val orders = Tables.orders(spark, sf)
+    orders.repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(s"$tmp/src")
+    val cfg = JobConfig(tableName = "orders", numMappers = 2)
+    val store = new StatusStore(spark, s"$tmp/status")
+    val job = new IncrementalBackup(spark, cfg, store, s"$tmp/dest")
+
+    import spark.implicits._
+    val allMonths = orders.select(ReferenceOps.monthSid(col("o_orderdate")))
+      .distinct().as[Long].collect().toSet
+    // partial sequential progress first (one month already complete) —
+    // the concurrent drain must pick up exactly the remainder
+    job.discover(spark.read.parquet(s"$tmp/src"))
+    val first = store.pending("orders").collect()
+      .map(_.primaryPartitionValue).min
+    val stats = graft.sources.StatsStore.collectExpr(
+      spark, s"$tmp/src", Seq("pid" -> job.pidCol(spark.read.parquet(s"$tmp/src"))))
+    job.copyPartitionPruned(s"$tmp/src", stats, first)
+
+    val copied = job.runPrunedConcurrent(s"$tmp/src", maxParallel = 6)
+    assert(copied.toSet == allMonths - first)
+    assert(store.pending("orders").count() == 0)
+    // read-back equals the source exactly (per-month row counts)
+    val got = job.readBack()
+      .groupBy(col("pid").cast("long").as("m")).count()
+      .as[(Long, Long)].collect().toMap
+    val want = orders.groupBy(ReferenceOps.monthSid(col("o_orderdate")).as("m"))
+      .count().as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // idempotent re-entry: nothing pending, nothing copied
+    assert(job.runPrunedConcurrent(s"$tmp/src", maxParallel = 6).isEmpty)
+  }
+
   test("bulk backfill salts within pid: a hot month spans multiple files, still <= NUM_MAPPERS per pid") {
     val tmp = Files.createTempDirectory("graft-etlsalt").toString
     val cfg = JobConfig(tableName = "orders", numMappers = 4)
