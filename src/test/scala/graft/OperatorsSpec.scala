@@ -72,6 +72,27 @@ class OperatorsSpec extends SparkSpec {
       Tables.orders(spark, sf).count())
   }
 
+  test("EtlRunner.runAllConcurrent drains independent tables in parallel; a held lock still skips") {
+    val tmp = Files.createTempDirectory("graft-runnerc").toString
+    // hold customer's lock up front: the concurrent runner must skip it
+    // (None) exactly like the sequential one — lock semantics unchanged
+    val held = new JobLock(spark, s"$tmp/locks/customer.lock")
+    assert(held.acquire())
+    val out = EtlRunner.runAllConcurrent(spark, tmp, Seq(
+      JobConfig(tableName = "orders", numMappers = 2) -> Tables.orders(spark, sf),
+      JobConfig(tableName = "nation", primaryId = "") -> Tables.nation(spark, sf),
+      JobConfig(tableName = "customer", primaryId = "") -> Tables.customer(spark, sf)),
+      maxParallel = 3)
+    held.release()
+    assert(out("orders").exists(_.nonEmpty))
+    assert(out("nation").contains(Seq(0L)))
+    assert(out("customer").isEmpty) // locked → skipped, like the reference
+    assert(spark.read.orc(s"$tmp/data/orders").count() ==
+      Tables.orders(spark, sf).count())
+    assert(spark.read.orc(s"$tmp/data/nation").count() ==
+      Tables.nation(spark, sf).count())
+  }
+
   test("boundsOf reports min/max for split planning (A4)") {
     val (lo, hi) = Sources.boundsOf(Tables.orders(spark, sf), "o_orderkey")
     assert(lo >= 0 && hi > lo)
