@@ -4081,7 +4081,8 @@ object QueryCatalog {
     val agg = t.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         min(col("o_orderkey")).as("min_key"),
-        max(col("o_orderkey")).as("max_key"))
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_custkey")).as("sum_cust"))
     val pushed = agg.queryExecution.executedPlan.toString
       .contains("PushedAggregates")
     agg.withColumn("agg_pushed", lit(pushed)).orderBy("o_orderpriority")
@@ -4091,6 +4092,7 @@ object QueryCatalog {
     """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
       |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
       |  TRUE AS agg_pushed
       |FROM orders
       |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
