@@ -4104,6 +4104,52 @@ object QueryCatalog {
       |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** O1/O2 executed WAREHOUSE-side: the reference's status probes are
+    * ordered-LIMIT SQL run inside the warehouse — oldest pending partition
+    * via `order by primary_partition_value LIMIT 1`
+    * (`sqoop_table.py:41`, `:50`, `:107`) and the newest-first discovery
+    * scan (`:145`, `order by primary_id desc`). Here the probe ("latest
+    * keys for a priority class") goes through the DSv2 JDBC catalog with
+    * TopN pushdown: filter + ORDER BY DESC + LIMIT all compile into the
+    * warehouse query (Derby's `FETCH FIRST n ROWS ONLY` via
+    * [[graft.sources.DerbyProbeDialect]]), so the scan transfers exactly k
+    * rows. `topn_pushed` is computed FROM THE PLAN (scan must carry a
+    * `PushedTopN` clause — i.e. the sort+limit happened warehouse-side,
+    * not on fetched rows) and hash-checked against the oracle's literal
+    * `true`: a silent fallback to fetch-then-sort fails correctness, not
+    * just a bench number. k=5 on a unique key keeps the result
+    * deterministic where the reference's LIMIT 1 tolerates ties.
+    */
+  private val qJdbcTopN: Q = (s, dir) => {
+    val fx = Fixtures.getOrBuild(s"jdbcagg:$dir") { f =>
+      val url = s"jdbc:derby:$f/db;create=true"
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .write
+        .option("createTableColumnTypes", "o_orderpriority VARCHAR(32)")
+        .jdbc(url, "orders_t", new java.util.Properties())
+    }
+    val cat = "graftdw_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    graft.sources.Sources.jdbcCatalog(s, cat, s"jdbc:derby:$fx/db")
+    val probe = s.table(s"$cat.ORDERS_T")
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .orderBy(col("o_orderkey").desc)
+      .limit(5)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pushed = probe.queryExecution.executedPlan.toString
+      .contains("PushedTopN")
+    probe.withColumn("topn_pushed", lit(pushed)).orderBy(col("o_orderkey"))
+  }
+
+  private val jdbcTopNSql =
+    """SELECT o_orderkey, o_custkey, TRUE AS topn_pushed FROM orders
+      |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+      |  AND o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey DESC LIMIT 5""".stripMargin
+
   /** Small-file compaction as a declared round-trip: lineitem scattered
     * into 64 tiny files, compacted to a byte-size target with the atomic
     * rename swap, read back and aggregated. The oracle aggregates the
@@ -11027,6 +11073,7 @@ object QueryCatalog {
     "q_bloom_index" -> qBloomIndex,
     "q_jdbc_extract" -> qJdbcExtract,
     "q_jdbc_agg" -> qJdbcAgg,
+    "q_jdbc_topn" -> qJdbcTopN,
     "q_compaction" -> qCompaction,
     "q_bucketed_join" -> qBucketedJoin,
     "q_csv_roundtrip" -> qCsvRoundtrip,
@@ -11248,6 +11295,7 @@ object QueryCatalog {
     "q_bloom_index" -> bloomIndexSql,
     "q_jdbc_extract" -> jdbcExtractSql,
     "q_jdbc_agg" -> jdbcAggSql,
+    "q_jdbc_topn" -> jdbcTopNSql,
     "q_compaction" -> compactionSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_csv_roundtrip" -> csvRoundtripSql,

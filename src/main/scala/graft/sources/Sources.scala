@@ -52,6 +52,9 @@ object Sources {
     */
   def jdbcCatalog(spark: SparkSession, name: String, url: String,
       extra: Map[String, String] = Map.empty): Unit = {
+    // the embedded test warehouse needs the FETCH FIRST spelling before
+    // ordered probes can push their TopN warehouse-side
+    DerbyProbeDialectRegistration.register()
     spark.conf.set(s"spark.sql.catalog.$name",
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
     spark.conf.set(s"spark.sql.catalog.$name.url", url)
