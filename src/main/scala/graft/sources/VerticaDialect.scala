@@ -75,6 +75,31 @@ object VerticaDialect extends JdbcDialect {
 
   /** Vertica TRUNCATE TABLE commits immediately and never cascades. */
   override def isCascadingTruncateTable(): Option[Boolean] = Some(false)
+
+  // ---- pushdown declarations ------------------------------------------
+  // The reference runs its probes INSIDE Vertica — filtered counts and
+  // split bounds (`sqoop_table.py:54-57`), ordered-LIMIT status probes
+  // (`:41`, `:50`, `:107`) — so the dialect must declare what the
+  // warehouse can execute, or Spark's DSv2 JDBC scan silently fetches
+  // rows and re-does the work cluster-side. Vertica accepts the default
+  // `LIMIT n` / `OFFSET m` spellings in exactly the positions Spark
+  // splices them (after ORDER BY, limit before offset).
+
+  override def supportsLimit: Boolean = true
+
+  override def supportsOffset: Boolean = true
+
+  /** Aggregate functions Vertica evaluates natively (ANSI names, which is
+    * what Spark's V2 expression compiler emits). The VAR_ and STDDEV_
+    * variants exist in Vertica with these exact names and the same
+    * sample/population split.
+    */
+  override def isSupportedFunction(funcName: String): Boolean =
+    Set("SUM", "COUNT", "MIN", "MAX", "AVG",
+      "VAR_POP", "VAR_SAMP", "STDDEV_POP", "STDDEV_SAMP",
+      "ABS", "COALESCE", "GREATEST", "LEAST", "LN", "EXP", "POWER",
+      "SQRT", "FLOOR", "CEIL", "ROUND", "UPPER", "LOWER", "TRIM",
+      "SUBSTRING", "MOD").contains(funcName)
 }
 
 /** Registration hook: `VerticaDialect.register()` once per JVM (idempotent —

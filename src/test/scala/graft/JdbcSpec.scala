@@ -151,6 +151,46 @@ class JdbcSpec extends SparkSpec {
     assert(VerticaDialect.isCascadingTruncateTable() === Some(false))
   }
 
+  test("VerticaDialect: declares the pushdowns the warehouse executes natively") {
+    import graft.sources.VerticaDialect
+    // ordered-LIMIT status probes (sqoop_table.py:41/:50/:107) and the
+    // count/bounds probes (:54-57) only run warehouse-side if the dialect
+    // says so — otherwise DSv2 silently fetches rows and re-sorts
+    assert(VerticaDialect.supportsLimit)
+    assert(VerticaDialect.supportsOffset)
+    assert(VerticaDialect.getLimitClause(5) === "LIMIT 5")
+    Seq("SUM", "COUNT", "MIN", "MAX", "AVG").foreach { f =>
+      assert(VerticaDialect.isSupportedFunction(f), f)
+    }
+    // never claim what Vertica might not accept verbatim
+    assert(!VerticaDialect.isSupportedFunction("REGR_SLOPE"))
+  }
+
+  test("DerbyProbeDialect: sole claimant of derby URLs, FETCH FIRST spelling, full delegation") {
+    import java.sql.Types
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    import graft.sources.{DerbyProbeDialect, DerbyProbeDialectRegistration}
+    DerbyProbeDialectRegistration.register()
+    DerbyProbeDialectRegistration.register() // idempotent
+    val got = JdbcDialects.get("jdbc:derby:/tmp/x/db")
+    // must be the wrapper itself, NOT an AggregatedDialect merge — a merge
+    // forwards only type mapping and silently drops supportsLimit and
+    // isSupportedFunction to defaults (no TopN pushdown, broken agg
+    // pushdown, bare LIMIT emitted into Derby SQL)
+    assert(got.isInstanceOf[DerbyProbeDialect],
+      s"expected DerbyProbeDialect, got ${got.getClass.getName}")
+    assert(got.supportsLimit)
+    assert(!got.supportsOffset) // Derby wants OFFSET before FETCH — off
+    assert(got.getLimitClause(1) === "FETCH FIRST 1 ROWS ONLY")
+    // the aggregate-pushdown gate and type surface defer to the built-in
+    assert(got.isSupportedFunction("COUNT") && got.isSupportedFunction("SUM"))
+    assert(got.getCatalystType(Types.REAL, "REAL", 7,
+      new MetadataBuilder()) === Some(FloatType))
+    assert(got.getJDBCType(StringType).map(_.databaseTypeDefinition)
+      === Some("CLOB"))
+  }
+
   test("dialect DDL round-trips: generated Vertica types parse back to the same schema") {
     import org.apache.spark.sql.types._
     import graft.etl.TypeMapping
