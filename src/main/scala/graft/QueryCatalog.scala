@@ -6019,11 +6019,20 @@ object QueryCatalog {
     // at sf1: ~1 GB moved for a 26 MB corpus), exactly the anti-pattern
     // the multimodal contract forbids
     val ids0 = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    // image DIVERSITY scales with the corpus: ~12.5 docs per perceptual
+    // group at any size (the text fixtures' fixed-planted-cluster rule).
+    // A constant group count made dup clusters grow with the corpus and
+    // emitted near-dup pairs grow QUADRATICALLY — measured at factor 30:
+    // ×908 pair rows for ×30 traffic before this derivation, ~×30 after.
+    // Exact integer arithmetic ((2n)/25, floor 40) so the oracle CTEs
+    // replay it; at the sf0.01 correctness scale n=500 ⇒ exactly the
+    // original 40 groups, every committed hash unchanged.
+    val groups = math.max(ids0.count() * 2 / 25, 40L)
     val ids = if (partitions > 0) ids0.repartition(partitions) else ids0
     ids
       .mapPartitions { part =>
         part.map { id =>
-          val g = (id % 40).toInt
+          val g = (id % groups).toInt
           val w = 9 + (g * 3) % 8
           val h = 8 + (g * 5) % 7
           val pix = Array.tabulate(w * h * 3) { i =>
@@ -6047,11 +6056,13 @@ object QueryCatalog {
     * bits.
     */
   private val imageBitsCte =
-    """p AS (
-      |  SELECT doc_id, doc_id % 40 AS g,
-      |         9 + ((doc_id % 40) * 3) % 8 AS w,
-      |         8 + ((doc_id % 40) * 5) % 7 AS h
-      |  FROM documents
+    """gp AS (
+      |  SELECT GREATEST(COUNT(*) * 2 // 25, 40) AS g0 FROM documents
+      |), p AS (
+      |  SELECT doc_id, doc_id % g0 AS g,
+      |         9 + ((doc_id % g0) * 3) % 8 AS w,
+      |         8 + ((doc_id % g0) * 5) % 7 AS h
+      |  FROM documents CROSS JOIN gp
       |), v AS (
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
@@ -6628,11 +6639,13 @@ object QueryCatalog {
   }
 
   private val multimodalPipelineSql =
-    """WITH RECURSIVE imgp AS (
-      |  SELECT doc_id, doc_id % 40 AS g,
-      |         9 + ((doc_id % 40) * 3) % 8 AS w,
-      |         8 + ((doc_id % 40) * 5) % 7 AS h
-      |  FROM documents WHERE doc_id % 2 = 0
+    """WITH RECURSIVE gp AS (
+      |  SELECT GREATEST(COUNT(*) * 2 // 25, 40) AS g0 FROM documents
+      |), imgp AS (
+      |  SELECT doc_id, doc_id % g0 AS g,
+      |         9 + ((doc_id % g0) * 3) % 8 AS w,
+      |         8 + ((doc_id % g0) * 5) % 7 AS h
+      |  FROM documents CROSS JOIN gp WHERE doc_id % 2 = 0
       |), imgv AS (
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
@@ -9733,6 +9746,57 @@ object QueryCatalog {
        |ORDER BY key_p, doc_id LIMIT 50""".stripMargin
   }
 
+  /** DSIR-style data selection ([[graft.pipeline.ImportanceSelect]]):
+    * hashed-token importance resampling against the English subset as the
+    * target distribution — ONE conditional-count aggregation fits both
+    * distributions (256 hashed buckets, partial-agg collapses the
+    * exchange to O(tasks×256) rows), the driver collects exactly 256
+    * weight rows (bounded constant), and scoring is a map-only
+    * array-literal lookup summed per doc in integer micro-units, top-k
+    * via TakeOrderedAndProject. The oracle replays md5 bucketing,
+    * add-one-smoothed micro-quantized log ratios, and the integer doc
+    * sums — selection is hash-checked end to end, not recall-tested.
+    */
+  private val qImportanceSelect: Q = (s, dir) => {
+    graft.pipeline.ImportanceSelect
+      .select(Tables.documents(s, dir), "text", "doc_id",
+        col("lang") === lit("en"), 100)
+      .select(col("doc_id"), col("lang"), col("source"), col("score_u"))
+  }
+
+  private val importanceSelectSql = {
+    def hexDigit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)"
+    val h = (1 to 8).map(i =>
+      s"${hexDigit(i)} * ${java.lang.Long.toString(1L << (4 * (8 - i)))}")
+      .mkString(" + ")
+    val B = graft.pipeline.ImportanceSelect.Buckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), tb AS (
+       |  SELECT doc_id, lang, CAST(($h) % $B AS BIGINT) AS b FROM toks
+       |), dist AS (
+       |  SELECT b, COUNT(*) AS cc,
+       |    COUNT(*) FILTER (WHERE lang = 'en') AS tc
+       |  FROM tb GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(cc) + $B AS DOUBLE) AS nc,
+       |    CAST(SUM(tc) + $B AS DOUBLE) AS nt FROM dist
+       |), wts AS (
+       |  SELECT r.range AS b,
+       |    CAST(round(1e6 * ln((COALESCE(d.tc, 0) + 1.0) * t.nc /
+       |      ((COALESCE(d.cc, 0) + 1.0) * t.nt))) AS BIGINT) AS wt
+       |  FROM range($B) r LEFT JOIN dist d ON d.b = r.range CROSS JOIN tot t
+       |), scores AS (
+       |  SELECT tb.doc_id, SUM(w.wt) AS score_u
+       |  FROM tb JOIN wts w ON w.b = tb.b GROUP BY 1
+       |)
+       |SELECT d.doc_id, d.lang, d.source, CAST(s.score_u AS BIGINT) AS score_u
+       |FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+       |ORDER BY score_u DESC, s.doc_id LIMIT 100""".stripMargin
+  }
+
   /** Incremental materialized-view refresh: the persisted base MV (orders
     * before 1998) is merged with the DELTA's partial aggregate — refresh
     * cost is O(delta + MV), never a rescan of base facts. Count-sums and
@@ -11074,6 +11138,7 @@ object QueryCatalog {
     "q_jdbc_extract" -> qJdbcExtract,
     "q_jdbc_agg" -> qJdbcAgg,
     "q_jdbc_topn" -> qJdbcTopN,
+    "q_importance_select" -> qImportanceSelect,
     "q_compaction" -> qCompaction,
     "q_bucketed_join" -> qBucketedJoin,
     "q_csv_roundtrip" -> qCsvRoundtrip,
@@ -11296,6 +11361,7 @@ object QueryCatalog {
     "q_jdbc_extract" -> jdbcExtractSql,
     "q_jdbc_agg" -> jdbcAggSql,
     "q_jdbc_topn" -> jdbcTopNSql,
+    "q_importance_select" -> importanceSelectSql,
     "q_compaction" -> compactionSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
