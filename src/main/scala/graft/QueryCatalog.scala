@@ -6035,8 +6035,15 @@ object QueryCatalog {
           val g = (id % groups).toInt
           val w = 9 + (g * 3) % 8
           val h = 8 + (g * 5) % 7
+          // the STRIDE varies with the group, not just the brightness:
+          // dHash compares adjacent pixels, so a g-dependent offset
+          // (g*53) cancels and all groups with one (w,h) collapse to the
+          // same signature — measured as ×447 pair rows for ×30 docs even
+          // with scaled group counts. A g-dependent gradient is what
+          // makes perceptual diversity actually track the group space.
+          val stride = 7 + (g % 97)
           val pix = Array.tabulate(w * h * 3) { i =>
-            val base = (g * 53 + i * 7) % 256
+            val base = (g * 53 + i * stride) % 256
             val v = if ((i + id) % 23 == 0) (base + 1 + (id % 13).toInt) % 256
               else base
             v.toByte
@@ -6067,8 +6074,8 @@ object QueryCatalog {
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
       |      CASE WHEN (i + doc_id) % 23 = 0
-      |           THEN ((g*53 + i*7) % 256 + 1 + doc_id % 13) % 256
-      |           ELSE (g*53 + i*7) % 256 END) AS vals
+      |           THEN ((g*53 + i*(7 + g % 97)) % 256 + 1 + doc_id % 13) % 256
+      |           ELSE (g*53 + i*(7 + g % 97)) % 256 END) AS vals
       |  FROM p
       |), gr AS (
       |  SELECT doc_id,
@@ -6650,8 +6657,8 @@ object QueryCatalog {
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
       |      CASE WHEN (i + doc_id) % 23 = 0
-      |           THEN ((g*53 + i*7) % 256 + 1 + doc_id % 13) % 256
-      |           ELSE (g*53 + i*7) % 256 END) AS vals
+      |           THEN ((g*53 + i*(7 + g % 97)) % 256 + 1 + doc_id % 13) % 256
+      |           ELSE (g*53 + i*(7 + g % 97)) % 256 END) AS vals
       |  FROM imgp
       |), imggr AS (
       |  SELECT doc_id, w, h,

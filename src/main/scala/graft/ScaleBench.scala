@@ -59,6 +59,10 @@ object ScaleBench {
     "q_ivf_append" -> 2,
     "q_training_pipeline_v4" -> 2,
     "q_etl_bulk" -> 2,
+    // DSIR selection: distribution fit is a 256-key conditional count,
+    // scoring a map-only array lookup — the zero-shuffle shape should be
+    // flat-per-byte across decades
+    "q_importance_select" -> 2,
     // the graph/clustering tier (r5 verdict task 3): forced-distributed CC
     // (pointer-jumping loop, never the one-task shortcut), label
     // propagation, PageRank — the iterative-shuffle shapes unmeasured past
