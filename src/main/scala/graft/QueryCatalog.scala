@@ -6035,15 +6035,21 @@ object QueryCatalog {
           val g = (id % groups).toInt
           val w = 9 + (g * 3) % 8
           val h = 8 + (g * 5) % 7
-          // the STRIDE varies with the group, not just the brightness:
-          // dHash compares adjacent pixels, so a g-dependent offset
-          // (g*53) cancels and all groups with one (w,h) collapse to the
-          // same signature — measured as ×447 pair rows for ×30 docs even
-          // with scaled group counts. A g-dependent gradient is what
-          // makes perceptual diversity actually track the group space.
-          val stride = 7 + (g % 97)
+          // group content must vary in the feature dHash actually SEES.
+          // dHash compares adjacent downsampled lumas, so (a) a
+          // g-dependent brightness offset cancels outright (measured:
+          // ×447 pair rows for ×30 docs), and (b) any formula where g
+          // enters the pixel-to-pixel DIFFERENCE only through `g mod M`
+          // caps signature diversity at M classes (a g-dependent linear
+          // stride saturated at factor 100: ×1028 pairs for ×100 docs).
+          // The top byte of a 32-bit linear mix fixes both: the step
+          // between adjacent pixels rides the CARRIES of the low 24 bits,
+          // so the comparison pattern varies with g through ~2^24 classes
+          // — per-group signatures are effectively independent, and pair
+          // rows track the planted ~12.5-doc clusters linearly.
           val pix = Array.tabulate(w * h * 3) { i =>
-            val base = (g * 53 + i * stride) % 256
+            val base = (((g.toLong * 2654435761L + i.toLong * 40499L) %
+              4294967296L) >> 24).toInt
             val v = if ((i + id) % 23 == 0) (base + 1 + (id % 13).toInt) % 256
               else base
             v.toByte
@@ -6074,8 +6080,10 @@ object QueryCatalog {
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
       |      CASE WHEN (i + doc_id) % 23 = 0
-      |           THEN ((g*53 + i*(7 + g % 97)) % 256 + 1 + doc_id % 13) % 256
-      |           ELSE (g*53 + i*(7 + g % 97)) % 256 END) AS vals
+      |           THEN ((g*2654435761 + i*40499) % 4294967296 // 16777216
+      |                 + 1 + doc_id % 13) % 256
+      |           ELSE (g*2654435761 + i*40499) % 4294967296 // 16777216
+      |      END) AS vals
       |  FROM p
       |), gr AS (
       |  SELECT doc_id,
@@ -6657,8 +6665,10 @@ object QueryCatalog {
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
       |      CASE WHEN (i + doc_id) % 23 = 0
-      |           THEN ((g*53 + i*(7 + g % 97)) % 256 + 1 + doc_id % 13) % 256
-      |           ELSE (g*53 + i*(7 + g % 97)) % 256 END) AS vals
+      |           THEN ((g*2654435761 + i*40499) % 4294967296 // 16777216
+      |                 + 1 + doc_id % 13) % 256
+      |           ELSE (g*2654435761 + i*40499) % 4294967296 // 16777216
+      |      END) AS vals
       |  FROM imgp
       |), imggr AS (
       |  SELECT doc_id, w, h,
