@@ -6035,21 +6035,23 @@ object QueryCatalog {
           val g = (id % groups).toInt
           val w = 9 + (g * 3) % 8
           val h = 8 + (g * 5) % 7
-          // group content must vary in the feature dHash actually SEES.
-          // dHash compares adjacent downsampled lumas, so (a) a
-          // g-dependent brightness offset cancels outright (measured:
-          // ×447 pair rows for ×30 docs), and (b) any formula where g
-          // enters the pixel-to-pixel DIFFERENCE only through `g mod M`
-          // caps signature diversity at M classes (a g-dependent linear
-          // stride saturated at factor 100: ×1028 pairs for ×100 docs).
-          // The top byte of a 32-bit linear mix fixes both: the step
-          // between adjacent pixels rides the CARRIES of the low 24 bits,
-          // so the comparison pattern varies with g through ~2^24 classes
-          // — per-group signatures are effectively independent, and pair
-          // rows track the planted ~12.5-doc clusters linearly.
+          // group content must vary in the feature dHash actually SEES —
+          // and non-degenerately. Three measured failure modes led here:
+          // a g-dependent brightness offset cancels in adjacent-pixel
+          // comparisons (×447 pair rows for ×30 docs); a g-dependent
+          // linear stride enters differences only mod 256 and saturates
+          // at 256 signature classes (×1028 pairs at ×100); and ANY
+          // v(i)=f(A·g+B·i) construction is a ONE-parameter (phase)
+          // family whose signatures collide at ~1e-4 — cross-group pairs
+          // then dominate past factor 30. xor-then-multiply breaks the
+          // translational structure (the mask g·A enters nonlinearly), so
+          // per-group signatures are effectively independent: measured
+          // 4000/4000 distinct group signatures, 10 collision pairs over
+          // 8M, and total pair rows ×10.04 for ×10 docs.
+          val mask = (g.toLong * 2654435761L) % 4294967296L
           val pix = Array.tabulate(w * h * 3) { i =>
-            val base = (((g.toLong * 2654435761L + i.toLong * 40499L) %
-              4294967296L) >> 24).toInt
+            val base =
+              (((mask ^ i.toLong) * 1597334677L % 4294967296L) >> 24).toInt
             val v = if ((i + id) % 23 == 0) (base + 1 + (id % 13).toInt) % 256
               else base
             v.toByte
@@ -6080,9 +6082,10 @@ object QueryCatalog {
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
       |      CASE WHEN (i + doc_id) % 23 = 0
-      |           THEN ((g*2654435761 + i*40499) % 4294967296 // 16777216
-      |                 + 1 + doc_id % 13) % 256
-      |           ELSE (g*2654435761 + i*40499) % 4294967296 // 16777216
+      |           THEN (xor(g*2654435761 % 4294967296, i) * 1597334677
+      |                 % 4294967296 // 16777216 + 1 + doc_id % 13) % 256
+      |           ELSE xor(g*2654435761 % 4294967296, i) * 1597334677
+      |                % 4294967296 // 16777216
       |      END) AS vals
       |  FROM p
       |), gr AS (
@@ -6665,9 +6668,10 @@ object QueryCatalog {
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
       |      CASE WHEN (i + doc_id) % 23 = 0
-      |           THEN ((g*2654435761 + i*40499) % 4294967296 // 16777216
-      |                 + 1 + doc_id % 13) % 256
-      |           ELSE (g*2654435761 + i*40499) % 4294967296 // 16777216
+      |           THEN (xor(g*2654435761 % 4294967296, i) * 1597334677
+      |                 % 4294967296 // 16777216 + 1 + doc_id % 13) % 256
+      |           ELSE xor(g*2654435761 % 4294967296, i) * 1597334677
+      |                % 4294967296 // 16777216
       |      END) AS vals
       |  FROM imgp
       |), imggr AS (
