@@ -6032,7 +6032,17 @@ object QueryCatalog {
     ids
       .mapPartitions { part =>
         part.map { id =>
-          val g = (id % groups).toInt
+          // group assignment is a multiplicative-hash range scale, NOT
+          // `id % groups`: replica id lattices (base + k·10M) align with
+          // any group count that divides the offset — measured at factor
+          // 100, where groups=40000 | 10M put all 100 replicas of each
+          // base in ONE group (clusters of 100, 24M pairs). The top bits
+          // of id·φ32 walk a Weyl orbit across any arithmetic id
+          // progression, so expected group population is n/groups for
+          // structured and unstructured ids alike. (Ids must stay below
+          // 2^63/φ32 ≈ 3.5e9 — mod the id first past that.)
+          val g = ((id * 2654435761L % 4294967296L) * groups /
+            4294967296L).toInt
           val w = 9 + (g * 3) % 8
           val h = 8 + (g * 5) % 7
           // group content must vary in the feature dHash actually SEES —
@@ -6073,11 +6083,15 @@ object QueryCatalog {
   private val imageBitsCte =
     """gp AS (
       |  SELECT GREATEST(COUNT(*) * 2 // 25, 40) AS g0 FROM documents
-      |), p AS (
-      |  SELECT doc_id, doc_id % g0 AS g,
-      |         9 + ((doc_id % g0) * 3) % 8 AS w,
-      |         8 + ((doc_id % g0) * 5) % 7 AS h
+      |), p0 AS (
+      |  SELECT doc_id,
+      |         (doc_id * 2654435761 % 4294967296) * g0 // 4294967296 AS g
       |  FROM documents CROSS JOIN gp
+      |), p AS (
+      |  SELECT doc_id, g,
+      |         9 + (g * 3) % 8 AS w,
+      |         8 + (g * 5) % 7 AS h
+      |  FROM p0
       |), v AS (
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
@@ -6659,11 +6673,15 @@ object QueryCatalog {
   private val multimodalPipelineSql =
     """WITH RECURSIVE gp AS (
       |  SELECT GREATEST(COUNT(*) * 2 // 25, 40) AS g0 FROM documents
-      |), imgp AS (
-      |  SELECT doc_id, doc_id % g0 AS g,
-      |         9 + ((doc_id % g0) * 3) % 8 AS w,
-      |         8 + ((doc_id % g0) * 5) % 7 AS h
+      |), imgp0 AS (
+      |  SELECT doc_id,
+      |         (doc_id * 2654435761 % 4294967296) * g0 // 4294967296 AS g
       |  FROM documents CROSS JOIN gp WHERE doc_id % 2 = 0
+      |), imgp AS (
+      |  SELECT doc_id, g,
+      |         9 + (g * 3) % 8 AS w,
+      |         8 + (g * 5) % 7 AS h
+      |  FROM imgp0
       |), imgv AS (
       |  SELECT doc_id, w, h,
       |    list_transform(generate_series(0, w*h*3 - 1), i ->
