@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark driver.
+  *
+  * r6 post-mortem: running the whole suite (312 timed queries + an
+  * 18-drain RocksDB section) in ONE JVM produced a uniform ×1.16 drift vs
+  * r5 with zero plan changes — the accumulation signature (JIT code-cache
+  * pressure, heap/metaspace growth, GC debt) the r4 post-mortem first
+  * identified. The fix is structural, not a bigger knob: the suite is
+  * SPLIT INTO SECTIONS, EACH TIMED IN A FRESH CHILD JVM (batch queries in
+  * chunks of ≤ [[chunkSize]], the streaming drains, the RocksDB backend
+  * axis), so no query's timing can depend on how many unrelated queries
+  * ran before it. The parent merges the per-section results, runs the
+  * plan-fingerprint and state-equivalence gates, and prints the one-line
+  * contract. Each child also reports its JIT code-cache occupancy so the
+  * "cache never filled" claim is committed evidence, not an assumption.
+  *
+  * Run counts are EQUAL across sections (3 timed runs, min reported) —
+  * r6's mixed 3/2/1 counts made sections incomparable.
+  */
 object Bench {
+
+  /** Timed runs per query, identical for every section. The min of three
+    * is the steady-state cost with high probability: run 1 can absorb
+    * fixture builds + codegen, and a stray full GC or compile storm lands
+    * in at most one run.
+    */
+  private val runsPerQuery = 3
+
+  /** Max batch queries per child JVM. ~70 keeps each child's codegen well
+    * under the code cache and its heap churn bounded; chunking is by
+    * sorted name, so membership is deterministic round-over-round.
+    */
+  private val chunkSize = 70
 
   /** Plan fingerprint: executedPlan text with per-session ids stripped, so
     * the same logical plan hashes identically across rounds — BENCH_DETAILS
@@ -55,7 +87,7 @@ object Bench {
     val p = java.nio.file.Paths.get("BENCH_DETAILS.json")
     if (!java.nio.file.Files.exists(p)) return Map.empty
     val text = java.nio.file.Files.readString(p)
-    """"([^"]+)":\{"min_s":[^}]*"plan_fp":"([0-9a-f]+|err)"""".r
+    """"([^"]+)":\{"min_s":[^}]*"plan_fp":"([0-9a-f]+|err|volatile)"""".r
       .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
   }
 
@@ -86,47 +118,48 @@ object Bench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // dev convenience: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run to
-    // the named queries for drift isolation experiments; detail output then
-    // goes to BENCH_DETAILS_subset.json so the committed per-round file
-    // (and its plan-fingerprint baseline) is never clobbered by a subset
-    // run. The driver always runs without it → full bench, normal file.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def keep(n: String): Boolean = only.forall(_.contains(n))
-    val detailPath =
-      if (only.isEmpty) "BENCH_DETAILS.json" else "BENCH_DETAILS_subset.json"
-    val prevFp = previousFingerprints()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // Plan TEXT truncation is fingerprint poison: Spark elides metadata
-      // strings (DataFilters, Location) past 100 chars BEFORE our exprId
-      // normalization, so the cut position depends on the raw exprId
-      // widths — i.e. on how many queries ran earlier in the session and
-      // on catalog size. r4→r5 false churn (q13/q14) was exactly this.
-      // Print everything; the normalizer handles ids and temp paths.
-      .config("spark.sql.maxMetadataStringLength", "100000")
-      .config("spark.sql.debug.maxToStringFields", "100000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured query doesn't absorb JIT +
-    // session init cost (flagship on the smallest SF touches the same
-    // read/agg machinery)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+  /** One measured query: times per run, fingerprint, state footprint. */
+  private final case class Result(detailName: String, section: String,
+      backend: String, times: Seq[Double], fp: String,
+      stateRows: Long, stateMem: Long)
 
+  private def s3(v: Double) = f"$v%.3f"
+
+  // ---------------------------------------------------------------- sections
+
+  /** Section ids; each runs in its own child JVM. `batch:<i>` is the i-th
+    * [[chunkSize]] slice of the sorted batch-query list.
+    */
+  private def batchNames(keep: String => Boolean): Seq[String] =
+    (SparkEntry.queries -- QueryCatalog.benchExcluded).keys
+      .filter(keep).toSeq.sorted
+
+  private def streamingNames(keep: String => Boolean): Seq[String] =
+    QueryCatalog.benchExcluded.filter(SparkEntry.queries.contains)
+      .filter(keep).toSeq.sorted
+
+  private def rocksNames(keep: String => Boolean): Seq[String] =
+    QueryCatalog.streamingDrains.filterNot(_.endsWith("_rocksdb"))
+      .filter(SparkEntry.queries.contains).filter(keep).toSeq.sorted
+
+  private def sectionPlan(keep: String => Boolean): Seq[String] = {
+    val nChunks = math.max(1,
+      math.ceil(batchNames(keep).size.toDouble / chunkSize).toInt)
+    (0 until nChunks).map(i => s"batch:$i") ++
+      (if (streamingNames(keep).nonEmpty) Seq("streaming") else Nil) ++
+      (if (rocksNames(keep).nonEmpty) Seq("rocksdb") else Nil)
+  }
+
+  /** Run one section's queries in THIS JVM and return the measurements.
+    * Shared by the child processes and the no-fork fallback.
+    */
+  private def runSection(spark: SparkSession, sfDir: String, section: String,
+      keep: String => Boolean): Seq[Result] = {
     val stateMeter = new StateMeter
     spark.streams.addListener(stateMeter)
-    // per-entry state metrics: detail-name -> (max state rows, max bytes)
-    val stateMetrics = scala.collection.mutable.Map.empty[String, (Long, Long)]
 
     def timeQueries(names: Iterable[String], executedFp: Boolean,
-        runs: Int = 3, backend: Option[String] = None)
-        : Seq[(String, Seq[Double], String)] =
+        backend: Option[String]): Seq[Result] =
       names.toSeq.sorted.map { name =>
         val base = SparkEntry.queries(name)
         val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -138,7 +171,7 @@ object Bench {
         stateMeter.reset()
         // Between queries: drop cached/checkpointed blocks left by fixture
         // builds and let a GC reclaim them, OUTSIDE the timed region. With
-        // ~230 queries × multiple runs in one JVM the storage otherwise
+        // ~70 queries × multiple runs in one JVM the storage otherwise
         // accumulates until a full GC lands inside some innocent query's
         // timing (r3 dev run: a 0.3 s query measured at 52 s).
         spark.catalog.clearCache()
@@ -151,13 +184,8 @@ object Bench {
         // by construction (fresh checkpoints), so nothing reusable is lost.
         org.apache.spark.sql.graftx.StateStoreHygiene.unloadAll()
         System.gc()
-        // three timed runs, report the min: the first can absorb codegen/
-        // compile for plans not touched by the warmup, and a stray full GC
-        // or compile storm can land in any ONE run — with three, the min is
-        // the steady-state cost with high probability (r4 post-mortem: two
-        // runs left a 1.23x uniform drift that masked real regressions)
         var lastDf: org.apache.spark.sql.DataFrame = null
-        val times = (1 to runs).map { _ =>
+        val times = (1 to runsPerQuery).map { _ =>
           val t0 = System.nanoTime()
           try { lastDf = fn(spark, sfDir); lastDf.count() }
           catch { case _: Throwable => lastDf = null; -1L }
@@ -177,75 +205,235 @@ object Bench {
         // events are counted, then record the max footprint observed
         org.apache.spark.graftx.ListenerBusDrain.drain(spark.sparkContext)
         val (srows, smem) = stateMeter.snapshot
-        if (srows >= 0) stateMetrics(detailName) = (srows, smem)
-        (detailName, times, fp)
+        Result(detailName, sectionLabel(section), backend.getOrElse("-"),
+          times, fp, srows, smem)
       }
 
-    val batch = timeQueries(
-      (SparkEntry.queries -- QueryCatalog.benchExcluded).keys.filter(keep),
-      executedFp = false)
-    // The streaming drains + multi-step ETL mutations (benchExcluded from
-    // the headline total so it stays comparable across rounds): each fn()
-    // call builds a FRESH input fixture + checkpoint dir and drains it with
-    // AvailableNow, so both runs are full cold drains — comparable
-    // round-over-round. run1−run2 bounds the fixture-write share; the drain
-    // (state store + sink I/O) dominates both.
-    // drains/mutations build a fresh fixture + checkpoint per run (cold by
-    // construction, no JIT-sensitivity) and are the expensive section — two
-    // runs bound the noise without doubling the bench's wall clock
-    val streaming = timeQueries(QueryCatalog.benchExcluded
-      .filter(SparkEntry.queries.contains).filter(keep),
-      executedFp = true, runs = 2)
-    // The BACKEND AXIS pass (r5 verdict task 4): every streaming drain
-    // again on RocksDB state (one run — cold by construction like the
-    // default pass), recorded as `name@rocksdb` in its own section so the
-    // headline streaming total stays comparable round-over-round. The two
-    // `_rocksdb` twin queries are skipped here — they ARE that backend.
-    val streamingRocks = timeQueries(
-      QueryCatalog.streamingDrains.filterNot(_.endsWith("_rocksdb"))
-        .filter(SparkEntry.queries.contains).filter(keep),
-      executedFp = true, runs = 1, backend = Some("rocksdb"))
+    section match {
+      case s if s.startsWith("batch:") =>
+        val i = s.stripPrefix("batch:").toInt
+        val slice = batchNames(keep).slice(i * chunkSize, (i + 1) * chunkSize)
+        timeQueries(slice, executedFp = false, backend = None)
+      case "streaming" =>
+        // drains/mutations build a fresh fixture + checkpoint per fn() call
+        // (cold by construction) — every run is a full cold drain,
+        // comparable round-over-round
+        timeQueries(streamingNames(keep), executedFp = true, backend = None)
+      case "rocksdb" =>
+        // The BACKEND AXIS pass (r5 verdict task 4): every streaming drain
+        // again on RocksDB state, recorded as `name@rocksdb` in its own
+        // section so the headline streaming total stays comparable. The two
+        // `_rocksdb` twin queries are skipped — they ARE that backend.
+        timeQueries(rocksNames(keep), executedFp = true, backend = Some("rocksdb"))
+      case other => sys.error(s"unknown bench section: $other")
+    }
+  }
 
-    def s3(v: Double) = f"$v%.3f"
+  private def sectionLabel(section: String): String =
+    if (section.startsWith("batch:")) "batch"
+    else if (section == "rocksdb") "streaming_rocksdb"
+    else "streaming"
+
+  /** JIT code-cache occupancy (used, max) in MB — committed as per-section
+    * evidence that the cache never filled (a full cache stops the JIT and
+    * produces exactly the uniform-drift signature; r4/r6 post-mortems).
+    */
+  private def codeCacheMb(): (Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+    val used = pools.map(_.getUsage.getUsed.toDouble).sum / 1e6
+    val max = pools.map(_.getUsage.getMax.toDouble).sum / 1e6
+    (used, max)
+  }
+
+  // ------------------------------------------------------------- child mode
+
+  /** TSV row shape written by a child (one per query, plus one `#diag`):
+    * detailName, section, backend, fp, stateRows, stateMem, run times
+    * comma-joined. TSV instead of JSON so the parent's merge needs no
+    * parser beyond split.
+    */
+  private def childMain(sfDir: String, cpus: String, section: String,
+      outPath: String, keep: String => Boolean): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      // Plan TEXT truncation is fingerprint poison: Spark elides metadata
+      // strings (DataFilters, Location) past 100 chars BEFORE our exprId
+      // normalization, so the cut position depends on the raw exprId
+      // widths — i.e. on how many queries ran earlier in the session and
+      // on catalog size. r4→r5 false churn (q13/q14) was exactly this.
+      // Print everything; the normalizer handles ids and temp paths.
+      .config("spark.sql.maxMetadataStringLength", "100000")
+      .config("spark.sql.debug.maxToStringFields", "100000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first measured query doesn't absorb JIT +
+    // session init cost (flagship on the smallest SF touches the same
+    // read/agg machinery)
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val results = runSection(spark, sfDir, section, keep)
+    val (ccUsed, ccMax) = codeCacheMb()
+    val sb = new StringBuilder
+    results.foreach { r =>
+      sb.append(Seq(r.detailName, r.section, r.backend, r.fp,
+        r.stateRows.toString, r.stateMem.toString,
+        r.times.map(s3).mkString(",")).mkString("\t")).append('\n')
+    }
+    sb.append(s"#diag\t$section\tcode_cache_used_mb=${s3(ccUsed)}\tcode_cache_max_mb=${s3(ccMax)}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
+    spark.stop()
+  }
+
+  /** Spawn one child JVM for `section`, same classpath + JVM flags as this
+    * process (sbt's forked run already carries the add-opens list, -Xmx and
+    * the code-cache sizing from build.sbt). Child stdout is pumped to OUR
+    * stderr so the parent's stdout stays exactly one contract line.
+    * Returns true on a zero exit with the part file present.
+    */
+  private def spawnChild(section: String, outPath: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    // classpath via env (not -cp): the Spark-jars classpath is tens of KB,
+    // safer off the arg line; java honors CLASSPATH when -cp is absent
+    pb.environment().put("CLASSPATH", System.getProperty("java.class.path"))
+    pb.environment().put("SPARK_GRAFT_BENCH_SECTION", section)
+    pb.environment().put("SPARK_GRAFT_BENCH_PART_OUT", outPath)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val pump = new Thread(() => {
+      val in = proc.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+    })
+    pump.setDaemon(true); pump.start()
+    val code = proc.waitFor()
+    pump.join(2000)
+    code == 0 && java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev convenience: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run to
+    // the named queries for drift isolation experiments; detail output then
+    // goes to BENCH_DETAILS_subset.json so the committed per-round file
+    // (and its plan-fingerprint baseline) is never clobbered by a subset
+    // run. The driver always runs without it → full bench, normal file.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(n: String): Boolean = only.forall(_.contains(n))
+
+    // child mode: run one section, write the part file, exit
+    sys.env.get("SPARK_GRAFT_BENCH_SECTION") match {
+      case Some(section) =>
+        childMain(sfDir, cpus, section,
+          sys.env("SPARK_GRAFT_BENCH_PART_OUT"), keep)
+        return
+      case None => ()
+    }
+
+    val detailPath =
+      if (only.isEmpty) "BENCH_DETAILS.json" else "BENCH_DETAILS_subset.json"
+    val prevFp = previousFingerprints()
+    val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    val partDir = java.nio.file.Files.createTempDirectory("graft-bench")
+    val diags = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val results: Seq[Result] = sectionPlan(keep).flatMap { section =>
+      val out = partDir.resolve(section.replace(':', '_') + ".tsv").toString
+      val ok = fork && spawnChild(section, out)
+      if (ok) {
+        val lines = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(out))
+        import scala.jdk.CollectionConverters._
+        lines.asScala.toSeq.flatMap { l =>
+          if (l.isEmpty) None
+          else if (l.startsWith("#diag")) { diags += l; None }
+          else {
+            val f = l.split('\t')
+            Some(Result(f(0), f(1), f(2),
+              f(6).split(',').map(_.toDouble).toSeq, f(3),
+              f(4).toLong, f(5).toLong))
+          }
+        }
+      } else {
+        // no-fork fallback (SPARK_GRAFT_BENCH_FORK=0, or a child failed to
+        // launch): measure in-process — correct, but subject to the
+        // accumulation drift the fork exists to prevent; flagged in diag
+        if (fork) System.err.println(
+          s"[bench] child JVM for $section failed — falling back in-process")
+        val spark = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.maxMetadataStringLength", "100000")
+          .config("spark.sql.debug.maxToStringFields", "100000")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+        val rs = runSection(spark, sfDir, section, keep)
+        diags += s"#diag\t$section\tIN_PROCESS_FALLBACK"
+        rs
+      }
+    }
+
+    val batch = results.filter(_.section == "batch")
+    val streaming = results.filter(_.section == "streaming")
+    val streamingRocks = results.filter(_.section == "streaming_rocksdb")
+
     // full per-query detail (runs + plan fingerprint) goes to a FILE — the
     // driver only captures a bounded stdout tail, so the contract line below
     // stays compact (3-decimal times) to fit inside it
-    def detailJson(rs: Seq[(String, Seq[Double], String)], section: String,
-        backend: String) =
-      rs.map { case (name, times, fp) =>
-        val state = stateMetrics.get(name).map { case (r, m) =>
-          s""","state_rows":$r,"state_mem_mb":${s3(m / 1e6)}"""
-        }.getOrElse("")
-        s""""$name":{"min_s":${s3(times.min)},"runs":[${times.map(s3).mkString(",")}],"plan_fp":"$fp","section":"$section","backend":"$backend"$state}"""
+    def detailJson(rs: Seq[Result]) =
+      rs.map { r =>
+        val state =
+          if (r.stateRows >= 0)
+            s""","state_rows":${r.stateRows},"state_mem_mb":${s3(r.stateMem / 1e6)}"""
+          else ""
+        s""""${r.detailName}":{"min_s":${s3(r.times.min)},"runs":[${r.times.map(s3).mkString(",")}],"plan_fp":"${r.fp}","section":"${r.section}","backend":"${r.backend}"$state}"""
       }
-    val detail = (detailJson(batch, "batch", "-") ++
-      detailJson(streaming, "streaming", "hdfs") ++
-      detailJson(streamingRocks, "streaming_rocksdb", "rocksdb"))
-      .mkString("{", ",", "}")
-    val total = batch.map(_._2.min).sum
-    val streamingTotal = streaming.map(_._2.min).sum
-    val rocksTotal = streamingRocks.map(_._2.min).sum
+    val detail = detailJson(results).mkString("{", ",", "}")
+    val total = batch.map(_.times.min).sum
+    val streamingTotal = streaming.map(_.times.min).sum
+    val rocksTotal = streamingRocks.map(_.times.min).sum
     // backend-equivalence gate on the state machine itself: the same drain
     // must hold the same LOGICAL state row count on either backend (only
     // the storage engine moves). Mismatches are listed for audit.
-    val stateMismatch = streamingRocks.map(_._1).flatMap { rn =>
+    val stateByName = results.map(r => r.detailName -> r.stateRows).toMap
+    val stateMismatch = streamingRocks.map(_.detailName).flatMap { rn =>
       val base = rn.stripSuffix("@rocksdb")
-      (stateMetrics.get(base), stateMetrics.get(rn)) match {
-        case (Some((a, _)), Some((b, _))) if a != b => Some(s"$base:$a!=$b")
+      (stateByName.get(base), stateByName.get(rn)) match {
+        case (Some(a), Some(b)) if a >= 0 && b >= 0 && a != b =>
+          Some(s"$base:$a!=$b")
         case _ => None
       }
     }.sorted
     if (stateMismatch.nonEmpty)
       System.err.println(s"[bench] STATE ROWS DIFFER across backends: ${stateMismatch.mkString(", ")}")
-    // plan-fingerprint regression gate: every query whose fingerprint
-    // changed vs the previous committed BENCH_DETAILS.json is listed —
-    // unexplained churn here is a plan regression to audit, not a timing
-    // blip. New queries (no previous fp) are not churn.
-    val changed = (batch ++ streaming).collect {
-      case (name, _, fp) if prevFp.get(name).exists(p => p != fp) => name
+    // plan-fingerprint regression gate — ALL sections including the rocksdb
+    // axis (r6 advice: the @rocksdb fingerprints were written but never
+    // compared, so backend-axis plan regressions went unreported).
+    // Unexplained churn is a plan regression to audit, not a timing blip;
+    // new queries (no previous fp) are not churn.
+    val changed = results.collect {
+      case r if prevFp.get(r.detailName).exists(p => p != r.fp) => r.detailName
     }.sorted
+    val diagJson = diags.map { d =>
+      "\"" + d.replace("#diag\t", "").replace("\t", " ").replace("\"", "'") + "\""
+    }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"streaming_total_s":${s3(streamingTotal)},"streaming_rocksdb_s":${s3(rocksTotal)},"state_rows_mismatch":${stateMismatch.map("\"" + _ + "\"").mkString("[", ",", "]")},"plan_changes":${changed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail}""")
+      s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"streaming_total_s":${s3(streamingTotal)},"streaming_rocksdb_s":${s3(rocksTotal)},"runs_per_query":$runsPerQuery,"jvm_sections":$diagJson,"state_rows_mismatch":${stateMismatch.map("\"" + _ + "\"").mkString("[", ",", "]")},"plan_changes":${changed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail}""")
     if (changed.nonEmpty)
       System.err.println(s"[bench] PLAN CHANGED vs previous round (${changed.size}): ${changed.mkString(", ")}")
     // the driver captures only a bounded stdout tail (~2.4 KB, shared with
@@ -255,13 +443,12 @@ object Bench {
     // informative ones); the complete per-query map lives in
     // BENCH_DETAILS.json, which is committed each round.
     val budget = 2000
-    val entries = (batch ++ streaming).sortBy(-_._2.min)
-      .map { case (name, times, _) => s""""$name":${s3(times.min)}""" }
+    val entries = (batch ++ streaming).sortBy(-_.times.min)
+      .map(r => s""""${r.detailName}":${s3(r.times.min)}""")
     def wrap(qs: Seq[String]): String =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","streaming_s":${s3(streamingTotal)},"plan_changes":${changed.size},"queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir","detail":"$detailPath"}"""
     var kept = entries
     while (wrap(kept).length > budget && kept.nonEmpty) kept = kept.dropRight(1)
     println(wrap(kept))
-    spark.stop()
   }
 }

@@ -4089,9 +4089,15 @@ object QueryCatalog {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),
         sum(col("o_custkey")).as("sum_cust"))
-    val pushed = agg.queryExecution.executedPlan.toString
+    // the flag is derived from the FINAL query's own executed plan (same
+    // withColumn/orderBy shape, only the literal differs — a boolean
+    // literal cannot change scan planning), not from a sibling
+    // QueryExecution that AQE/conf drift could plan differently
+    def shaped(v: Boolean) =
+      agg.withColumn("agg_pushed", lit(v)).orderBy("o_orderpriority")
+    val pushed = shaped(false).queryExecution.executedPlan.toString
       .contains("PushedAggregates")
-    agg.withColumn("agg_pushed", lit(pushed)).orderBy("o_orderpriority")
+    shaped(pushed)
   }
 
   private val jdbcAggSql =
@@ -4139,9 +4145,12 @@ object QueryCatalog {
       .orderBy(col("o_orderkey").desc)
       .limit(5)
       .select(col("o_orderkey"), col("o_custkey"))
-    val pushed = probe.queryExecution.executedPlan.toString
+    // flag from the FINAL query's own executed plan (see qJdbcAgg note)
+    def shaped(v: Boolean) =
+      probe.withColumn("topn_pushed", lit(v)).orderBy(col("o_orderkey"))
+    val pushed = shaped(false).queryExecution.executedPlan.toString
       .contains("PushedTopN")
-    probe.withColumn("topn_pushed", lit(pushed)).orderBy(col("o_orderkey"))
+    shaped(pushed)
   }
 
   private val jdbcTopNSql =
@@ -6039,8 +6048,13 @@ object QueryCatalog {
           // base in ONE group (clusters of 100, 24M pairs). The top bits
           // of id·φ32 walk a Weyl orbit across any arithmetic id
           // progression, so expected group population is n/groups for
-          // structured and unstructured ids alike. (Ids must stay below
-          // 2^63/φ32 ≈ 3.5e9 — mod the id first past that.)
+          // structured and unstructured ids alike.
+          // id·φ32 must not wrap Long: past 2^63/φ32 the Spark side would
+          // silently produce a NEGATIVE g (wrapped pixel data) while the
+          // DuckDB oracle errors loudly on the same overflow — fail just
+          // as loudly here, in the executor, before any divergence.
+          require(id >= 0 && id <= Long.MaxValue / 2654435761L,
+            s"doc_id $id overflows the image-group hash (max ${Long.MaxValue / 2654435761L}); mod ids first")
           val g = ((id * 2654435761L % 4294967296L) * groups /
             4294967296L).toInt
           val w = 9 + (g * 3) % 8
@@ -6495,13 +6509,20 @@ object QueryCatalog {
       VisualIndex.build(
         Multimodal.imageDhash(payloads.filter(col("doc_id") < 250)), f)
     }
+    // the arrival shards are a build-once fixture too (r6 verdict task 2):
+    // synthesizing + landing the payloads is test-data generation, not gate
+    // work — in production the stream's input directory is what ingest
+    // already wrote. 6 shards via an ID-level shuffle inside imagePayloads
+    // (payload bytes stay in their synthesis task; see imagePayloads note).
+    // What stays timed is the DRAIN: per micro-batch decode+hash, pruned
+    // index probe, pair sink, index append.
+    val arrivals = Fixtures.getOrBuild(s"visarrivals:$dir") { f =>
+      imagePayloads(s, dir, partitions = 6)
+        .filter(col("doc_id") >= 250)
+        .write.parquet(s"$f/in")
+    }
     val idx = Fixtures.mutableCopy(baseIdx)
-    // stream input: 6 shards via an ID-level shuffle inside imagePayloads
-    // (payload bytes stay in their synthesis task; see imagePayloads note)
-    imagePayloads(s, dir, partitions = 6)
-      .filter(col("doc_id") >= 250)
-      .write.parquet(s"$tmp/in")
-    graft.streaming.DocsStream.visualGateDrain(s, s"$tmp/in", idx,
+    graft.streaming.DocsStream.visualGateDrain(s, s"$arrivals/in", idx,
       s"$tmp/out", s"$tmp/ck", maxHamming = 3)
     s.read.parquet(s"$tmp/out")
       .select(col("hi_id"), col("lo_id"), col("hamming"))

@@ -65,8 +65,19 @@ final class StatusStore(spark: SparkSession, path: String) {
     })
   }
 
+  /** Read the current status set EAGERLY (collected to the driver, then
+    * re-lifted): [[write]] garbage-collects generations beyond
+    * current+previous, so a LAZY dataset held across two writes would fail
+    * at execution time on deleted parquet files. The status set is tiny by
+    * contract (one row per partition unit), so eager materialization is
+    * the same driver-side cost the reference pays for its status query
+    * (`sqoop_table.py:41`).
+    */
   def read(): Dataset[BackupStatus] = currentDir.orElse(latestCompleteGen) match {
-    case Some(dir) => spark.read.parquet(s"$path/$dir").as[BackupStatus]
+    case Some(dir) =>
+      val rows = spark.read.parquet(s"$path/$dir").as[BackupStatus]
+        .collect().toIndexedSeq
+      spark.createDataset(rows)
     case None => spark.emptyDataset[BackupStatus]
   }
 
