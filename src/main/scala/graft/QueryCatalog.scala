@@ -6539,6 +6539,56 @@ object QueryCatalog {
        |WHERE hamming <= 3 AND hi_id >= 250
        |ORDER BY hi_id, lo_id""".stripMargin
 
+  /** Visual index MAINTENANCE (r6 verdict task 3): the perceptual twin of
+    * [[qBandCompaction]]. A long-running visual ingest gate appends one
+    * small parquet layer per (q, qb) partition per micro-batch
+    * ([[VisualIndex.append]]); this query builds that layered store (base
+    * corpus + three arrival waves, a build-once fixture), compacts it with
+    * the NESTED atomic-swap pass (`Compaction.compactPartitions` recurses
+    * q=…/qb=…), and probes the compacted index. The oracle recomputes the
+    * expected pair set from the pixel formulas, so the hash matches only
+    * if compaction lost nothing; `rows_preserved` additionally pins the
+    * exact index row count pre/post (a pure pair probe would not see
+    * DUPLICATED quarter rows — the distinct() hides them), and
+    * `files_reduced` gates that maintenance actually shrank the store.
+    */
+  private val qVisidxCompaction: Q = (s, dir) => {
+    import graft.multimodal.VisualIndex
+    val layered = Fixtures.getOrBuild(s"visidxlayers:$dir") { f =>
+      val sigs = Multimodal.imageDhash(imagePayloads(s, dir))
+      VisualIndex.build(sigs.filter(col("doc_id") < 250), f)
+      VisualIndex.append(
+        sigs.filter(col("doc_id") >= 250 && col("doc_id") < 300), f)
+      VisualIndex.append(
+        sigs.filter(col("doc_id") >= 300 && col("doc_id") < 350), f)
+      VisualIndex.append(
+        sigs.filter(col("doc_id") >= 350 && col("doc_id") < 400), f)
+    }
+    val idx = Fixtures.mutableCopy(layered)
+    val rowsBefore = s.read.parquet(idx).count()
+    val st = graft.sources.Compaction.compactPartitions(s, idx)
+    val rowsAfter = s.read.parquet(idx).count()
+    val probes = Multimodal.imageDhash(
+      imagePayloads(s, dir).filter(col("doc_id") >= 400))
+    VisualIndex.probe(probes, s, idx, maxHamming = 3)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("bit_xor(new_id * 1000000 + indexed_id)").as("pair_xor"))
+      .withColumn("files_reduced", lit(st.filesAfter < st.filesBefore))
+      .withColumn("rows_preserved", lit(rowsBefore == rowsAfter))
+  }
+
+  private val visidxCompactionSql =
+    s"""WITH $imageBitsCte
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(bit_xor(new_id * 1000000 + indexed_id) AS BIGINT) AS pair_xor,
+       |  TRUE AS files_reduced, TRUE AS rows_preserved
+       |FROM (
+       |  SELECT b.doc_id AS new_id, a.doc_id AS indexed_id,
+       |    list_sum(list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < 400 AND b.doc_id >= 400)
+       |WHERE hamming <= 3""".stripMargin
+
   /** Silence-aware audio segmentation ([[Multimodal.audioSegments]]): per
     * document a WAV alternating formula-quiet and formula-loud 32-sample
     * blocks; the query decodes PCM, computes per-block energy Σs², and
@@ -11205,6 +11255,7 @@ object QueryCatalog {
     "q_seqfile_roundtrip" -> qSeqfileRoundtrip,
     "q_band_index_probe" -> qBandIndexProbe,
     "q_band_compaction" -> qBandCompaction,
+    "q_visidx_compaction" -> qVisidxCompaction,
     "q_stream_neardup" -> qStreamNeardup,
     "q_minhash_neardups" -> qMinhashNearDups,
     "q_simhash_neardups" -> qSimhashNearDups,
@@ -11428,6 +11479,7 @@ object QueryCatalog {
     "q_seqfile_roundtrip" -> csvRoundtripSql,
     "q_band_index_probe" -> SketchOracleSql.bandIndexProbeSql(splitId = 400, minEstJaccard = 0.5),
     "q_band_compaction" -> bandCompactionSql,
+    "q_visidx_compaction" -> visidxCompactionSql,
     "q_stream_neardup" -> // same kernel as the drain, one batch replay (pair set is boundary-independent)
       SketchOracleSql.streamIngestGateSql(splitId = 400, minEstJaccard = 0.5),
     "q_minhash_neardups" -> SketchOracleSql.minHashNearDupsSql(threshold = 0.5),

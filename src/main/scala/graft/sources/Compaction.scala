@@ -64,15 +64,16 @@ object Compaction {
     Stats(dataFiles.length, n, bytes)
   }
 
-  /** Compact every first-level `col=value` partition directory of a
-    * partitioned store in place — the maintenance pass for append-mode
-    * indexes (band stores, bucketed postings, IVF lists), where each
-    * arriving wave leaves another small-file layer per partition. Each
-    * partition compacts independently (parallelizable across a cluster's
-    * driver pool; file counts within one partition are the unit of work),
-    * readers of the PARENT keep seeing the partition column from the
-    * directory name, and the per-directory atomic-swap discipline of
-    * [[compact]] applies unchanged.
+  /** Compact every `col=value` partition directory of a partitioned store
+    * in place — the maintenance pass for append-mode indexes (band stores,
+    * bucketed postings, IVF lists, the visual signature index), where each
+    * arriving wave leaves another small-file layer per partition. NESTED
+    * partitioning (`q=0/qb=17/…`) is followed recursively to the leaf dirs
+    * that hold data files. Each leaf compacts independently
+    * (parallelizable across a cluster's driver pool; file counts within
+    * one partition are the unit of work), readers of the ROOT keep seeing
+    * the partition columns from the directory names, and the per-directory
+    * atomic-swap discipline of [[compact]] applies unchanged at any depth.
     */
   def compactPartitions(spark: SparkSession, root: String,
       format: String = "parquet",
@@ -93,13 +94,20 @@ object Compaction {
     val parts = fs.listStatus(p).filter(st =>
       st.isDirectory && !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_") &&
-        st.getPath.getName.contains("=") &&
-        // an empty partition dir has nothing to compact, and reading it
-        // as a dataset would fail schema inference — skip it
-        fs.listStatus(st.getPath).exists(f =>
-          f.isFile && !f.getPath.getName.startsWith("_")))
-    val all = parts.map(st =>
-      compact(spark, st.getPath.toString, format, targetBytes))
+        st.getPath.getName.contains("="))
+    val all = parts.map { st =>
+      val hasData = fs.listStatus(st.getPath).exists(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      if (hasData)
+        // a leaf partition dir; an empty one has nothing to compact (and
+        // reading it would fail schema inference) — the filter above plus
+        // this branch skips it via the recursion returning zero stats
+        compact(spark, st.getPath.toString, format, targetBytes)
+      else
+        // no data files here: either deeper partition levels (recurse) or
+        // an empty dir (recursion finds nothing and contributes zeros)
+        compactPartitions(spark, st.getPath.toString, format, targetBytes)
+    }
     Stats(all.map(_.filesBefore).sum, all.map(_.filesAfter).sum,
       all.map(_.bytes).sum)
   }

@@ -156,4 +156,46 @@ class CrashConsistencySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/ivf/vectors").count() ==
       before + wave.count())
   }
+
+  test("VisualIndex: a crashed NESTED child swap (q=/qb=) is recovered; compaction preserves rows and gate results") {
+    import graft.multimodal.VisualIndex
+    val dir = Files.createTempDirectory("graft-crash-vis").toString
+    val vis = s"$dir/vis"
+    // signatures straight from a formula — the store/probe contract is on
+    // (doc_id, sig) rows, pixels never reach it
+    def sigs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("doc_id"),
+        (col("id") * lit(2654435761L)).as("sig"))
+    VisualIndex.build(sigs(0, 150), vis)
+    VisualIndex.append(sigs(150, 200), vis) // second small-file layer
+    val rowsBefore = spark.read.parquet(vis).count()
+    def probe() = VisualIndex.probe(sigs(200, 240), spark, vis, maxHamming = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val expect = probe()
+
+    // crash one LEAF swap two levels down: rewrite complete in tmp, live
+    // dir renamed away — the kill window between the two renames
+    val qDir = fs.listStatus(new Path(vis))
+      .filter(_.getPath.getName.startsWith("q=")).head.getPath
+    val leaf = fs.listStatus(qDir)
+      .filter(_.getPath.getName.startsWith("qb=")).head.getPath
+    val ltmp = new Path(leaf.getParent, s".${leaf.getName}.compact.tmp")
+    spark.read.parquet(leaf.toString).repartition(1).write.parquet(ltmp.toString)
+    fs.rename(leaf, new Path(leaf.getParent, s".${leaf.getName}.compact.old"))
+    assert(!fs.exists(leaf))
+
+    // the nested maintenance pass must finish that swap first, then
+    // compact every leaf — and change neither the row set nor the gate
+    val st = Compaction.compactPartitions(spark, vis, targetBytes = 1L << 30)
+    assert(st.filesAfter < st.filesBefore, s"no compaction happened: $st")
+    assert(spark.read.parquet(vis).count() == rowsBefore,
+      "compaction must preserve the exact index row count")
+    assert(probe() == expect, "gate results must be unchanged by compaction")
+    def noMarkers(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      assert(!s.getPath.getName.contains(".compact."),
+        s"marker survived: ${s.getPath}")
+      if (s.isDirectory) noMarkers(s.getPath)
+    }
+    noMarkers(new Path(vis))
+  }
 }
