@@ -136,10 +136,11 @@ final class IncrementalBackup(
 
   /** Steady-state drain against a lake path: discovery is ONE column-pruned
     * scan of the pid-deriving column (unavoidable — exact distinct months),
-    * the manifest is ONE more single-column scan (incrementally maintainable
-    * via [[graft.sources.StatsStore.collectExprAppend]] between drains), and
-    * then each month's copy is file-subset-read only. Loop cost is therefore
-    * proportional to the PENDING data, not to history size.
+    * the manifest is ONE more single-column scan (use
+    * [[runPrunedIncremental]] to maintain it incrementally between drains
+    * instead), and then each month's copy is file-subset-read only. Loop
+    * cost is therefore proportional to the PENDING data, not to history
+    * size.
     */
   def runPruned(sourcePath: String): Seq[Long] = {
     val source = spark.read.parquet(sourcePath)
@@ -157,6 +158,73 @@ final class IncrementalBackup(
         pending = status.pending(cfg.tableName).collect().sortBy(_.primaryPartitionValue)
       }
       copied
+    } finally { stats.unpersist(); () }
+  }
+
+  /** Where the persisted manifest lives: next to the table's backup dirs,
+    * outside any `pid=` partition (readBack never sees it).
+    */
+  def manifestPath: String = s"$destRoot/${cfg.tableName}_manifest"
+
+  /** Bring the persisted manifest up to date with the lake directory and
+    * return it (r6 verdict task 4). First drain: one full single-column
+    * scan ([[graft.sources.StatsStore.collectExpr]]). Every later drain:
+    * one file LISTING plus a scan of only the files that appeared since —
+    * [[graft.sources.StatsStore.collectExprAppend]] — so steady-state
+    * manifest cost is proportional to NEW data while history grows
+    * unboundedly. The refreshed manifest is persisted with the atomic
+    * two-rename swap ([[graft.sources.Compaction.swapIn]]): a reader (or a
+    * crashed drain's retry) sees the old complete manifest or the new one;
+    * if a crash loses the live dir mid-swap, recovery rolls forward/back,
+    * and the worst case (manifest gone entirely) degrades to a full
+    * rebuild — correctness never depends on the manifest's freshness
+    * because pruning is a superset guarantee and THIS refresh runs before
+    * every drain.
+    */
+  def refreshManifest(sourcePath: String): DataFrame = {
+    val source = spark.read.parquet(sourcePath)
+    val derived = Seq("pid" -> pidCol(source))
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Compaction.recover(spark, manifestPath)
+    val updated =
+      if (fs.exists(new org.apache.hadoop.fs.Path(mp, "_SUCCESS")))
+        graft.sources.StatsStore.collectExprAppend(
+          spark, sourcePath, derived, spark.read.parquet(manifestPath))
+      else
+        graft.sources.StatsStore.collectExpr(spark, sourcePath, derived)
+    graft.sources.Compaction.swapIn(spark, manifestPath) { tmp =>
+      // the manifest is one row per file — a single output file keeps the
+      // next drain's read to one task
+      updated.coalesce(1).write.parquet(tmp)
+    }
+    spark.read.parquet(manifestPath)
+  }
+
+  /** [[runPruned]] with PERSISTED, incrementally-maintained manifest and
+    * optional within-table concurrency — the steady-state production drain:
+    * per drain, discovery (one pid-column scan) + manifest refresh
+    * (proportional to NEW files) + a manifest-pruned copy per pending
+    * month. Results are identical to [[runPruned]] (same superset
+    * guarantee); only the fixed cost per drain stops growing with history.
+    */
+  def runPrunedIncremental(sourcePath: String, maxParallel: Int = 1): Seq[Long] = {
+    val source = spark.read.parquet(sourcePath)
+    discover(source)
+    val stats = refreshManifest(sourcePath).cache()
+    stats.count() // materialize once; copies only re-read the cache
+    try {
+      if (maxParallel <= 1) {
+        var copied = Vector.empty[Long]
+        var pending = status.pending(cfg.tableName).collect().sortBy(_.primaryPartitionValue)
+        while (pending.nonEmpty) {
+          val next = pending.head.primaryPartitionValue
+          copyPartitionPruned(sourcePath, stats, next)
+          copied :+= next
+          pending = status.pending(cfg.tableName).collect().sortBy(_.primaryPartitionValue)
+        }
+        copied
+      } else drainConcurrent(sourcePath, stats, maxParallel)
     } finally { stats.unpersist(); () }
   }
 
@@ -186,40 +254,49 @@ final class IncrementalBackup(
       .collectExpr(spark, sourcePath, Seq("pid" -> pidCol(source)))
       .cache()
     stats.count() // materialize once; worker threads only re-read the cache
-    try {
-      val pending = status.pending(cfg.tableName).collect()
-        .map(_.primaryPartitionValue).sorted.toSeq
-      if (pending.isEmpty) Seq.empty
-      else {
-        val statusLock = new Object
-        val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.max(1, maxParallel))
-        val copied = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-        val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
-        val latch = new java.util.concurrent.CountDownLatch(pending.size)
-        try {
-          pending.foreach { pid =>
-            pool.execute { () =>
-              try {
-                if (failure.get() == null) { // fail fast: skip queued work
-                  writePruned(sourcePath, stats, pid)
-                  statusLock.synchronized {
-                    status.markComplete(cfg.tableName, pid, now())
-                  }
-                  copied.add(pid); ()
+    try drainConcurrent(sourcePath, stats, maxParallel)
+    finally { stats.unpersist(); () }
+  }
+
+  /** The overlapping-copies drain body shared by [[runPrunedConcurrent]]
+    * and [[runPrunedIncremental]]: a pool of `maxParallel` driver threads
+    * submits the independent month-copy jobs; status flips serialize on a
+    * driver-side lock ([[StatusStore]] is single-writer by contract).
+    */
+  private def drainConcurrent(sourcePath: String, stats: DataFrame,
+      maxParallel: Int): Seq[Long] = {
+    val pending = status.pending(cfg.tableName).collect()
+      .map(_.primaryPartitionValue).sorted.toSeq
+    if (pending.isEmpty) Seq.empty
+    else {
+      val statusLock = new Object
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.max(1, maxParallel))
+      val copied = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val latch = new java.util.concurrent.CountDownLatch(pending.size)
+      try {
+        pending.foreach { pid =>
+          pool.execute { () =>
+            try {
+              if (failure.get() == null) { // fail fast: skip queued work
+                writePruned(sourcePath, stats, pid)
+                statusLock.synchronized {
+                  status.markComplete(cfg.tableName, pid, now())
                 }
-              } catch {
-                case t: Throwable => failure.compareAndSet(null, t); ()
-              } finally latch.countDown()
-            }
+                copied.add(pid); ()
+              }
+            } catch {
+              case t: Throwable => failure.compareAndSet(null, t); ()
+            } finally latch.countDown()
           }
-          latch.await()
-          if (failure.get() != null) throw failure.get()
-          import scala.jdk.CollectionConverters._
-          copied.asScala.toSeq.sorted
-        } finally { pool.shutdown(); () }
-      }
-    } finally { stats.unpersist(); () }
+        }
+        latch.await()
+        if (failure.get() != null) throw failure.get()
+        import scala.jdk.CollectionConverters._
+        copied.asScala.toSeq.sorted
+      } finally { pool.shutdown(); () }
+    }
   }
 
   /** Bulk variant of the drain loop: ONE job writes every pending partition

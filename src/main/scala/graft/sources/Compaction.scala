@@ -38,6 +38,29 @@ object Compaction {
     }
   }
 
+  /** Atomically replace directory `path` with whatever `write` produces in
+    * a sibling temp dir — the two-rename swap + [[recover]] roll-forward/
+    * back discipline of [[compact]], exposed for any store that commits a
+    * full rewrite (manifests, rebuilt indexes). `path` absent is allowed
+    * (first write). `write` must produce a COMPLETE dir including
+    * `_SUCCESS` (Spark's committers do) before any rename happens.
+    */
+  def swapIn(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    recover(spark, path)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
+    val old = new Path(p.getParent, s".${p.getName}.compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    try write(tmp.toString) catch {
+      case e: Throwable => fs.delete(tmp, true); throw e
+    }
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+    ()
+  }
+
   def compact(spark: SparkSession, path: String, format: String = "parquet",
       targetBytes: Long = 256L * 1024 * 1024): Stats = {
     recover(spark, path)
@@ -48,19 +71,11 @@ object Compaction {
     }
     val bytes = dataFiles.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
-    val old = new Path(p.getParent, s".${p.getName}.compact.old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    try {
+    swapIn(spark, path) { tmp =>
       spark.read.format(format).load(path)
         .repartition(n)
-        .write.format(format).save(tmp.toString)
-    } catch {
-      case e: Throwable => fs.delete(tmp, true); throw e
+        .write.format(format).save(tmp)
     }
-    fs.rename(p, old)
-    fs.rename(tmp, p)
-    fs.delete(old, true)
     Stats(dataFiles.length, n, bytes)
   }
 

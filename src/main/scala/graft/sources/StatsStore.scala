@@ -52,26 +52,49 @@ object StatsStore {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Canonical identity of a data-file path: the scheme-less path
+    * component. `input_file_name()` yields `file:///x/part.parquet` while
+    * Hadoop listings print `file:/x/part.parquet` and manifests may carry
+    * either — a raw string compare silently treats every existing file as
+    * NEW (re-scanned AND duplicated in the manifest, so a pruned read
+    * opens it twice). Paths here never carry URI-escapable characters
+    * (Spark's own output file names); the contract is enforced where
+    * manifests are built.
+    */
+  private def canon(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+
   /** Incremental manifest maintenance: stats are computed ONLY for files
     * not already covered by `prior` — the steady-state discipline at
     * 100 TB, where each drain appends a handful of files to a manifest
     * covering years of history. One file-listing plus a scan of the NEW
-    * files; history is never re-read.
+    * files; history is never re-read. Prior rows for files that no longer
+    * exist (overwritten or compacted away) are DROPPED, so
+    * [[survivingFiles]] never returns a dead path. Over an unchanged
+    * directory this is a no-op: the returned manifest has exactly the
+    * prior's rows.
     */
   def collectExprAppend(spark: SparkSession, dataPath: String,
       derived: Seq[(String, org.apache.spark.sql.Column)],
       prior: DataFrame): DataFrame = {
-    val known = prior.select("file").collect().map(_.getString(0)).toSet
+    // the manifest is one row per file — driver-bounded by the same
+    // contract as survivingFiles' result list
+    val known = prior.select("file").collect().map(_.getString(0))
+    val knownCanon = known.map(canon).toSet
     val fs = new org.apache.hadoop.fs.Path(dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = fs.listStatus(new org.apache.hadoop.fs.Path(dataPath))
       .map(_.getPath).filter(p => p.getName.endsWith(".parquet"))
-    // input_file_name() yields URI-encoded full paths; normalize both sides
-    val fresh = all.filter(p => !known.contains(p.toUri.toString) &&
-      !known.contains(p.toString)).map(_.toString)
-    if (fresh.isEmpty) prior
+    val allCanon = all.map(p => canon(p.toString)).toSet
+    val fresh = all.filter(p => !knownCanon.contains(canon(p.toString)))
+      .map(_.toString)
+    val dead = known.filter(k => !allCanon.contains(canon(k)))
+    val kept =
+      if (dead.isEmpty) prior
+      else prior.filter(!col("file").isin(dead.toIndexedSeq: _*))
+    if (fresh.isEmpty) kept
     else {
-      val df = spark.read.parquet(fresh: _*)
+      val df = spark.read.parquet(fresh.toIndexedSeq: _*)
       val aggs = Seq(count(lit(1)).as("n_rows")) ++
         derived.flatMap { case (n, _) =>
           Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n")) }
@@ -79,7 +102,7 @@ object StatsStore {
           derived.map { case (n, e) => e.as(n) }: _*)
         .groupBy(col("file"))
         .agg(aggs.head, aggs.tail: _*)
-      prior.unionByName(add)
+      kept.unionByName(add)
     }
   }
 

@@ -122,6 +122,85 @@ class EtlSpec extends SparkSpec {
     assert(job.runPrunedConcurrent(s"$tmp/src", maxParallel = 6).isEmpty)
   }
 
+  test("incremental manifest: append is a no-op on an unchanged dir, scans only new files, drops dead ones; two-wave drain matches source") {
+    val tmp = Files.createTempDirectory("graft-etlinc").toString
+    val orders = Tables.orders(spark, sf)
+    def land(df: org.apache.spark.sql.DataFrame, parts: Int, sub: String): Unit =
+      df.repartitionByRange(parts, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$tmp/$sub")
+    land(orders.filter(col("o_orderdate") < lit("1996-01-01")), 6, "w1")
+    land(orders.filter(col("o_orderdate") >= lit("1996-01-01")), 3, "w2")
+    val lake = s"$tmp/lake"
+    Files.createDirectories(java.nio.file.Paths.get(lake))
+    def append(sub: String, prefix: String): Unit = {
+      val st = Files.list(java.nio.file.Paths.get(s"$tmp/$sub"))
+      try st.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, java.nio.file.Paths.get(lake, prefix + p.getFileName))
+      } finally st.close()
+    }
+    append("w1", "w1-")
+
+    val cfg = JobConfig(tableName = "orders", numMappers = 2)
+    val store = new StatusStore(spark, s"$tmp/status")
+    val job = new IncrementalBackup(spark, cfg, store, s"$tmp/dest")
+    val pid = Seq("pid" -> job.pidCol(spark.read.parquet(lake)))
+
+    // drain 1: full manifest build, persisted
+    job.runPrunedIncremental(lake)
+    val m1 = spark.read.parquet(job.manifestPath)
+    val w1Files = spark.read.parquet(lake).inputFiles.toSet
+    assert(m1.count() == w1Files.size)
+
+    // no-op: unchanged dir → exactly the prior's rows, nothing re-added
+    // (the r6 advice bug: a path-format mismatch silently re-added every
+    // existing file, duplicating pruned reads)
+    val noop = graft.sources.StatsStore.collectExprAppend(spark, lake, pid, m1)
+    assert(noop.count() == m1.count(), "append over unchanged dir must be a no-op")
+
+    // wave 2 lands; the refresh covers all files but READS only new ones
+    append("w2", "w2-")
+    val updated = graft.sources.StatsStore.collectExprAppend(spark, lake, pid, m1)
+    val fresh = graft.sources.StatsStore.collectExpr(spark, lake, pid)
+    assert(updated.count() == fresh.count(), "append must cover what a fresh build covers")
+    val readW1 = updated.inputFiles
+      .map(f => java.net.URLDecoder.decode(f, "UTF-8"))
+      .filter(_.contains("/w1-")).toSeq
+    assert(readW1.isEmpty, s"history files re-read by append: $readW1")
+    // identical stats row-for-row (order-free compare on the file key)
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => new org.apache.hadoop.fs.Path(
+        r.getAs[String]("file")).toUri.getPath ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_pid"), r.getAs[Long]("max_pid"))).toMap
+    assert(asMap(updated) == asMap(fresh))
+
+    // drain 2 copies exactly the new months; read-back equals the source
+    job.runPrunedIncremental(lake, maxParallel = 4)
+    val got = job.readBack()
+      .groupBy(col("pid").cast("long").as("m")).count()
+      .as[(Long, Long)].collect().toMap
+    val want = orders.groupBy(ReferenceOps.monthSid(col("o_orderdate")).as("m"))
+      .count().as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // manifest persisted current: covers every lake file exactly once
+    val m2 = spark.read.parquet(job.manifestPath)
+    assert(m2.count() == spark.read.parquet(lake).inputFiles.length)
+
+    // dead files are dropped: delete a wave-1 file, refresh, no dead path
+    val victim = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(lake).inputFiles.filter(_.contains("/w1-")).head)
+    victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victim, false)
+    val pruned = graft.sources.StatsStore.collectExprAppend(spark, lake, pid, m2)
+    val survivors = pruned.select("file").as[String].collect()
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+    assert(!survivors.contains(victim.toUri.getPath),
+      "a deleted file must leave the manifest")
+    assert(survivors.length == m2.count() - 1)
+  }
+
   test("bulk backfill salts within pid: a hot month spans multiple files, still <= NUM_MAPPERS per pid") {
     val tmp = Files.createTempDirectory("graft-etlsalt").toString
     val cfg = JobConfig(tableName = "orders", numMappers = 4)
