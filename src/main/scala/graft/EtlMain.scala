@@ -72,8 +72,16 @@ object EtlMain {
         case y if y.endsWith(".yaml") => YamlConfig.load(y)._1
         case bare                     => JobConfig(bare)
       }
-    val jobs = cfgs.map(cfg => cfg -> source(spark, sfDir, cfg))
-    val results = EtlRunner.runAll(spark, root, jobs)
+    val jobs = cfgs.map { cfg =>
+      // LAKE_PATH configs read their own directory (and may select the
+      // manifest-pruned PRUNED/MAX_PARALLEL drain); others bind a testdata
+      // relation like the reference binds a warehouse table
+      if (cfg.lakePath.nonEmpty)
+        cfg -> (EtlRunner.LakeSource(cfg.lakePath): EtlRunner.EtlSource)
+      else
+        cfg -> (EtlRunner.RelationSource(source(spark, sfDir, cfg)): EtlRunner.EtlSource)
+    }
+    val results = EtlRunner.runAllFrom(spark, root, jobs)
     val line = results.toSeq.sortBy(_._1).map { case (t, r) =>
       s""""$t":${r.map(_.length).getOrElse(-1)}"""
     }.mkString("{", ",", "}")

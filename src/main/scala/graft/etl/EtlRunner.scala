@@ -12,8 +12,29 @@ import graft.operators.JobLock
   */
 object EtlRunner {
 
+  /** What a table's copy reads: a bound relation (the reference's
+    * warehouse-table shape — every operator sees a [[DataFrame]]) or a
+    * LAKE directory, which additionally unlocks the manifest-pruned
+    * incremental drain ([[JobConfig.pruned]]) and within-table copy
+    * concurrency ([[JobConfig.maxParallel]]) — both config-selected, so
+    * the production entry point gets the steady-state path by YAML knob,
+    * not only the bench queries (r6 verdict task 5).
+    */
+  sealed trait EtlSource
+  final case class RelationSource(df: DataFrame) extends EtlSource
+  final case class LakeSource(path: String) extends EtlSource
+
   def runAll(spark: SparkSession, root: String,
       jobs: Seq[(JobConfig, DataFrame)]): Map[String, Option[Seq[Long]]] =
+    runAllFrom(spark, root,
+      jobs.map { case (cfg, df) => cfg -> (RelationSource(df): EtlSource) })
+
+  /** [[runAll]] over source DESCRIPTORS: each table drains through the
+    * path its config selects (relation loop, lake full-scan loop, or
+    * manifest-pruned incremental drain with bounded copy concurrency).
+    */
+  def runAllFrom(spark: SparkSession, root: String,
+      jobs: Seq[(JobConfig, EtlSource)]): Map[String, Option[Seq[Long]]] =
     jobs.map { case (cfg, source) =>
       runOne(spark, root, cfg, source)
     }.toMap
@@ -40,7 +61,7 @@ object EtlRunner {
       val tasks = jobs.map { case (cfg, source) =>
         new java.util.concurrent.Callable[(String, Option[Seq[Long]])] {
           override def call(): (String, Option[Seq[Long]]) =
-            runOne(spark, root, cfg, source)
+            runOne(spark, root, cfg, RelationSource(source))
         }
       }
       // invokeAll: waits for all; a table's failure surfaces on .get()
@@ -49,13 +70,23 @@ object EtlRunner {
   }
 
   private def runOne(spark: SparkSession, root: String, cfg: JobConfig,
-      source: DataFrame): (String, Option[Seq[Long]]) = {
+      source: EtlSource): (String, Option[Seq[Long]]) = {
     val lock = new JobLock(spark, s"$root/locks/${cfg.tableName}.lock")
     val result =
       if (!lock.acquire()) None // another runner owns this table (X1)
       else try {
         val store = new StatusStore(spark, s"$root/status/${cfg.tableName}")
-        Some(new IncrementalBackup(spark, cfg, store, s"$root/data").run(source))
+        val backup = new IncrementalBackup(spark, cfg, store, s"$root/data")
+        Some(source match {
+          case RelationSource(df) => backup.run(df)
+          case LakeSource(path) if cfg.pruned =>
+            // the steady-state production drain: persisted manifest
+            // refreshed from NEW files only, month copies overlapped up to
+            // MAX_PARALLEL
+            backup.runPrunedIncremental(path, cfg.maxParallel)
+          case LakeSource(path) =>
+            backup.run(spark.read.parquet(path))
+        })
       } finally lock.release()
     cfg.tableName -> result
   }

@@ -17,9 +17,14 @@ final case class JobConfig(
     skipLatestMonths: Int = 0,       // SKIP_LATEST_MONTHS (agg_geo_lucid_daily.yaml:10)
     orcStripeSize: Long = 268435456L, // ORC_STRIPE_SIZE (agg_geo_lucid_daily.yaml:11)
     orcIndexStride: Int = 500000,    // ORC_INDEX_STRIDE (agg_geo_lucid_daily.yaml:12)
-    sequence: String = "") {         // SEQUENCE (agg_geo_lucid_daily.yaml:5) — the
+    sequence: String = "",           // SEQUENCE (agg_geo_lucid_daily.yaml:5) — the
                                      // surrogate-key sequence the reference's temp-table
                                      // populate consumes; graft's analog is DictEncode
+    // graft extensions (the reference's source is Vertica, where physical
+    // partitioning does the pruning; a lake-resident source needs these):
+    lakePath: String = "",           // LAKE_PATH — source is this parquet dir
+    pruned: Boolean = false,         // PRUNED — manifest-pruned incremental drain
+    maxParallel: Int = 1) {          // MAX_PARALLEL — within-table copy concurrency
 
   def isFullSnapshot: Boolean = primaryId.isEmpty
 }

@@ -114,7 +114,12 @@ object YamlConfig {
       skipLatestMonths = m.getOrElse("SKIP_LATEST_MONTHS", "0").toInt,
       orcStripeSize = m.getOrElse("ORC_STRIPE_SIZE", "268435456").toLong,
       orcIndexStride = m.getOrElse("ORC_INDEX_STRIDE", "500000").toInt,
-      sequence = m.getOrElse("SEQUENCE", ""))
+      sequence = m.getOrElse("SEQUENCE", ""),
+      // graft extension keys (same flat-scalar style; absent in reference
+      // configs, which therefore keep their exact behavior):
+      lakePath = m.getOrElse("LAKE_PATH", ""),
+      pruned = m.getOrElse("PRUNED", "false").toBoolean,
+      maxParallel = m.getOrElse("MAX_PARALLEL", "1").toInt)
     val env = m.get("ENV").map(Paths.get(_)) match {
       case Some(ep) if Files.isRegularFile(ep) =>
         EtlEnv(parseFlat(Files.readString(ep)))

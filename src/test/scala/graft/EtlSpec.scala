@@ -443,4 +443,61 @@ class EtlSpec extends SparkSpec {
     val back = spark.read.parquet(s"$root/data/orders")
     assert(back.count() == Tables.orders(spark, sf).count())
   }
+
+  test("EtlRunner: multi-table LAKE_PATH + PRUNED + MAX_PARALLEL configs drain through the manifest-pruned concurrent path") {
+    val dir = Files.createTempDirectory("graft-yamlpr").toString
+    // two lakes, each time-ordered and carrying its pid column the way
+    // ingest would land it (lineitem's date is l_shipdate — the lake
+    // carries month_sid, so the drain never guesses a date column)
+    Tables.orders(spark, sf)
+      .withColumn("month_sid", ReferenceOps.monthSid(col("o_orderdate")))
+      .repartitionByRange(6, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(s"$dir/lake/orders")
+    Tables.lineitem(spark, sf)
+      .withColumn("month_sid", ReferenceOps.monthSid(col("l_shipdate")))
+      .repartitionByRange(6, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.parquet(s"$dir/lake/lineitem")
+    def yaml(t: String) = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/$t.yaml"),
+      s"""NUM_MAPPERS : '2'
+         |PRIMARY_ID: 'month_sid'
+         |OUTPUT_FILE_FORMAT: "PARQUET_FILE"
+         |LAKE_PATH: '$dir/lake/$t'
+         |PRUNED: 'true'
+         |MAX_PARALLEL: '4'
+         |""".stripMargin)
+    yaml("orders"); yaml("lineitem")
+    val root = s"$dir/work"
+    val line = EtlMain.run(spark, sf, root,
+      Seq(s"$dir/orders.yaml", s"$dir/lineitem.yaml"))
+    val oMonths = Tables.orders(spark, sf)
+      .select(ReferenceOps.monthSid(col("o_orderdate"))).distinct().count()
+    val lMonths = Tables.lineitem(spark, sf)
+      .select(ReferenceOps.monthSid(col("l_shipdate"))).distinct().count()
+    assert(line.contains(s""""orders":$oMonths"""))
+    assert(line.contains(s""""lineitem":$lMonths"""))
+    // the pruned path really ran: both tables persisted a manifest whose
+    // row count is the lake's file count
+    for (t <- Seq("orders", "lineitem")) {
+      val manifest = spark.read.parquet(s"$root/data/${t}_manifest")
+      assert(manifest.count() ==
+        spark.read.parquet(s"$dir/lake/$t").inputFiles.length)
+    }
+    // content equality per month (the same gate the oracle applies)
+    import spark.implicits._
+    val got = spark.read.parquet(s"$root/data/lineitem")
+      .groupBy(col("pid").cast("long").as("m")).count()
+      .as[(Long, Long)].collect().toMap
+    val want = Tables.lineitem(spark, sf)
+      .groupBy(ReferenceOps.monthSid(col("l_shipdate")).as("m"))
+      .count().as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // idempotent re-entry through the same path
+    val again = EtlMain.run(spark, sf, root,
+      Seq(s"$dir/orders.yaml", s"$dir/lineitem.yaml"))
+    assert(again.contains(""""orders":0""") &&
+      again.contains(""""lineitem":0"""))
+  }
 }
