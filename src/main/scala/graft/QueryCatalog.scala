@@ -4212,6 +4212,56 @@ object QueryCatalog {
       |  AND o_orderpriority = '1-URGENT'
       |ORDER BY o_orderkey DESC LIMIT 5""".stripMargin
 
+  /** A1 extended to AVG + verified GROUP BY pushdown (r6 verdict task 6):
+    * the reference's per-unit verification probes are aggregate SQL run
+    * inside the warehouse (`sqoop_table.py:54-57`), including avg-style
+    * checks; here `AVG(...) GROUP BY ...` executes warehouse-side through
+    * the DSv2 JDBC catalog. `avg_pushed` gates BOTH `PushedAggregates` AND
+    * `PushedGroupByExpressions` in the final plan's scan — a fallback to
+    * row-fetch, or a group-by evaluated Spark-side over fetched rows,
+    * fails the correctness hash, not just a bench number. The averaged
+    * column is stored DOUBLE with exact integer values, so whichever side
+    * finishes the arithmetic (warehouse under complete pushdown; Spark
+    * over pushed SUM/COUNT under partial) computes the identical IEEE
+    * result the oracle's SUM/COUNT formula does.
+    */
+  private val qJdbcAvg: Q = (s, dir) => {
+    val fx = Fixtures.getOrBuild(s"jdbcavg:$dir") { f =>
+      val url = s"jdbc:derby:$f/db;create=true"
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").cast("double").as("o_custval"))
+        .write
+        .option("createTableColumnTypes",
+          "o_orderpriority VARCHAR(32), o_custval DOUBLE")
+        .jdbc(url, "orders_a", new java.util.Properties())
+    }
+    val cat = "graftdwa_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    graft.sources.Sources.jdbcCatalog(s, cat, s"jdbc:derby:$fx/db")
+    val t = s.table(s"$cat.ORDERS_A")
+    val agg = t.groupBy(col("o_orderpriority"))
+      .agg(avg(col("o_custval")).as("avg_cust"),
+        count(lit(1)).as("n"))
+    def shaped(v: Boolean) =
+      agg.withColumn("avg_pushed", lit(v)).orderBy("o_orderpriority")
+    val plan = shaped(false).queryExecution.executedPlan.toString
+    val pushed = plan.contains("PushedAggregates") &&
+      plan.contains("PushedGroupByExpressions")
+    shaped(pushed)
+  }
+
+  private val jdbcAvgSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(o_custkey) AS DOUBLE) / COUNT(*) AS avg_cust,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS avg_pushed
+      |FROM orders
+      |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Small-file compaction as a declared round-trip: lineitem scattered
     * into 64 tiny files, compacted to a byte-size target with the atomic
     * rename swap, read back and aggregated. The oracle aggregates the
@@ -11302,6 +11352,7 @@ object QueryCatalog {
     "q_jdbc_extract" -> qJdbcExtract,
     "q_jdbc_agg" -> qJdbcAgg,
     "q_jdbc_topn" -> qJdbcTopN,
+    "q_jdbc_avg" -> qJdbcAvg,
     "q_importance_select" -> qImportanceSelect,
     "q_compaction" -> qCompaction,
     "q_bucketed_join" -> qBucketedJoin,
@@ -11527,6 +11578,7 @@ object QueryCatalog {
     "q_jdbc_extract" -> jdbcExtractSql,
     "q_jdbc_agg" -> jdbcAggSql,
     "q_jdbc_topn" -> jdbcTopNSql,
+    "q_jdbc_avg" -> jdbcAvgSql,
     "q_importance_select" -> importanceSelectSql,
     "q_compaction" -> compactionSql,
     "q_bucketed_join" -> bucketedJoinSql,
