@@ -6188,6 +6188,12 @@ object QueryCatalog {
       }.toDF("doc_id", "payload")
   }
 
+  /** [[imagePayloads]] for the scale probes (ScaleBench's long-drain
+    * visual-gate rehearsal shares the exact query fixture).
+    */
+  private[graft] def imagePayloadsFixture(s: SparkSession,
+      dir: String): DataFrame = imagePayloads(s, dir)
+
   private val qImageNeardup: Q = (s, dir) =>
     graft.dedup.Dedup.hammingPairs(
         Multimodal.imageDhash(imagePayloads(s, dir)), maxHamming = 3)
@@ -6669,7 +6675,10 @@ object QueryCatalog {
     }
     val idx = Fixtures.mutableCopy(layered)
     val rowsBefore = s.read.parquet(idx).count()
-    val st = graft.sources.Compaction.compactPartitions(s, idx)
+    // leaf rewrites pooled: 256 independent tiny jobs would otherwise pay
+    // (#leaves × per-job latency) sequentially
+    val st = graft.sources.Compaction.compactPartitions(s, idx,
+      maxParallel = 8)
     val rowsAfter = s.read.parquet(idx).count()
     val probes = Multimodal.imageDhash(
       imagePayloads(s, dir).filter(col("doc_id") >= 400))

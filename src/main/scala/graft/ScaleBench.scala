@@ -98,7 +98,23 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!java.nio.file.Files.exists(
+    // Section selection. Legacy values: "all" (families + extras) and
+    // "families" (families only — decade re-runs). The r6-verdict probes
+    // ("visual_drain", "manifest_append") are OPT-IN comma-list sections:
+    // they write their own JSON keys and must not change what a decade
+    // re-run measures.
+    val sectionsEnv = sys.env.getOrElse("SPARK_GRAFT_SECTIONS", "all")
+    val sections: Set[String] =
+      if (sectionsEnv == "all") Set("families", "extras")
+      else sectionsEnv.split(",").map(_.trim).toSet
+    val fams = families
+      .filter { case (name, _) => familyFilter.forall(_.contains(name)) }
+    val famsRun = sections("families") && fams.nonEmpty
+    val withExtras = sections("extras")
+
+    // the sf1 fixture exists for families/extras; probe-only runs (which
+    // measure at sf0.1) must not pay the generation
+    if ((famsRun || withExtras) && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$sf1Dir/documents.parquet"))) {
       ScaleFixtures.generate(spark, "/root/testdata/sf0.1", sf1Dir, factor)
     }
@@ -112,8 +128,7 @@ object ScaleBench {
 
     def s3(v: Double) = f"$v%.3f"
 
-    val results = families
-      .filter { case (name, _) => familyFilter.forall(_.contains(name)) }
+    val results = (if (sections("families")) fams else Seq.empty)
       .map { case (name, runs) =>
       val fn = SparkEntry.queries(name)
       val perPoint = points.map { case (label, dir) =>
@@ -161,8 +176,21 @@ object ScaleBench {
     // decade re-runs (sf3/sf10, family-filtered) already have those
     // sections in their committed JSON and shouldn't re-pay them — the
     // CC-merge probe alone holds a ~7 min from-scratch anchor run.
-    val withExtras = sys.env.getOrElse("SPARK_GRAFT_SECTIONS", "all") != "families"
     import spark.implicits._
+
+    // Crash-resilient output: the out file is (re)written after EVERY
+    // completed section, so a late section's failure can never lose an
+    // earlier section's measurements (the r7 manifest-probe assert cost a
+    // 31-minute visual-drain rerun exactly this way).
+    var tailParts = Vector.empty[String]
+    def flush(): Unit = {
+      val json =
+        s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")}${tailParts.mkString}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outJson), json)
+      ()
+    }
+    flush()
 
     val extrasJson: String = if (!withExtras) "" else {
 
@@ -346,11 +374,155 @@ object ScaleBench {
     s""","balance":{$balance},$etlJson,$ccMergeJson"""
     }
 
-    val json =
-      s"""{"factor":$factor,"sf1_dir":"$sf1Dir","cpus":$cpus,"families":${results.mkString("{", ",", "}")}$extrasJson}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outJson), json)
-    println(json)
+    // ---- visual gate: 50-micro-batch drain, file growth + probe latency
+    // (r6 verdict task 7). A 24/7 perceptual ingest gate appends one small
+    // parquet layer per (q, qb) partition per batch; without maintenance
+    // the store's file count grows linearly and the probe pays the listing
+    // + open cost of every layer. Two regimes over IDENTICAL batches:
+    // never compact vs compactPartitions every 10 batches. The gate's
+    // emitted pair count must be identical in both (compaction is
+    // result-invariant); the evidence sought is probe latency FLAT under
+    // maintenance while file count saws between compactions.
+    tailParts :+= extrasJson; flush()
+
+    val visualJson: String = if (!sections("visual_drain")) "" else {
+      val dir = "/root/testdata/sf0.1"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-visdrain").toString
+      val batches = 50
+      // signatures once, checkpointed: decode cost is per-image and
+      // identical across regimes — the probe isolates INDEX maintenance
+      val sigs = graft.multimodal.Multimodal.imageDhash(
+        QueryCatalog.imagePayloadsFixture(spark, dir)).localCheckpoint()
+      def countFiles(root: String): Int = {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      def regime(compactEvery: Int): (Seq[Double], Seq[Int], Long, Double) = {
+        val idx = s"$tmp/idx-$compactEvery"
+        graft.multimodal.VisualIndex.build(
+          sigs.filter(col("doc_id") < 250), idx)
+        var pairs = 0L
+        var compactS = 0.0
+        val perBatch = (0 until batches).map { b =>
+          val batch = sigs.filter(col("doc_id") >= 250 &&
+            pmod(col("doc_id"), lit(batches.toLong)) === b)
+          val t0 = System.nanoTime()
+          pairs += graft.multimodal.VisualIndex
+            .gateBatch(batch, spark, idx, maxHamming = 3).count()
+          val probeS = (System.nanoTime() - t0) / 1e9
+          graft.multimodal.VisualIndex.append(batch, idx)
+          if (compactEvery > 0 && (b + 1) % compactEvery == 0) {
+            val c0 = System.nanoTime()
+            // the 256 leaf rewrites are independent — pool them like the
+            // drain's month copies (sequential: 44 s/pass measured, all of
+            // it per-job latency on tiny files)
+            graft.sources.Compaction.compactPartitions(spark, idx,
+              targetBytes = 64L * 1024 * 1024, maxParallel = 8)
+            compactS += (System.nanoTime() - c0) / 1e9
+          }
+          (probeS, countFiles(idx))
+        }
+        (perBatch.map(_._1), perBatch.map(_._2), pairs, compactS)
+      }
+      val (pN, fN, pairsN, _) = regime(0)
+      val (pC, fC, pairsC, compactS) = regime(10)
+      def avg(xs: Seq[Double]) = xs.sum / xs.size
+      val firstN = avg(pN.take(5)); val lastN = avg(pN.takeRight(5))
+      val firstC = avg(pC.take(5)); val lastC = avg(pC.takeRight(5))
+      System.err.println(f"[scale] visual_drain no-compact probe ${firstN}%.2f->${lastN}%.2fs files ${fN.last}; compacted ${firstC}%.2f->${lastC}%.2fs files ${fC.last} (maintenance ${compactS}%.1fs, pairs equal=${pairsN == pairsC})")
+      val arr = (xs: Seq[Double]) => xs.map(s3).mkString("[", ",", "]")
+      val arrI = (xs: Seq[Int]) => xs.mkString("[", ",", "]")
+      s""","visual_drain":{"batches":$batches,"pairs_equal":${pairsN == pairsC},"no_compact":{"probe_s":${arr(pN)},"files":${arrI(fN)},"first5_avg_s":${s3(firstN)},"last5_avg_s":${s3(lastN)}},"compact_every_10":{"probe_s":${arr(pC)},"files":${arrI(fC)},"first5_avg_s":${s3(firstC)},"last5_avg_s":${s3(lastC)},"maintenance_total_s":${s3(compactS)}}}"""
+    }
+
+    // ---- manifest maintenance cost vs history size (r6 verdict task 4's
+    // bench row): prior manifest PERSISTED (steady state reads it back,
+    // never re-derives it), the same fixed wave lands in a 1× and a 10×
+    // history, and the timed collectExprAppend must cost ~the wave in
+    // both — while the full rebuild it replaces scans the whole history.
+    tailParts :+= visualJson; flush()
+
+    val manifestJson: String = if (!sections("manifest_append")) "" else {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-scale-man").toString
+      val orders01 = Tables.orders(spark, "/root/testdata/sf0.1")
+      def writeHist(mult: Int, dir: String): Unit = {
+        val reps = (0 until mult).map { k =>
+          orders01.withColumn("o_orderdate",
+            date_add(col("o_orderdate"), k * 2600))
+        }.reduce(_ unionByName _)
+        reps.repartitionByRange(8 * mult, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate")
+          .write.parquet(dir)
+      }
+      writeHist(1, s"$tmpRoot/h1")
+      writeHist(10, s"$tmpRoot/h10")
+      // the fixed arriving wave: the data's own FIRST month (testdata date
+      // ranges drift between rounds — a hardcoded cutoff once produced an
+      // EMPTY wave here), shifted past both histories' ranges, 2 files
+      val cut = orders01
+        .agg(date_add(min(col("o_orderdate")), 31).as("c")).head().getDate(0)
+      val wave = orders01.filter(col("o_orderdate") < lit(cut))
+        .withColumn("o_orderdate", date_add(col("o_orderdate"), 260000))
+      require(wave.count() > 0, "wave slice is empty — date derivation bug")
+      wave.repartition(2).write.parquet(s"$tmpRoot/wave")
+      def inputBytes(f: => Unit): Long = {
+        org.apache.spark.graftx.ListenerBusDrain.drain(spark.sparkContext)
+        val b = meter.input.get(); f
+        org.apache.spark.graftx.ListenerBusDrain.drain(spark.sparkContext)
+        meter.input.get() - b
+      }
+      def land(histDir: String): Unit = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmpRoot/wave"))
+        try st.forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, java.nio.file.Paths.get(histDir,
+              s"wv-${p.getFileName}"))
+        } finally st.close()
+      }
+      def probe(histDir: String): (Double, Long, Long, Double) = {
+        val pid = Seq("pid" -> graft.operators.ReferenceOps
+          .monthSid(col("o_orderdate")))
+        // steady state: manifest persisted, read back cold
+        graft.sources.StatsStore.collectExpr(spark, histDir, pid)
+          .coalesce(1).write.parquet(s"$histDir-manifest")
+        val prior = spark.read.parquet(s"$histDir-manifest")
+        land(histDir)
+        var n = 0L
+        val t0 = System.nanoTime()
+        val bytes = inputBytes {
+          n = graft.sources.StatsStore
+            .collectExprAppend(spark, histDir, pid, prior).count()
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // the anchor: what the pre-r7 drain paid instead (full rebuild)
+        var rebuildBytes = 0L
+        val r0 = System.nanoTime()
+        rebuildBytes = inputBytes {
+          graft.sources.StatsStore.collectExpr(spark, histDir, pid).count(); ()
+        }
+        val rebuildS = (System.nanoTime() - r0) / 1e9
+        // listed AFTER landing (a pre-landing DataFrame's file index is a
+        // snapshot and would under-count)
+        val filesNow = spark.read.parquet(histDir).inputFiles.length
+        assert(n == filesNow,
+          s"manifest rows $n != $filesNow files after landing")
+        (t, bytes, rebuildBytes, rebuildS)
+      }
+      val (t1, b1, rb1, rs1) = probe(s"$tmpRoot/h1")
+      val (t10, b10, rb10, rs10) = probe(s"$tmpRoot/h10")
+      System.err.println(f"[scale] manifest_append h1=${t1}%.2fs/${b1 / 1e6}%.1fMB h10=${t10}%.2fs/${b10 / 1e6}%.1fMB (x${t10 / math.max(t1, 1e-9)}%.2f time, x${b10.toDouble / math.max(b1.toDouble, 1.0)}%.2f bytes); full rebuild h10=${rs10}%.2fs/${rb10 / 1e6}%.1fMB")
+      s""","manifest_append":{"wave_files":2,"h1_append_s":${s3(t1)},"h10_append_s":${s3(t10)},"append_time_ratio":${s3(t10 / math.max(t1, 1e-9))},"h1_append_read_mb":${s3(b1 / 1e6)},"h10_append_read_mb":${s3(b10 / 1e6)},"append_bytes_ratio":${s3(b10.toDouble / math.max(b1.toDouble, 1.0))},"h1_rebuild_s":${s3(rs1)},"h10_rebuild_s":${s3(rs10)},"h1_rebuild_read_mb":${s3(rb1 / 1e6)},"h10_rebuild_read_mb":${s3(rb10 / 1e6)}}"""
+    }
+
+    tailParts :+= manifestJson; flush()
+    println(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outJson)))
     spark.stop()
   }
 }

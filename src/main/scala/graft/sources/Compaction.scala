@@ -92,7 +92,8 @@ object Compaction {
     */
   def compactPartitions(spark: SparkSession, root: String,
       format: String = "parquet",
-      targetBytes: Long = 256L * 1024 * 1024): Stats = {
+      targetBytes: Long = 256L * 1024 * 1024,
+      maxParallel: Int = 1): Stats = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // finish any child swap a previous run crashed inside (its live dir is
@@ -110,7 +111,7 @@ object Compaction {
       st.isDirectory && !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_") &&
         st.getPath.getName.contains("="))
-    val all = parts.map { st =>
+    def one(st: org.apache.hadoop.fs.FileStatus): Stats = {
       val hasData = fs.listStatus(st.getPath).exists(f =>
         f.isFile && !f.getPath.getName.startsWith("_"))
       if (hasData)
@@ -121,8 +122,28 @@ object Compaction {
       else
         // no data files here: either deeper partition levels (recurse) or
         // an empty dir (recursion finds nothing and contributes zeros)
-        compactPartitions(spark, st.getPath.toString, format, targetBytes)
+        compactPartitions(spark, st.getPath.toString, format, targetBytes,
+          maxParallel)
     }
+    // leaf compactions are independent tiny rewrite jobs (disjoint dirs);
+    // a store with hundreds of partitions pays (#leaves × per-job latency)
+    // sequentially, so a driver pool submits up to maxParallel of them —
+    // the same within-operator throttle discipline as the ETL drain's
+    // month copies. maxParallel=1 keeps the original sequential behavior.
+    val all: Seq[Stats] =
+      if (maxParallel <= 1 || parts.length <= 1) parts.toSeq.map(one)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(maxParallel, parts.length))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks = parts.toSeq.map(st =>
+            new java.util.concurrent.Callable[Stats] {
+              override def call(): Stats = one(st)
+            })
+          pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+        } finally { pool.shutdown(); () }
+      }
     Stats(all.map(_.filesBefore).sum, all.map(_.filesAfter).sum,
       all.map(_.bytes).sum)
   }
