@@ -159,14 +159,34 @@ object Bench {
     spark.streams.addListener(stateMeter)
 
     def timeQueries(names: Iterable[String], executedFp: Boolean,
-        backend: Option[String]): Seq[Result] =
-      names.toSeq.sorted.map { name =>
+        backend: Option[String]): Seq[Result] = {
+      def resolve(name: String)
+          : (SparkSession, String) => org.apache.spark.sql.DataFrame = {
         val base = SparkEntry.queries(name)
-        val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-          backend match {
-            case Some(b) => (s, d) => QueryCatalog.withStateBackend(s, b)(base(s, d))
-            case None    => base
-          }
+        backend match {
+          case Some(b) => (s, d) => QueryCatalog.withStateBackend(s, b)(base(s, d))
+          case None    => base
+        }
+      }
+      // CROSS-QUERY warmup pass (untimed): one discarded run of every
+      // query in the section BEFORE any timing. In the old single-JVM
+      // bench a mid-suite query ran with hundreds of earlier queries'
+      // worth of shared-JIT history (parser, optimizer, codegen compiler,
+      // parquet reader); a fresh 70-query child starts cold, and the r7
+      // diagnosis measured exactly that: the first ~15 queries of every
+      // chunk ran ×1.6–1.9 vs the old floor and the rest ×1.3, with
+      // per-query min-of-3 unable to recover cross-query warmth. The
+      // warmup pass also absorbs fixture builds, so the timed runs are
+      // uniform. Cost: one extra run per query, bought back many times
+      // over in floor comparability.
+      names.toSeq.sorted.foreach { name =>
+        val fn = resolve(name)
+        spark.catalog.clearCache()
+        org.apache.spark.sql.graftx.StateStoreHygiene.unloadAll()
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
+      names.toSeq.sorted.map { name =>
+        val fn = resolve(name)
         val detailName = backend.map(b => s"$name@$b").getOrElse(name)
         stateMeter.reset()
         // Between queries: drop cached/checkpointed blocks left by fixture
@@ -208,6 +228,7 @@ object Bench {
         Result(detailName, sectionLabel(section), backend.getOrElse("-"),
           times, fp, srows, smem)
       }
+    }
 
     section match {
       case s if s.startsWith("batch:") =>
