@@ -157,6 +157,56 @@ class CrashConsistencySpec extends SparkSpec {
       before + wave.count())
   }
 
+  test("swapIn (manifest commit path): first write, kill window, incomplete rewrite, and a crashed refresh all converge") {
+    import graft.sources.Compaction
+    val dir = Files.createTempDirectory("graft-crash-swap").toString
+    val m = s"$dir/manifest"
+    import spark.implicits._
+    def write(n: Int): Unit = Compaction.swapIn(spark, m) { tmp =>
+      spark.range(n).coalesce(1).write.parquet(tmp)
+    }
+    // first write: no live dir to displace
+    write(3)
+    assert(spark.read.parquet(m).count() == 3)
+    // normal replace
+    write(5)
+    assert(spark.read.parquet(m).count() == 5)
+    val p = new Path(m)
+    val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
+    val old = new Path(p.getParent, s".${p.getName}.compact.old")
+    // kill window between the two renames: complete rewrite staged, live
+    // dir renamed away → recover() must roll FORWARD to the new set
+    spark.range(7).coalesce(1).write.parquet(tmp.toString)
+    fs.rename(p, old)
+    Compaction.recover(spark, m)
+    assert(spark.read.parquet(m).count() == 7, "roll-forward to the staged set")
+    // incomplete rewrite (no _SUCCESS) + displaced live → roll BACK
+    fs.mkdirs(tmp)
+    val junk = fs.create(new Path(tmp, "part-junk.parquet"), true)
+    try junk.write(Array[Byte](1)) finally junk.close()
+    fs.rename(p, old)
+    Compaction.recover(spark, m)
+    assert(spark.read.parquet(m).count() == 7, "roll-back to the displaced set")
+    // a refresh that died MID-WRITE (incomplete tmp, no _SUCCESS, no live
+    // manifest yet) must not be mistaken for a manifest: refreshManifest
+    // clears the debris and commits a fresh, correct build. (A crashed
+    // refresh whose tmp completed is the roll-forward case above — that
+    // tmp IS a valid manifest by construction.)
+    val lakeDf = Tables.orders(spark, sf).limit(500)
+    lakeDf.repartition(2).write.parquet(s"$dir/lake")
+    val cfg = graft.etl.JobConfig(tableName = "orders", numMappers = 2)
+    val job = new graft.etl.IncrementalBackup(spark, cfg,
+      new graft.etl.StatusStore(spark, s"$dir/status"), dir)
+    val mp = new Path(job.manifestPath)
+    val mtmp = new Path(mp.getParent, s".${mp.getName}.compact.tmp")
+    fs.mkdirs(mtmp)
+    val mj = fs.create(new Path(mtmp, "part-dead.parquet"), true)
+    try mj.write(Array[Byte](2)) finally mj.close()
+    val stats = job.refreshManifest(s"$dir/lake")
+    assert(stats.count() == spark.read.parquet(s"$dir/lake").inputFiles.length)
+    assert(!fs.exists(mtmp))
+  }
+
   test("VisualIndex: a crashed NESTED child swap (q=/qb=) is recovered; compaction preserves rows and gate results") {
     import graft.multimodal.VisualIndex
     val dir = Files.createTempDirectory("graft-crash-vis").toString
