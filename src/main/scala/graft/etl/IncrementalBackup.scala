@@ -126,7 +126,10 @@ final class IncrementalBackup(
       if (files.isEmpty)
         spark.read.parquet(sourcePath).filter(lit(false))
       else {
-        val sub = spark.read.parquet(files: _*)
+        // basePath keeps a partitioned lake's directory-derived columns in
+        // the subset read, so both branches (and the unpruned loop) write
+        // the same schema
+        val sub = spark.read.option("basePath", sourcePath).parquet(files: _*)
         sub.filter(pidCol(sub) === lit(pid))
       }
     OrcSink.write(

@@ -18,6 +18,21 @@ object Compaction {
 
   final case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
+  /** Rename that THROWS on failure. Hadoop's `FileSystem.rename` reports
+    * failure as a boolean (src missing, dst occupied, FS refusal) — and a
+    * swap that ignores it can strand the stale live dir while the caller
+    * proceeds to publish state derived from the new one (the r7 ADVICE
+    * hazard: a failed `p → old` makes the following `tmp → p` fail too,
+    * refreshManifest then returns a manifest missing the new files, and
+    * a pruned copy writes empty-but-complete partitions). Failing loudly
+    * turns that silent-data-loss path into a retryable error; [[recover]]
+    * converges from any resulting crash state.
+    */
+  private[graft] def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   /** Crash recovery for the two-rename swap: a kill between `p → old` and
     * `tmp → p` leaves the live name MISSING (the one non-atomic instant of
     * a directory swap on a rename-based FS). Because `tmp` is always a
@@ -33,8 +48,21 @@ object Compaction {
     val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
     val old = new Path(p.getParent, s".${p.getName}.compact.old")
     if (!fs.exists(p)) {
-      if (fs.exists(new Path(tmp, "_SUCCESS"))) { fs.rename(tmp, p); fs.delete(old, true) }
-      else if (fs.exists(old)) { fs.rename(old, p); fs.delete(tmp, true) }
+      // recover is advertised as safe for ANY reader to call, so two
+      // concurrent recoveries can race on the same rename: tolerate a
+      // failed rename IF the live dir exists afterwards (the other caller
+      // won), throw otherwise — the postcondition is "live dir restored",
+      // not "this call's rename succeeded"
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+        if (!fs.rename(tmp, p) && !fs.exists(p))
+          throw new java.io.IOException(s"recover: rename failed: $tmp -> $p")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, p) && !fs.exists(p))
+          throw new java.io.IOException(s"recover: rename failed: $old -> $p")
+        fs.delete(tmp, true)
+      }
+      ()
     }
   }
 
@@ -55,8 +83,8 @@ object Compaction {
     try write(tmp.toString) catch {
       case e: Throwable => fs.delete(tmp, true); throw e
     }
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(tmp, p)
+    if (fs.exists(p)) renameOrThrow(fs, p, old)
+    renameOrThrow(fs, tmp, p)
     fs.delete(old, true)
     ()
   }
@@ -90,56 +118,75 @@ object Compaction {
     * the partition columns from the directory names, and the per-directory
     * atomic-swap discipline of [[compact]] applies unchanged at any depth.
     */
+  /** Test instrumentation for the throttle contract: peak number of leaf
+    * rewrites in flight, across ALL nesting depths, since the last
+    * [[resetLeafGauge]]. A process-wide gauge — meaningful only when one
+    * compactPartitions runs at a time (how the specs use it).
+    */
+  private val activeLeaves = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val peakLeaves = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def resetLeafGauge(): Unit = { activeLeaves.set(0); peakLeaves.set(0) }
+
   def compactPartitions(spark: SparkSession, root: String,
       format: String = "parquet",
       targetBytes: Long = 256L * 1024 * 1024,
       maxParallel: Int = 1): Stats = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Collect the LEAF partition dirs first (depth-first, driver-side; the
+    // leaf list is bounded by the store's partition count — the same
+    // driver-state contract as the ETL drain's month list). At each level,
     // finish any child swap a previous run crashed inside (its live dir is
     // missing; only `.X.compact.tmp`/`.compact.old` markers remain) BEFORE
     // listing — a leftover `.band=3.compact.old` must be resolved, not
-    // mistaken for a partition directory
-    fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.startsWith(".") &&
-        (n.endsWith(".compact.tmp") || n.endsWith(".compact.old")))
-      .map(_.stripPrefix(".").stripSuffix(".compact.tmp")
-        .stripSuffix(".compact.old"))
-      .distinct
-      .foreach(n => recover(spark, new Path(p, n).toString))
-    val parts = fs.listStatus(p).filter(st =>
-      st.isDirectory && !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_") &&
-        st.getPath.getName.contains("="))
-    def one(st: org.apache.hadoop.fs.FileStatus): Stats = {
-      val hasData = fs.listStatus(st.getPath).exists(f =>
-        f.isFile && !f.getPath.getName.startsWith("_"))
-      if (hasData)
-        // a leaf partition dir; an empty one has nothing to compact (and
-        // reading it would fail schema inference) — the filter above plus
-        // this branch skips it via the recursion returning zero stats
-        compact(spark, st.getPath.toString, format, targetBytes)
-      else
+    // mistaken for a partition directory.
+    def leaves(dir: Path): Seq[Path] = {
+      fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith(".") &&
+          (n.endsWith(".compact.tmp") || n.endsWith(".compact.old")))
+        .map(_.stripPrefix(".").stripSuffix(".compact.tmp")
+          .stripSuffix(".compact.old"))
+        .distinct
+        .foreach(n => recover(spark, new Path(dir, n).toString))
+      val parts = fs.listStatus(dir).filter(st =>
+        st.isDirectory && !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_") &&
+          st.getPath.getName.contains("="))
+      parts.toSeq.flatMap { st =>
+        val hasData = fs.listStatus(st.getPath).exists(f =>
+          f.isFile && !f.getPath.getName.startsWith("_"))
+        if (hasData) Seq(st.getPath)
         // no data files here: either deeper partition levels (recurse) or
-        // an empty dir (recursion finds nothing and contributes zeros)
-        compactPartitions(spark, st.getPath.toString, format, targetBytes,
-          maxParallel)
+        // an empty dir (contributes no leaves, hence zero stats)
+        else leaves(st.getPath)
+      }
     }
-    // leaf compactions are independent tiny rewrite jobs (disjoint dirs);
+    val leafDirs = leaves(p)
+    def one(dir: Path): Stats = {
+      val inFlight = activeLeaves.incrementAndGet()
+      peakLeaves.getAndAccumulate(inFlight, Math.max(_, _))
+      try compact(spark, dir.toString, format, targetBytes)
+      finally { activeLeaves.decrementAndGet(); () }
+    }
+    // Leaf compactions are independent tiny rewrite jobs (disjoint dirs);
     // a store with hundreds of partitions pays (#leaves × per-job latency)
-    // sequentially, so a driver pool submits up to maxParallel of them —
-    // the same within-operator throttle discipline as the ETL drain's
-    // month copies. maxParallel=1 keeps the original sequential behavior.
+    // sequentially, so ONE driver pool over the FLAT leaf list submits up
+    // to maxParallel of them — the same within-operator throttle
+    // discipline as the ETL drain's month copies. Flat-then-pool (not
+    // pool-per-level) is what makes the throttle exact on nested layouts:
+    // the r7 shape recursed with the same maxParallel inside each pooled
+    // task, multiplying the limit to maxParallel² on a q=/qb= store.
+    // maxParallel=1 keeps the original sequential behavior.
     val all: Seq[Stats] =
-      if (maxParallel <= 1 || parts.length <= 1) parts.toSeq.map(one)
+      if (maxParallel <= 1 || leafDirs.length <= 1) leafDirs.map(one)
       else {
         val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.min(maxParallel, parts.length))
+          .newFixedThreadPool(math.min(maxParallel, leafDirs.length))
         try {
           import scala.jdk.CollectionConverters._
-          val tasks = parts.toSeq.map(st =>
+          val tasks = leafDirs.map(dir =>
             new java.util.concurrent.Callable[Stats] {
-              override def call(): Stats = one(st)
+              override def call(): Stats = one(dir)
             })
           pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
         } finally { pool.shutdown(); () }

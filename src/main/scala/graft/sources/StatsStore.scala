@@ -22,6 +22,52 @@ import org.apache.spark.sql.functions._
   */
 object StatsStore {
 
+  /** Recursively list the data files under `dir` the way
+    * `spark.read.parquet(dir)`'s partition discovery sees them: descend
+    * into subdirectories (partitioned layouts — `pid=…/`, `date=…/`) and
+    * skip `_`/`.`-prefixed names at every level (committer metadata,
+    * hidden swap markers). This is the append path's FILE UNIVERSE, and it
+    * must equal the read side's: the r7 hazard was a non-recursive listing
+    * that saw only top-level files, so on a partitioned lake every nested
+    * file failed the existence check, was evicted as dead, and pruned
+    * copies silently skipped its rows.
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val entries = fs.listStatus(dir).filterNot { s =>
+      val n = s.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    entries.collect {
+      case f if f.isFile && f.getPath.getName.endsWith(".parquet") => f.getPath
+    }.toSeq ++
+      entries.filter(_.isDirectory).flatMap(d => listDataFiles(fs, d.getPath))
+  }
+
+  /** Seed one manifest row per LISTED file that produced no stats row —
+    * i.e. zero-row parquet files, which `groupBy(input_file_name())`
+    * cannot see. Without the seed an empty file is re-classified as fresh
+    * and re-scanned on EVERY refresh, and the manifest-rows == lake-files
+    * invariant breaks. Seeded rows carry n_rows=0 and null min/max, so
+    * [[survivingFiles]] never opens them (null bounds fail every interval
+    * predicate — correct: an empty file has no rows to contribute).
+    */
+  private def seedEmptyFiles(spark: SparkSession,
+      listed: Seq[String], stats: DataFrame): DataFrame = {
+    val have = stats.select("file").collect().map(r => canon(r.getString(0))).toSet
+    val missing = listed.filterNot(f => have.contains(canon(f)))
+    if (missing.isEmpty) stats
+    else {
+      val schema = stats.schema
+      val rows = missing.map { f =>
+        org.apache.spark.sql.Row.fromSeq(f +: schema.fields.toSeq.tail.map(fd =>
+          if (fd.name == "n_rows") 0L else null))
+      }
+      import scala.jdk.CollectionConverters._
+      stats.unionByName(spark.createDataFrame(rows.asJava, schema))
+    }
+  }
+
   /** One stats row per data file: n_rows + min_c/max_c per column. */
   def collect(spark: SparkSession, dataPath: String, cols: Seq[String]): DataFrame = {
     val df = spark.read.parquet(dataPath)
@@ -46,10 +92,15 @@ object StatsStore {
     val aggs = Seq(count(lit(1)).as("n_rows")) ++
       derived.flatMap { case (n, _) =>
         Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n")) }
-    df.select(input_file_name().as("file") +:
+    val stats = df.select(input_file_name().as("file") +:
         derived.map { case (n, e) => e.as(n) }: _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
+    // seed zero-row files from the listing so the manifest's universe is
+    // exactly the directory's (and [[collectExprAppend]] agrees with it)
+    val root = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    seedEmptyFiles(spark, listDataFiles(fs, root).map(_.toString), stats)
   }
 
   /** Canonical identity of a data-file path: the scheme-less path
@@ -73,6 +124,15 @@ object StatsStore {
     * [[survivingFiles]] never returns a dead path. Over an unchanged
     * directory this is a no-op: the returned manifest has exactly the
     * prior's rows.
+    *
+    * The listing is RECURSIVE ([[listDataFiles]]) so partitioned lake
+    * layouts (`pid=…/`, `date=…/` — what this repo's own writers produce)
+    * have the same file universe here as in the full rebuild's
+    * `spark.read.parquet`: with a top-level-only listing (the r7 verdict's
+    * hazard) every nested file was evicted as dead and silently skipped by
+    * pruned reads. Fresh files are read with `basePath = dataPath` so
+    * directory-derived partition columns stay visible to `derived`
+    * expressions, exactly as in the rebuild.
     */
   def collectExprAppend(spark: SparkSession, dataPath: String,
       derived: Seq[(String, org.apache.spark.sql.Column)],
@@ -83,8 +143,7 @@ object StatsStore {
     val knownCanon = known.map(canon).toSet
     val fs = new org.apache.hadoop.fs.Path(dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = fs.listStatus(new org.apache.hadoop.fs.Path(dataPath))
-      .map(_.getPath).filter(p => p.getName.endsWith(".parquet"))
+    val all = listDataFiles(fs, new org.apache.hadoop.fs.Path(dataPath))
     val allCanon = all.map(p => canon(p.toString)).toSet
     val fresh = all.filter(p => !knownCanon.contains(canon(p.toString)))
       .map(_.toString)
@@ -94,7 +153,8 @@ object StatsStore {
       else prior.filter(!col("file").isin(dead.toIndexedSeq: _*))
     if (fresh.isEmpty) kept
     else {
-      val df = spark.read.parquet(fresh.toIndexedSeq: _*)
+      val df = spark.read.option("basePath", dataPath)
+        .parquet(fresh.toIndexedSeq: _*)
       val aggs = Seq(count(lit(1)).as("n_rows")) ++
         derived.flatMap { case (n, _) =>
           Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n")) }
@@ -102,7 +162,7 @@ object StatsStore {
           derived.map { case (n, e) => e.as(n) }: _*)
         .groupBy(col("file"))
         .agg(aggs.head, aggs.tail: _*)
-      kept.unionByName(add)
+      kept.unionByName(seedEmptyFiles(spark, fresh.toIndexedSeq, add))
     }
   }
 
@@ -113,14 +173,17 @@ object StatsStore {
 
   /** Range read that opens only surviving files; the predicate is still
     * applied to the rows read (superset guarantee). `dataPath` supplies the
-    * schema when nothing survives (folds to an empty relation, no IO).
+    * schema when nothing survives (folds to an empty relation, no IO), and
+    * is the `basePath` of the surviving-file read so a partitioned layout's
+    * directory-derived columns keep appearing — both branches produce the
+    * same schema as a full scan.
     */
   def prunedRead(spark: SparkSession, dataPath: String, stats: DataFrame,
       c: String, lo: Long, hi: Long): DataFrame = {
     val files = survivingFiles(stats, c, lo, hi)
     val base =
       if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", dataPath).parquet(files: _*)
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
@@ -146,7 +209,7 @@ object StatsStore {
     val files = survivingFilesAll(stats, preds)
     val base =
       if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", dataPath).parquet(files: _*)
     base.filter(preds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _))

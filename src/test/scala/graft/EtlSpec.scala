@@ -201,6 +201,91 @@ class EtlSpec extends SparkSpec {
     assert(survivors.length == m2.count() - 1)
   }
 
+  test("PARTITIONED lake (ingest=N/ subdirs): append universe matches the read side, no live file evicted, drain equals the unpruned loop row-for-row") {
+    val tmp = Files.createTempDirectory("graft-etlpart").toString
+    val orders = Tables.orders(spark, sf)
+    val lake = s"$tmp/lake"
+    def canon(f: String) = new org.apache.hadoop.fs.Path(f).toUri.getPath
+    // ingest lands each wave under its own partition dir — the layout the
+    // repo's own writers produce (pid=…) and real lakes use (date=…). The
+    // r7 hazard: the append path listed only top-level *.parquet, so EVERY
+    // nested file was evicted as dead and pruned copies skipped its rows.
+    def land(df: org.apache.spark.sql.DataFrame, sub: String): Unit =
+      df.repartitionByRange(3, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$lake/$sub")
+    land(orders.filter(col("o_orderdate") < lit("1996-01-01")), "ingest=1")
+
+    val cfg = JobConfig(tableName = "orders", numMappers = 2)
+    val store = new StatusStore(spark, s"$tmp/status")
+    val job = new IncrementalBackup(spark, cfg, store, s"$tmp/dest")
+    job.runPrunedIncremental(lake, maxParallel = 2)
+    val m1 = spark.read.parquet(job.manifestPath)
+    assert(m1.count() == spark.read.parquet(lake).inputFiles.length,
+      "manifest must cover every nested file after the first drain")
+
+    // wave 2 lands in a NEW partition dir; the refresh must (a) evict no
+    // live file and (b) read no wave-1 file
+    land(orders.filter(col("o_orderdate") >= lit("1996-01-01")), "ingest=2")
+    val pid = Seq("pid" -> job.pidCol(spark.read.parquet(lake)))
+    val updated = graft.sources.StatsStore.collectExprAppend(spark, lake, pid, m1)
+    import spark.implicits._
+    val live = spark.read.parquet(lake).inputFiles.map(canon).toSet
+    val covered = updated.select("file").as[String].collect().map(canon).toSet
+    assert(covered == live,
+      s"evicted live files: ${(live -- covered).take(3).mkString(",")}; " +
+        s"phantom files: ${(covered -- live).take(3).mkString(",")}")
+    val readW1 = updated.inputFiles.map(canon).filter(_.contains("ingest=1"))
+    assert(readW1.isEmpty, s"history re-read by append: ${readW1.take(3).mkString(",")}")
+
+    // drain 2, then row-for-row equality with the UNPRUNED reference loop
+    // over the same lake (same schema incl. the ingest partition column —
+    // the basePath contract)
+    job.runPrunedIncremental(lake, maxParallel = 2)
+    val store2 = new StatusStore(spark, s"$tmp/status2")
+    val job2 = new IncrementalBackup(spark, cfg, store2, s"$tmp/dest2")
+    job2.run(spark.read.parquet(lake))
+    val a = job.readBack()
+    val b = job2.readBack().select(a.columns.map(col).toIndexedSeq: _*)
+    assert(a.schema.fieldNames.sorted.sameElements(
+      job2.readBack().schema.fieldNames.sorted))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "pruned drain over the partitioned lake diverged from the unpruned loop")
+  }
+
+  test("zero-row parquet files are seeded into the manifest: no perpetual re-scan, never opened by pruned reads") {
+    val tmp = Files.createTempDirectory("graft-etlzero").toString
+    val orders = Tables.orders(spark, sf)
+    val lake = s"$tmp/lake"
+    orders.limit(2000).repartitionByRange(2, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate").write.parquet(lake)
+    // an empty-but-valid parquet file (schema, no rows) — what a writer
+    // task that received an empty slice commits
+    orders.filter(lit(false)).repartition(1).write.parquet(s"$tmp/empty")
+    val emptyPart = new java.io.File(s"$tmp/empty").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(emptyPart.toPath, java.nio.file.Paths.get(lake, "z-empty.parquet"))
+
+    val pid = Seq("pid" -> ReferenceOps.monthSid(col("o_orderdate")))
+    val m = graft.sources.StatsStore.collectExpr(spark, lake, pid)
+    // invariant: manifest rows == lake files, INCLUDING the empty one
+    assert(m.count() == 3, s"expected 3 manifest rows, got ${m.count()}")
+    // refresh over the unchanged dir is a true no-op: the empty file is
+    // known (seeded), so it is not re-classified as fresh and re-scanned.
+    // Prior is persisted + read back — the steady-state shape — so the
+    // no-op's input files expose exactly what the refresh re-reads.
+    m.coalesce(1).write.parquet(s"$tmp/manifest")
+    val prior = spark.read.parquet(s"$tmp/manifest")
+    val noop = graft.sources.StatsStore.collectExprAppend(spark, lake, pid, prior)
+    assert(noop.count() == 3)
+    assert(!noop.inputFiles.exists(_.contains("z-empty")),
+      "the empty file must not be re-scanned on refresh")
+    // null bounds keep it out of every pruned read
+    val surv = graft.sources.StatsStore.survivingFiles(m, "pid", Long.MinValue, Long.MaxValue)
+    assert(surv.size == 2 && !surv.exists(_.contains("z-empty")),
+      s"pruned read must never open the empty file: $surv")
+  }
+
   test("bulk backfill salts within pid: a hot month spans multiple files, still <= NUM_MAPPERS per pid") {
     val tmp = Files.createTempDirectory("graft-etlsalt").toString
     val cfg = JobConfig(tableName = "orders", numMappers = 4)

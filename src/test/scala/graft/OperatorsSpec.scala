@@ -148,6 +148,39 @@ class OperatorsSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("compactPartitions honors maxParallel exactly on a NESTED layout (one shared pool, not one per level)") {
+    val tmp = Files.createTempDirectory("graft-compact-throttle").toString
+    val root = s"$tmp/store"
+    // 4 × 8 = 32 leaves, several files each — the r7 shape ran up to
+    // maxParallel² concurrent leaf jobs here (a pool per recursion level)
+    spark.range(4000)
+      .select(col("id"),
+        pmod(col("id"), lit(4)).as("q"), pmod(col("id") / 4, lit(8)).as("qb"))
+      .repartition(4)
+      .write.partitionBy("q", "qb").parquet(root)
+    graft.sources.Compaction.resetLeafGauge()
+    val st = graft.sources.Compaction.compactPartitions(spark, root,
+      targetBytes = 1L << 30, maxParallel = 4)
+    val peak = graft.sources.Compaction.peakLeaves.get()
+    assert(peak <= 4, s"throttle exceeded: $peak concurrent leaf rewrites")
+    assert(peak >= 2, s"pooling never overlapped leaves (peak=$peak)")
+    assert(st.filesAfter == 32 && st.filesBefore > st.filesAfter, st.toString)
+    assert(spark.read.parquet(root).count() == 4000)
+  }
+
+  test("swap renames fail LOUDLY (renameOrThrow), not silently") {
+    val tmp = Files.createTempDirectory("graft-rename").toString
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a rename whose source doesn't exist is the canonical false return —
+    // the swap path must surface it as an error, never proceed
+    intercept[java.io.IOException] {
+      graft.sources.Compaction.renameOrThrow(fs,
+        new org.apache.hadoop.fs.Path(s"$tmp/nope"),
+        new org.apache.hadoop.fs.Path(s"$tmp/dst"))
+    }
+  }
+
   test("z-order layout tightens per-file ranges on BOTH columns vs linear sort") {
     val tmp = Files.createTempDirectory("graft-zorder").toString
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
