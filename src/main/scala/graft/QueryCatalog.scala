@@ -1476,6 +1476,47 @@ object QueryCatalog {
       .orderBy("month_sid")
   }
 
+  /** [[qEtlIncr]] on a PARTITIONED lake (r7 verdict task 1): each wave
+    * lands under its own `ingest=N/` partition directory — the layout real
+    * lakes use (`date=…/`) and this repo's own backup writer produces
+    * (`pid=…/`). Same oracle as every ETL twin: the manifest's RECURSIVE
+    * listing plus basePath subset reads make the partitioned drain
+    * result-identical to the flat one. This hash is exactly what the r7
+    * hazard would have failed — nested files evicted as dead on the second
+    * refresh, their months silently missing from the pruned copies.
+    */
+  private val qEtlIncrPart: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl-qipt").toString
+    val waves = Fixtures.getOrBuild(s"etllake2:$dir") { f =>
+      Tables.orders(s, dir).filter(col("o_orderdate") < lit("1996-01-01"))
+        .repartitionByRange(6, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$f/w1")
+      Tables.orders(s, dir).filter(col("o_orderdate") >= lit("1996-01-01"))
+        .repartitionByRange(3, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$f/w2")
+    }
+    val lake = s"$tmp/lake"
+    def part(n: Int): String = {
+      val p = s"$lake/ingest=$n"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      p
+    }
+    landWave(s"$waves/w1", part(1), "w1-")
+    val cfg = etl.JobConfig(tableName = "orders", numMappers = 4)
+    val job = new etl.IncrementalBackup(
+      s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
+    job.runPrunedIncremental(lake, maxParallel = 4)
+    landWave(s"$waves/w2", part(2), "w2-")
+    job.runPrunedIncremental(lake, maxParallel = 4)
+    job.readBack()
+      .groupBy(col("pid").cast("long").as("month_sid"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("month_sid")
+  }
+
   // ------------------------------------------------ analytics (extended ops)
 
   private val qCubeOrders: Q = (s, dir) =>
@@ -5688,6 +5729,57 @@ object QueryCatalog {
       .select(col("n_queries"),
         (col("d1") === 0L && col("d2") === 0L).as("paths_equal"))
   }
+
+  /** IVF store MAINTENANCE (r7 verdict task 2): the vector twin of
+    * [[qVisidxCompaction]]. A 24/7 embedding ingest appends one parquet
+    * layer per `cluster=` inverted list per wave (`IvfStore.append`); this
+    * query builds that layered store (base corpus + three appended waves,
+    * a build-once fixture), compacts it with the pooled atomic-swap pass
+    * (`IvfStore.compact`), and probes the compacted store against the
+    * in-memory search over the full corpus — row-identical results
+    * required (ids, cosines AND ranks). `rows_preserved` pins the exact
+    * store row count pre/post (a pure probe would not see duplicated
+    * vectors ranked past k), and `files_reduced` gates that maintenance
+    * actually shrank the store.
+    */
+  private val qIvfidxCompaction: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = ivfCentroids(emb, dir)
+    val layered = Fixtures.getOrBuild(s"ivflayers:$dir") { f =>
+      graft.similarity.IvfStore.build(emb.filter(col("vec_id") < 250), f, cents)
+      graft.similarity.IvfStore.append(
+        emb.filter(col("vec_id") >= 250 && col("vec_id") < 300), f)
+      graft.similarity.IvfStore.append(
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 350), f)
+      graft.similarity.IvfStore.append(emb.filter(col("vec_id") >= 350), f)
+    }
+    val idx = Fixtures.mutableCopy(layered)
+    val rowsBefore = s.read.parquet(s"$idx/vectors").count()
+    // leaf rewrites pooled — one shared pool over the cluster= leaves, the
+    // exact-throttle discipline of the visual index's maintenance pass
+    val st = graft.similarity.IvfStore.compact(s, idx, maxParallel = 8)
+    val rowsAfter = s.read.parquet(s"$idx/vectors").count()
+    val queries = emb.filter(col("vec_id") < 5)
+    val store = graft.similarity.IvfStore.probe(queries, idx, k = 5, nprobe = 4)
+    val mem = KMeansIvf.search(KMeansIvf.index(emb, cents), queries, cents,
+      k = 5, nprobe = 4)
+    val cols = Seq("query_id", "neighbor_id", "cos", "rk").map(col)
+    val d1 = store.select(cols: _*).exceptAll(mem.select(cols: _*))
+      .agg(count(lit(1)).as("d1"))
+    val d2 = mem.select(cols: _*).exceptAll(store.select(cols: _*))
+      .agg(count(lit(1)).as("d2"))
+    queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+      .crossJoin(broadcast(d1)).crossJoin(broadcast(d2))
+      .select(col("n_queries"),
+        (col("d1") === 0L && col("d2") === 0L).as("paths_equal"))
+      .withColumn("files_reduced", lit(st.filesAfter < st.filesBefore))
+      .withColumn("rows_preserved", lit(rowsBefore == rowsAfter))
+  }
+
+  private val ivfidxCompactionSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS paths_equal,
+      |  TRUE AS files_reduced, TRUE AS rows_preserved
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
 
   /** PQ-ADC ANN (similarity.ProductQuantizer): 8×16 codebooks (≈32×
     * compression of the float index), ADC candidate ranking by table
@@ -11116,7 +11208,7 @@ object QueryCatalog {
     * them).
     */
   val benchExcluded: Set[String] =
-    Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_etl_incr", "q_events_hourly_stream",
+    Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_etl_incr", "q_etl_incr_part", "q_events_hourly_stream",
       "q_stream_dedup_hourly_rocksdb", "q_stream_attribution_outer_rocksdb", "q_stream_dedup", "q_stream_neardup",
       "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
@@ -11133,7 +11225,7 @@ object QueryCatalog {
     * composes harmlessly — innermost setting wins at stream start.)
     */
   val streamingDrains: Set[String] =
-    benchExcluded -- Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_etl_incr")
+    benchExcluded -- Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_etl_incr", "q_etl_incr_part")
 
   /** Run `f` with the named state-store backend ("rocksdb" | "hdfs" |
     * "default"); the provider is a session conf read at stream start, so
@@ -11196,6 +11288,7 @@ object QueryCatalog {
     "q_etl_pruned" -> qEtlPruned,
     "q_etl_conc" -> qEtlConc,
     "q_etl_incr" -> qEtlIncr,
+    "q_etl_incr_part" -> qEtlIncrPart,
     "q_partition_discovery" -> qPartitionDiscovery,
     "q_oldest_pending" -> qOldestPending,
     "q_partition_rowcount" -> qPartitionRowcount,
@@ -11304,6 +11397,7 @@ object QueryCatalog {
     "q_training_pipeline_v3" -> qTrainingPipelineV3,
     "q_ivf_store" -> qIvfStore,
     "q_ivf_append" -> qIvfAppend,
+    "q_ivfidx_compaction" -> qIvfidxCompaction,
     "q_avro_roundtrip" -> qAvroRoundtrip,
     "q_proto_roundtrip" -> qProtoRoundtrip,
     "q_proto_vectors" -> qProtoVectors,
@@ -11498,6 +11592,7 @@ object QueryCatalog {
     "q_etl_pruned" -> etlBackupSql,
     "q_etl_conc" -> etlBackupSql,
     "q_etl_incr" -> etlBackupSql,
+    "q_etl_incr_part" -> etlBackupSql,
     "q_partition_discovery" -> partitionDiscoverySql,
     "q_oldest_pending" -> (partitionDiscoverySql.replace("ORDER BY d.month_sid", "ORDER BY d.month_sid LIMIT 1")),
     "q_partition_rowcount" ->
@@ -11657,6 +11752,7 @@ object QueryCatalog {
     "q_training_pipeline_v3" -> trainingPipelineV3SqlGen,
     "q_ivf_store" -> ivfStoreSql,
     "q_ivf_append" -> ivfStoreSql,
+    "q_ivfidx_compaction" -> ivfidxCompactionSql,
     "q_avro_roundtrip" -> avroRoundtripSql,
     "q_proto_roundtrip" -> protoRoundtripSql,
     "q_proto_vectors" -> protoVectorsSql,

@@ -57,6 +57,21 @@ object IvfStore {
       .write.mode("append").partitionBy("cluster").parquet(s"$dir/vectors")
   }
 
+  /** Maintenance pass for the append-mode store (the vector twin of the
+    * visual index's): every [[append]] wave leaves one more small parquet
+    * layer per `cluster=` inverted list, so a 24/7 embedding ingest grows
+    * the store's file count linearly and probes pay listing + open cost
+    * per layer. Compaction rewrites each inverted-list partition to the
+    * byte-size target with the pooled atomic-swap pass — result-invariant
+    * (probes read old∪new either way; the row set is untouched) and
+    * crash-proven at the leaf swap (CrashConsistencySpec).
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 256L * 1024 * 1024,
+      maxParallel: Int = 1): graft.sources.Compaction.Stats =
+    graft.sources.Compaction.compactPartitions(spark, s"$dir/vectors",
+      targetBytes = targetBytes, maxParallel = maxParallel)
+
   /** The persisted quantizer (k×dim doubles — driver-sized by design). */
   def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"$dir/centroids").orderBy("cluster")

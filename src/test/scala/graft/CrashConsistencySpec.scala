@@ -207,6 +207,41 @@ class CrashConsistencySpec extends SparkSpec {
     assert(!fs.exists(mtmp))
   }
 
+  test("IvfStore: a crashed cluster-leaf swap is recovered by compact; rows and probe results preserved") {
+    val dir = Files.createTempDirectory("graft-crash-ivfc").toString
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.similarity.KMeansIvf.fit(
+      emb.filter(col("vec_id") < 200), k = 4, iters = 2)
+    graft.similarity.IvfStore.build(emb.filter(col("vec_id") < 200), s"$dir/ivf", cents)
+    graft.similarity.IvfStore.append(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 240), s"$dir/ivf")
+    val rowsBefore = spark.read.parquet(s"$dir/ivf/vectors").count()
+    def probe() = graft.similarity.IvfStore
+      .probe(emb.filter(col("vec_id") < 5), s"$dir/ivf", k = 5, nprobe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val expect = probe()
+
+    // crash one cluster= leaf inside the swap window: rewrite complete in
+    // tmp, live dir renamed away — the kill window between the two renames
+    val leaf = fs.listStatus(new Path(s"$dir/ivf/vectors"))
+      .filter(_.getPath.getName.startsWith("cluster=")).head.getPath
+    val ltmp = new Path(leaf.getParent, s".${leaf.getName}.compact.tmp")
+    spark.read.parquet(leaf.toString).repartition(1).write.parquet(ltmp.toString)
+    fs.rename(leaf, new Path(leaf.getParent, s".${leaf.getName}.compact.old"))
+    assert(!fs.exists(leaf))
+
+    // the maintenance pass must finish that swap first, then compact every
+    // inverted list — and change neither the row set nor probe results
+    val st = graft.similarity.IvfStore.compact(spark, s"$dir/ivf", maxParallel = 4)
+    assert(st.filesAfter < st.filesBefore, s"no compaction happened: $st")
+    assert(spark.read.parquet(s"$dir/ivf/vectors").count() == rowsBefore,
+      "compaction must preserve the exact store row count")
+    assert(probe() == expect, "probe results must be unchanged by compaction")
+    assert(!fs.listStatus(new Path(s"$dir/ivf/vectors"))
+      .exists(_.getPath.getName.contains(".compact.")),
+      "no hidden marker dirs may survive the maintenance pass")
+  }
+
   test("VisualIndex: a crashed NESTED child swap (q=/qb=) is recovered; compaction preserves rows and gate results") {
     import graft.multimodal.VisualIndex
     val dir = Files.createTempDirectory("graft-crash-vis").toString
