@@ -143,8 +143,12 @@ object Bench {
       .filter(SparkEntry.queries.contains).filter(keep).toSeq.sorted
 
   private def sectionPlan(keep: String => Boolean): Seq[String] = {
-    val nChunks = math.max(1,
-      math.ceil(batchNames(keep).size.toDouble / chunkSize).toInt)
+    // no batch chunk when the filter keeps no batch queries (a streaming-
+    // only SPARK_GRAFT_BENCH_ONLY run otherwise spawned a child JVM that
+    // measured nothing), mirroring the streaming/rocksdb guards
+    val n = batchNames(keep).size
+    val nChunks =
+      if (n == 0) 0 else math.ceil(n.toDouble / chunkSize).toInt
     (0 until nChunks).map(i => s"batch:$i") ++
       (if (streamingNames(keep).nonEmpty) Seq("streaming") else Nil) ++
       (if (rocksNames(keep).nonEmpty) Seq("rocksdb") else Nil)

@@ -81,7 +81,16 @@ object EtlMain {
       else
         cfg -> (EtlRunner.RelationSource(source(spark, sfDir, cfg)): EtlRunner.EtlSource)
     }
-    val results = EtlRunner.runAllFrom(spark, root, jobs)
+    // Cross-table concurrency is a RUNNER knob (the reference gets it by
+    // launching independent processes; run_sqoop_job.sh:15-25): >1 drains
+    // that many tables in flight, each still selecting its own per-config
+    // path (pruned incremental drain, within-table MAX_PARALLEL).
+    val tablesInFlight =
+      sys.env.getOrElse("SPARK_GRAFT_TABLES_PARALLEL", "1").toInt
+    val results =
+      if (tablesInFlight > 1)
+        EtlRunner.runAllConcurrentFrom(spark, root, jobs, tablesInFlight)
+      else EtlRunner.runAllFrom(spark, root, jobs)
     val line = results.toSeq.sortBy(_._1).map { case (t, r) =>
       s""""$t":${r.map(_.length).getOrElse(-1)}"""
     }.mkString("{", ",", "}")

@@ -4147,6 +4147,23 @@ object QueryCatalog {
       |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The shared plan-gate for the warehouse pushdown queries (r7 verdict
+    * task 5): `shaped(flag)` is the final query; the flag is derived from
+    * `shaped(false)`'s OWN executed plan containing every `marker`
+    * (`PushedAggregates`, `PushedTopN`, …). CONTRACT: the two instances
+    * differ ONLY in a boolean literal inside a projection — a literal
+    * cannot change scan planning, so the probed plan IS the final plan
+    * modulo that literal. Keep `shaped` literal-pure (no branching on the
+    * flag, no extra operators); routing every gate through this helper is
+    * what pins the assumption — a future edit that made the two plans
+    * diverge would have to bypass it visibly.
+    */
+  private def pushdownGated(shaped: Boolean => org.apache.spark.sql.DataFrame,
+      markers: String*): org.apache.spark.sql.DataFrame = {
+    val plan = shaped(false).queryExecution.executedPlan.toString
+    shaped(markers.forall(plan.contains))
+  }
+
   /** A1/A4 executed WAREHOUSE-side (r5 "what's missing" #1): the catalog
     * probes the reference runs inside Vertica — `count(*)` per unit and
     * min/max split bounds (`sqoop_table.py:54-57`, `:145`) — through the
@@ -4183,15 +4200,11 @@ object QueryCatalog {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),
         sum(col("o_custkey")).as("sum_cust"))
-    // the flag is derived from the FINAL query's own executed plan (same
-    // withColumn/orderBy shape, only the literal differs — a boolean
-    // literal cannot change scan planning), not from a sibling
-    // QueryExecution that AQE/conf drift could plan differently
-    def shaped(v: Boolean) =
-      agg.withColumn("agg_pushed", lit(v)).orderBy("o_orderpriority")
-    val pushed = shaped(false).queryExecution.executedPlan.toString
-      .contains("PushedAggregates")
-    shaped(pushed)
+    // flag from the final query's own plan, modulo the literal — the
+    // shared contract lives in [[pushdownGated]]
+    pushdownGated(v =>
+      agg.withColumn("agg_pushed", lit(v)).orderBy("o_orderpriority"),
+      "PushedAggregates")
   }
 
   private val jdbcAggSql =
@@ -4239,12 +4252,9 @@ object QueryCatalog {
       .orderBy(col("o_orderkey").desc)
       .limit(5)
       .select(col("o_orderkey"), col("o_custkey"))
-    // flag from the FINAL query's own executed plan (see qJdbcAgg note)
-    def shaped(v: Boolean) =
-      probe.withColumn("topn_pushed", lit(v)).orderBy(col("o_orderkey"))
-    val pushed = shaped(false).queryExecution.executedPlan.toString
-      .contains("PushedTopN")
-    shaped(pushed)
+    pushdownGated(v =>
+      probe.withColumn("topn_pushed", lit(v)).orderBy(col("o_orderkey")),
+      "PushedTopN")
   }
 
   private val jdbcTopNSql =
@@ -4286,12 +4296,9 @@ object QueryCatalog {
     val agg = t.groupBy(col("o_orderpriority"))
       .agg(avg(col("o_custval")).as("avg_cust"),
         count(lit(1)).as("n"))
-    def shaped(v: Boolean) =
-      agg.withColumn("avg_pushed", lit(v)).orderBy("o_orderpriority")
-    val plan = shaped(false).queryExecution.executedPlan.toString
-    val pushed = plan.contains("PushedAggregates") &&
-      plan.contains("PushedGroupByExpressions")
-    shaped(pushed)
+    pushdownGated(v =>
+      agg.withColumn("avg_pushed", lit(v)).orderBy("o_orderpriority"),
+      "PushedAggregates", "PushedGroupByExpressions")
   }
 
   private val jdbcAvgSql =

@@ -529,6 +529,52 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == Tables.orders(spark, sf).count())
   }
 
+  test("runAllConcurrentFrom: tables-in-flight composes with the within-table pruned drain; results match the sequential runner") {
+    val dir = Files.createTempDirectory("graft-concpr").toString
+    // two lake tables, each time-ordered with its own pid column
+    Tables.orders(spark, sf)
+      .withColumn("month_sid", ReferenceOps.monthSid(col("o_orderdate")))
+      .repartitionByRange(6, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(s"$dir/lake/orders")
+    Tables.lineitem(spark, sf)
+      .withColumn("month_sid", ReferenceOps.monthSid(col("l_shipdate")))
+      .repartitionByRange(6, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.parquet(s"$dir/lake/lineitem")
+    import graft.etl.EtlRunner
+    def jobs = Seq("orders", "lineitem").map { t =>
+      JobConfig(tableName = t, numMappers = 2, pruned = true, maxParallel = 4,
+        outputFileFormat = "parquet", lakePath = s"$dir/lake/$t") ->
+        (EtlRunner.LakeSource(s"$dir/lake/$t"): EtlRunner.EtlSource)
+    }
+    // BOTH axes at once: 2 tables in flight, each month-draining through
+    // the persisted-manifest pruned path with a 4-wide copy pool
+    val out = EtlRunner.runAllConcurrentFrom(spark, s"$dir/work", jobs,
+      maxParallel = 2)
+    // the sequential runner over the SAME configs is the reference result
+    val seq = EtlRunner.runAllFrom(spark, s"$dir/work-seq", jobs)
+    assert(out.keySet == Set("orders", "lineitem"))
+    for (t <- Seq("orders", "lineitem")) {
+      assert(out(t).map(_.toSet) == seq(t).map(_.toSet),
+        s"$t: concurrent copied ${out(t)} vs sequential ${seq(t)}")
+      // the pruned path really ran: a persisted manifest covering the lake
+      val manifest = spark.read.parquet(s"$dir/work/data/${t}_manifest")
+      assert(manifest.count() ==
+        spark.read.parquet(s"$dir/lake/$t").inputFiles.length)
+      // at-rest content identical between the two runners
+      val a = spark.read.parquet(s"$dir/work/data/$t")
+      val b = spark.read.parquet(s"$dir/work-seq/data/$t")
+        .select(a.columns.map(col).toIndexedSeq: _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t: concurrent at-rest data diverged from sequential")
+    }
+    // idempotent re-entry through the same concurrent path
+    val again = EtlRunner.runAllConcurrentFrom(spark, s"$dir/work", jobs,
+      maxParallel = 2)
+    assert(again.values.forall(_.exists(_.isEmpty)), again.toString)
+  }
+
   test("EtlRunner: multi-table LAKE_PATH + PRUNED + MAX_PARALLEL configs drain through the manifest-pruned concurrent path") {
     val dir = Files.createTempDirectory("graft-yamlpr").toString
     // two lakes, each time-ordered and carrying its pid column the way

@@ -24,6 +24,12 @@ def main() -> None:
         b, c = base[q]["min_s"], cand[q]["min_s"]
         if b > 0:
             ratios[q] = c / b
+    # degenerate inputs (disjoint query sets, all-zero baseline) must fail
+    # loudly, not crash in median()/zero-division
+    if not ratios or sum(base[q]["min_s"] for q in common) <= 0:
+        print(f"no comparable queries (common={len(common)}, "
+              f"nonzero-baseline={len(ratios)})")
+        sys.exit(2)
     med = statistics.median(ratios.values())
     mean = statistics.fmean(ratios.values())
     bsum = sum(base[q]["min_s"] for q in common)
