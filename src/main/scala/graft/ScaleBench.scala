@@ -521,6 +521,209 @@ object ScaleBench {
     }
 
     tailParts :+= manifestJson; flush()
+
+    def countParquetFiles(root: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    def s3arr(xs: Seq[Double]) = xs.map(s3).mkString("[", ",", "]")
+    def iarr(xs: Seq[Int]) = xs.mkString("[", ",", "]")
+    def avgD(xs: Seq[Double]) = xs.sum / xs.size
+
+    // ---- IVF store: 50-wave append drain, file growth + probe latency
+    // (r7 verdict task 2's bench row — the vector twin of visual_drain).
+    // A 24/7 embedding ingest appends one parquet layer per cluster=
+    // inverted list per wave; two regimes over IDENTICAL waves: never
+    // compact vs IvfStore.compact every 10. Probe-result checksums must be
+    // identical wave-for-wave (compaction is result-invariant); the
+    // evidence sought is probe latency flat under maintenance while file
+    // count saws between compactions.
+    val ivfJson: String = if (!sections("ivf_drain")) "" else {
+      val dir = "/root/testdata/sf0.1"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfdrain").toString
+      // dev knob for smoke runs; the committed BENCH_MAINT uses the default
+      val waves = sys.env.getOrElse("SPARK_GRAFT_IVF_WAVES", "50").toInt
+      val emb = Tables.embeddings(spark, dir).localCheckpoint()
+      val base = emb.filter(col("vec_id") < 1000)
+      val cents = graft.similarity.KMeansIvf.fit(base, k = 16, iters = 3)
+      val queries = emb.filter(col("vec_id") < 5).localCheckpoint()
+      def regime(compactEvery: Int): (Seq[Double], Seq[Int], Seq[Long], Double) = {
+        val idx = s"$tmp/idx-$compactEvery"
+        graft.similarity.IvfStore.build(base, idx, cents)
+        var compactS = 0.0
+        val per = (0 until waves).map { w =>
+          val wave = emb.filter(col("vec_id") >= 1000 &&
+            pmod(col("vec_id"), lit(waves.toLong)) === w)
+          graft.similarity.IvfStore.append(wave, idx)
+          val t0 = System.nanoTime()
+          // order-independent result checksum over ids+rank (cos is a
+          // deterministic function of them; excluded only to keep the
+          // checksum integer-exact)
+          val chk = graft.similarity.IvfStore
+            .probe(queries, idx, k = 10, nprobe = 4)
+            .agg(sum(hash(col("query_id"), col("neighbor_id"), col("rk"))
+              .cast("long")).as("chk")).head().getLong(0)
+          val probeS = (System.nanoTime() - t0) / 1e9
+          if (compactEvery > 0 && (w + 1) % compactEvery == 0) {
+            val c0 = System.nanoTime()
+            graft.similarity.IvfStore.compact(spark, idx,
+              targetBytes = 64L * 1024 * 1024, maxParallel = 8)
+            compactS += (System.nanoTime() - c0) / 1e9
+          }
+          (probeS, countParquetFiles(s"$idx/vectors"), chk)
+        }
+        (per.map(_._1), per.map(_._2), per.map(_._3), compactS)
+      }
+      val (pN, fN, cN, _) = regime(0)
+      val (pC, fC, cC, compactS) = regime(10)
+      val resultsEqual = cN == cC
+      System.err.println(f"[scale] ivf_drain no-compact probe ${avgD(pN.take(5))}%.2f->${avgD(pN.takeRight(5))}%.2fs files ${fN.last}; compacted ${avgD(pC.take(5))}%.2f->${avgD(pC.takeRight(5))}%.2fs files ${fC.last} (maintenance ${compactS}%.1fs, results equal=$resultsEqual)")
+      s""","ivf_drain":{"waves":$waves,"results_equal":$resultsEqual,"no_compact":{"probe_s":${s3arr(pN)},"files":${iarr(fN)},"first5_avg_s":${s3(avgD(pN.take(5)))},"last5_avg_s":${s3(avgD(pN.takeRight(5)))}},"compact_every_10":{"probe_s":${s3arr(pC)},"files":${iarr(fC)},"first5_avg_s":${s3(avgD(pC.take(5)))},"last5_avg_s":${s3(avgD(pC.takeRight(5)))},"maintenance_total_s":${s3(compactS)}}}"""
+    }
+    tailParts :+= ivfJson; flush()
+
+    // ---- steady-state SOAK (r7 verdict task 6): 24 full production
+    // cycles — land a month's files → manifest-pruned incremental drain →
+    // visual gate batch + append → IVF probe + append → every-8 pooled
+    // compaction of both index stores. The committed evidence that the
+    // drain's per-cycle fixed cost is history-independent END-TO-END
+    // (discovery + persisted-manifest refresh + pruned copy + index
+    // probes), not just per component: the per-cycle arrays must stay flat
+    // while lake history grows ~×24 and the index stores absorb 24 waves.
+    val steadyJson: String = if (!sections("steady_drain")) "" else {
+      val dir = "/root/testdata/sf0.1"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-steady").toString
+      // dev knob for smoke runs; the committed BENCH_MAINT uses the default
+      val cycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "24").toInt
+      val orders = Tables.orders(spark, dir)
+      val monthsDir = s"$tmp/months"
+      orders
+        .withColumn("m", graft.operators.ReferenceOps.monthSid(col("o_orderdate")))
+        .repartition(2)
+        .write.partitionBy("m").parquet(monthsDir)
+      val months = orders
+        .select(graft.operators.ReferenceOps.monthSid(col("o_orderdate")).as("m"))
+        .distinct().orderBy("m").as[Long].collect().take(cycles)
+      val lake = s"$tmp/lake"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
+      def landMonth(m: Long, k: Int): Unit = {
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$monthsDir/m=$m"))
+        try st.forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, java.nio.file.Paths.get(lake,
+              s"c$k-${f.getFileName}"))
+        } finally st.close()
+      }
+      val cfg = graft.etl.JobConfig(tableName = "orders", numMappers = 2,
+        outputFileFormat = "parquet")
+      val job = new graft.etl.IncrementalBackup(spark, cfg,
+        new graft.etl.StatusStore(spark, s"$tmp/status"), s"$tmp/dest")
+      val sigs = graft.multimodal.Multimodal.imageDhash(
+        QueryCatalog.imagePayloadsFixture(spark, dir)).localCheckpoint()
+      val visIdx = s"$tmp/vis"
+      graft.multimodal.VisualIndex.build(sigs.filter(col("doc_id") < 250), visIdx)
+      val emb = Tables.embeddings(spark, dir).localCheckpoint()
+      val ivfBase = emb.filter(col("vec_id") < 1000)
+      val ivfCents = graft.similarity.KMeansIvf.fit(ivfBase, k = 16, iters = 3)
+      val ivfIdx = s"$tmp/ivf"
+      graft.similarity.IvfStore.build(ivfBase, ivfIdx, ivfCents)
+      val ivfQueries = emb.filter(col("vec_id") < 5).localCheckpoint()
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var copiedTotal = 0
+      val per = (0 until cycles).map { k =>
+        landMonth(months(k), k)
+        var copied = Seq.empty[Long]
+        val etlS = timed { copied = job.runPrunedIncremental(lake, maxParallel = 4) }
+        copiedTotal += copied.size
+        val batch = sigs.filter(col("doc_id") >= 250 &&
+          pmod(col("doc_id"), lit(cycles.toLong)) === k)
+        val visS = timed {
+          graft.multimodal.VisualIndex
+            .gateBatch(batch, spark, visIdx, maxHamming = 3).count(); ()
+        }
+        graft.multimodal.VisualIndex.append(batch, visIdx)
+        val wave = emb.filter(col("vec_id") >= 1000 &&
+          pmod(col("vec_id"), lit(cycles.toLong)) === k)
+        val ivfS = timed {
+          graft.similarity.IvfStore
+            .probe(ivfQueries, ivfIdx, k = 10, nprobe = 4).count(); ()
+        }
+        graft.similarity.IvfStore.append(wave, ivfIdx)
+        val maintS =
+          if ((k + 1) % 8 == 0) timed {
+            graft.sources.Compaction.compactPartitions(spark, visIdx,
+              targetBytes = 64L * 1024 * 1024, maxParallel = 8)
+            graft.similarity.IvfStore.compact(spark, ivfIdx,
+              targetBytes = 64L * 1024 * 1024, maxParallel = 8)
+            ()
+          } else 0.0
+        System.err.println(f"[scale] steady_drain cycle $k%2d etl=${etlS}%.2fs vis=${visS}%.2fs ivf=${ivfS}%.2fs maint=${maintS}%.2fs lake_files=${countParquetFiles(lake)}")
+        (etlS, visS, ivfS, maintS, countParquetFiles(lake))
+      }
+      val (etl, vis, ivf, maint, lakeF) =
+        (per.map(_._1), per.map(_._2), per.map(_._3), per.map(_._4), per.map(_._5))
+      System.err.println(f"[scale] steady_drain etl ${avgD(etl.take(5))}%.2f->${avgD(etl.takeRight(5))}%.2fs vis ${avgD(vis.take(5))}%.2f->${avgD(vis.takeRight(5))}%.2fs ivf ${avgD(ivf.take(5))}%.2f->${avgD(ivf.takeRight(5))}%.2fs months=$copiedTotal")
+      s""","steady_drain":{"cycles":$cycles,"months_copied":$copiedTotal,"etl_s":${s3arr(etl)},"vis_probe_s":${s3arr(vis)},"ivf_probe_s":${s3arr(ivf)},"maintenance_s":${s3arr(maint)},"lake_files":${iarr(lakeF)},"etl_first5_avg_s":${s3(avgD(etl.take(5)))},"etl_last5_avg_s":${s3(avgD(etl.takeRight(5)))},"vis_first5_avg_s":${s3(avgD(vis.take(5)))},"vis_last5_avg_s":${s3(avgD(vis.takeRight(5)))},"ivf_first5_avg_s":${s3(avgD(ivf.take(5)))},"ivf_last5_avg_s":${s3(avgD(ivf.takeRight(5)))}}"""
+    }
+    tailParts :+= steadyJson; flush()
+
+    // ---- cross-table × within-table concurrency (r7 verdict task 3's
+    // bench row): two lake tables drained via the manifest-pruned path
+    // with a 4-wide copy pool each — sequentially vs 2 tables in flight
+    // (runAllConcurrentFrom). The claim: concurrent wall clock tracks the
+    // WIDEST table, sequential pays the sum.
+    val concJson: String = if (!sections("etl_conc")) "" else {
+      val dir = "/root/testdata/sf0.1"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-etlconc").toString
+      Tables.orders(spark, dir)
+        .withColumn("month_sid",
+          graft.operators.ReferenceOps.monthSid(col("o_orderdate")))
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$tmp/lake/orders")
+      Tables.lineitem(spark, dir)
+        .withColumn("month_sid",
+          graft.operators.ReferenceOps.monthSid(col("l_shipdate")))
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(s"$tmp/lake/lineitem")
+      def jobs = Seq("orders", "lineitem").map { t =>
+        graft.etl.JobConfig(tableName = t, numMappers = 4, pruned = true,
+          maxParallel = 4, outputFileFormat = "parquet",
+          lakePath = s"$tmp/lake/$t") ->
+          (graft.etl.EtlRunner.LakeSource(s"$tmp/lake/$t")
+            : graft.etl.EtlRunner.EtlSource)
+      }
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tOrders = timed {
+        graft.etl.EtlRunner.runAllFrom(spark, s"$tmp/ra", jobs.take(1)); ()
+      }
+      val tLine = timed {
+        graft.etl.EtlRunner.runAllFrom(spark, s"$tmp/rb", jobs.drop(1)); ()
+      }
+      val tSeq = timed {
+        graft.etl.EtlRunner.runAllFrom(spark, s"$tmp/rc", jobs); ()
+      }
+      val tConc = timed {
+        graft.etl.EtlRunner
+          .runAllConcurrentFrom(spark, s"$tmp/rd", jobs, maxParallel = 2); ()
+      }
+      System.err.println(f"[scale] etl_conc orders=${tOrders}%.1fs lineitem=${tLine}%.1fs seq=${tSeq}%.1fs conc=${tConc}%.1fs (widest=${math.max(tOrders, tLine)}%.1fs)")
+      s""","etl_conc":{"orders_alone_s":${s3(tOrders)},"lineitem_alone_s":${s3(tLine)},"sequential_both_s":${s3(tSeq)},"concurrent_both_s":${s3(tConc)},"widest_table_s":${s3(math.max(tOrders, tLine))}}"""
+    }
+    tailParts :+= concJson; flush()
+
     println(java.nio.file.Files.readString(
       java.nio.file.Paths.get(outJson)))
     spark.stop()
