@@ -73,6 +73,16 @@ object ScaleBench {
     "q_cc_copurchase" -> 2,
     "q_label_prop" -> 2,
     "q_pagerank" -> 2,
+    // r7-round operators promoted to decade coverage (r7 verdict task 7):
+    // the persisted-manifest incremental drain and the two pooled
+    // compaction maintenance passes (visual q=/qb= store, IVF cluster=
+    // store). Their cost models are the steady-state story — drain ∝
+    // pending data, compaction ∝ store bytes over a FIXED leaf count —
+    // so the decade gate is the right check that neither hides a
+    // history- or corpus-superlinear term.
+    "q_etl_incr" -> 2,
+    "q_visidx_compaction" -> 2,
+    "q_ivfidx_compaction" -> 2,
     "q_stream_attribution_outer" -> 1,
     // the RocksDB twin at 10x: the backend whose reason to exist IS scale —
     // measured beside the default store so the comparison rides the same
