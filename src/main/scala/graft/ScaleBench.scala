@@ -598,6 +598,52 @@ object ScaleBench {
     }
     tailParts :+= ivfJson; flush()
 
+    // ---- positional postings store: 50-wave append drain (the text twin
+    // of ivf_drain; closes the last append-mode index without a measured
+    // maintenance story). Each wave appends one small-file layer per
+    // token_bucket= partition; two regimes over identical waves, phrase
+    // probes checksummed wave-for-wave.
+    val pidxJson: String = if (!sections("pidx_drain")) "" else {
+      val dir = "/root/testdata/sf0.1"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pidxdrain").toString
+      val waves = sys.env.getOrElse("SPARK_GRAFT_IVF_WAVES", "50").toInt
+      val docs = Tables.documents(spark, dir).localCheckpoint()
+      val terms = Seq("join", "order")
+      def regime(compactEvery: Int): (Seq[Double], Seq[Int], Seq[Long], Double) = {
+        val idx = s"$tmp/idx-$compactEvery"
+        graft.functions.Bm25.writeIndex(
+          graft.functions.Bm25.buildPositionalIndex(
+            docs.filter(col("doc_id") < 1000)), idx)
+        var compactS = 0.0
+        val per = (0 until waves).map { w =>
+          val wave = docs.filter(col("doc_id") >= 1000 &&
+            pmod(col("doc_id"), lit(waves.toLong)) === w)
+          graft.functions.Bm25.appendIndex(
+            graft.functions.Bm25.buildPositionalIndex(wave), idx)
+          val t0 = System.nanoTime()
+          val chk = graft.functions.Bm25.phraseSearch(
+              graft.functions.Bm25.probePositionalIndex(spark, idx, terms), terms)
+            .agg(sum(hash(col("doc_id"), col("n_hits"), col("first_pos"))
+              .cast("long")).as("chk")).head().getLong(0)
+          val probeS = (System.nanoTime() - t0) / 1e9
+          if (compactEvery > 0 && (w + 1) % compactEvery == 0) {
+            val c0 = System.nanoTime()
+            graft.sources.Compaction.compactPartitions(spark, idx,
+              targetBytes = 64L * 1024 * 1024, maxParallel = 8)
+            compactS += (System.nanoTime() - c0) / 1e9
+          }
+          (probeS, countParquetFiles(idx), chk)
+        }
+        (per.map(_._1), per.map(_._2), per.map(_._3), compactS)
+      }
+      val (pN, fN, cN, _) = regime(0)
+      val (pC, fC, cC, compactS) = regime(10)
+      val resultsEqual = cN == cC
+      System.err.println(f"[scale] pidx_drain no-compact probe ${avgD(pN.take(5))}%.2f->${avgD(pN.takeRight(5))}%.2fs files ${fN.last}; compacted ${avgD(pC.take(5))}%.2f->${avgD(pC.takeRight(5))}%.2fs files ${fC.last} (maintenance ${compactS}%.1fs, results equal=$resultsEqual)")
+      s""","pidx_drain":{"waves":$waves,"results_equal":$resultsEqual,"no_compact":{"probe_s":${s3arr(pN)},"files":${iarr(fN)},"first5_avg_s":${s3(avgD(pN.take(5)))},"last5_avg_s":${s3(avgD(pN.takeRight(5)))}},"compact_every_10":{"probe_s":${s3arr(pC)},"files":${iarr(fC)},"first5_avg_s":${s3(avgD(pC.take(5)))},"last5_avg_s":${s3(avgD(pC.takeRight(5)))},"maintenance_total_s":${s3(compactS)}}}"""
+    }
+    tailParts :+= pidxJson; flush()
+
     // ---- steady-state SOAK (r7 verdict task 6): 24 full production
     // cycles — land a month's files → manifest-pruned incremental drain →
     // visual gate batch + append → IVF probe + append → every-8 pooled
