@@ -99,6 +99,88 @@ final class IncrementalBackup(
   def prunedFiles(stats: DataFrame, pid: Long): Seq[String] =
     graft.sources.StatsStore.survivingFiles(stats, "pid", pid, pid)
 
+  /** Can a file hold a pid value outside `recorded`, given its manifest
+    * [lo, hi] interval? The exactness hinge of [[discoverPruned]]: a file
+    * may be SKIPPED only when every value its interval can contain is
+    * already recorded. For the month key the candidates step through
+    * calendar months (yyyymm — stepping integers would manufacture junk
+    * candidates like 199513 that are never recordable, condemning every
+    * December-to-January file to a rescan on every drain); for a generic
+    * long key the integers are enumerated up to a span bound, past which
+    * the file is conservatively scanned (correct, just not pruned).
+    */
+  private def mayHoldUnrecorded(lo: Long, hi: Long, recorded: Set[Long]): Boolean =
+    if (cfg.primaryId == "month_sid") {
+      var m = lo
+      var found = false
+      while (!found && m <= hi) {
+        if (!recorded.contains(m)) found = true
+        m = if (m % 100 >= 12) (m / 100 + 1) * 100 + 1 else m + 1
+      }
+      found
+    } else if (hi - lo >= 4096L) true
+    else {
+      var v = lo
+      var found = false
+      while (!found && v <= hi) {
+        if (!recorded.contains(v)) found = true
+        v += 1
+      }
+      found
+    }
+
+  /** The files [[discoverPruned]] must scan: those whose manifest interval
+    * may hold an unrecorded pid. Steady state this is exactly the new
+    * wave's files (history's months are all recorded), and a drain with
+    * nothing new scans NOTHING. Exposed so specs can assert the read set.
+    */
+  def discoveryFiles(stats: DataFrame): Seq[String] = {
+    val tbl = cfg.tableName
+    val recorded = status.read().filter(s => s.tableName == tbl)
+      .collect().map(_.primaryPartitionValue).toSet
+    stats.select(col("file"), col("min_pid"), col("max_pid")).collect()
+      .filter(r => !r.isNullAt(1) &&
+        mayHoldUnrecorded(r.getLong(1), r.getLong(2), recorded))
+      .map(_.getString(0)).toSeq
+  }
+
+  /** [[discover]] with the MANIFEST as the file filter — the last piece of
+    * drain fixed cost that still grew with history (the pid-column scan
+    * over the whole lake, documented as "unavoidable" in [[runPruned]]).
+    * Exact: an unrecorded month must appear in SOME file whose
+    * [min_pid, max_pid] interval contains an unrecorded candidate, so
+    * scanning only [[discoveryFiles]] yields precisely the full scan's
+    * distinct-minus-recorded set; results are identical by construction
+    * and spec-asserted against [[ReferenceOps.discoverPendingPartitions]].
+    * Falls back to the full [[discover]] when `skipLatestMonths > 0` (the
+    * global newest-N exclusion needs the full distinct set) or in
+    * snapshot mode.
+    */
+  def discoverPruned(sourcePath: String, stats: DataFrame): Seq[Long] = {
+    if (cfg.isFullSnapshot || cfg.skipLatestMonths > 0)
+      return discover(spark.read.parquet(sourcePath))
+    import spark.implicits._
+    val tbl = cfg.tableName
+    val recorded = status.read().filter(s => s.tableName == tbl)
+      .collect().map(_.primaryPartitionValue).toSet
+    val files = discoveryFiles(stats)
+    val pendingNew =
+      if (files.isEmpty) Seq.empty[Long]
+      else {
+        val sub = spark.read.option("basePath", sourcePath)
+          .parquet(files.toIndexedSeq: _*)
+        sub.select(pidCol(sub).as("month_sid")).distinct()
+          .as[Long].collect().filterNot(recorded).toSeq.sorted
+      }
+    if (pendingNew.nonEmpty) {
+      val t = now()
+      status.append(pendingNew.map(v => BackupStatus(
+        cfg.tableName, cfg.hiveDb, t, None, cfg.primaryId, v, isComplete = false,
+        cfg.numMappers)))
+    }
+    pendingNew
+  }
+
   /** [[copyPartition]] for a LAKE-resident source: instead of filtering a
     * full-history scan on the derived pid (which no file source can prune —
     * the r5 scale finding), the copy opens ONLY the files whose per-file
@@ -137,20 +219,20 @@ final class IncrementalBackup(
       s"$destRoot/${cfg.tableName}/pid=$pid", cfg)
   }
 
-  /** Steady-state drain against a lake path: discovery is ONE column-pruned
-    * scan of the pid-deriving column (unavoidable — exact distinct months),
-    * the manifest is ONE more single-column scan (use
-    * [[runPrunedIncremental]] to maintain it incrementally between drains
-    * instead), and then each month's copy is file-subset-read only. Loop
-    * cost is therefore proportional to the PENDING data, not to history
-    * size.
+  /** Steady-state drain against a lake path: the manifest is ONE
+    * single-column scan (use [[runPrunedIncremental]] to maintain it
+    * incrementally between drains instead), discovery reads only the
+    * files that may hold unrecorded months ([[discoverPruned]] — it used
+    * to be a full pid-column scan of history), and then each month's copy
+    * is file-subset-read only. Loop cost is therefore proportional to the
+    * PENDING data, not to history size.
     */
   def runPruned(sourcePath: String): Seq[Long] = {
     val source = spark.read.parquet(sourcePath)
-    discover(source)
     val stats = graft.sources.StatsStore
       .collectExpr(spark, sourcePath, Seq("pid" -> pidCol(source)))
       .cache()
+    discoverPruned(sourcePath, stats)
     try {
       var copied = Vector.empty[Long]
       var pending = status.pending(cfg.tableName).collect().sortBy(_.primaryPartitionValue)
@@ -212,10 +294,12 @@ final class IncrementalBackup(
     * guarantee); only the fixed cost per drain stops growing with history.
     */
   def runPrunedIncremental(sourcePath: String, maxParallel: Int = 1): Seq[Long] = {
-    val source = spark.read.parquet(sourcePath)
-    discover(source)
+    // manifest FIRST (append cost ∝ new files), then manifest-pruned
+    // discovery (scan cost ∝ files holding unrecorded months) — with this
+    // ordering NO step of the drain's fixed cost scans history
     val stats = refreshManifest(sourcePath).cache()
     stats.count() // materialize once; copies only re-read the cache
+    discoverPruned(sourcePath, stats)
     try {
       if (maxParallel <= 1) {
         var copied = Vector.empty[Long]
@@ -252,11 +336,11 @@ final class IncrementalBackup(
     */
   def runPrunedConcurrent(sourcePath: String, maxParallel: Int): Seq[Long] = {
     val source = spark.read.parquet(sourcePath)
-    discover(source)
     val stats = graft.sources.StatsStore
       .collectExpr(spark, sourcePath, Seq("pid" -> pidCol(source)))
       .cache()
     stats.count() // materialize once; worker threads only re-read the cache
+    discoverPruned(sourcePath, stats)
     try drainConcurrent(sourcePath, stats, maxParallel)
     finally { stats.unpersist(); () }
   }

@@ -201,6 +201,57 @@ class EtlSpec extends SparkSpec {
     assert(survivors.length == m2.count() - 1)
   }
 
+  test("manifest-pruned discovery scans only files holding unrecorded months; result identical to the full-scan discovery") {
+    val tmp = Files.createTempDirectory("graft-etldisc").toString
+    val orders = Tables.orders(spark, sf)
+    val lake = s"$tmp/lake"
+    Files.createDirectories(java.nio.file.Paths.get(lake))
+    def land(df: org.apache.spark.sql.DataFrame, parts: Int, prefix: String): Unit = {
+      val stage = s"$tmp/stage-$prefix"
+      df.repartitionByRange(parts, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate").write.parquet(stage)
+      val st = Files.list(java.nio.file.Paths.get(stage))
+      try st.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, java.nio.file.Paths.get(lake, prefix + p.getFileName))
+      } finally st.close()
+    }
+    land(orders.filter(col("o_orderdate") < lit("1996-01-01")), 6, "w1-")
+    val cfg = JobConfig(tableName = "orders", numMappers = 2)
+    val store = new StatusStore(spark, s"$tmp/status")
+    val job = new IncrementalBackup(spark, cfg, store, s"$tmp/dest")
+    job.runPrunedIncremental(lake, maxParallel = 4) // wave 1 drained
+    // steady-state no-op: every month recorded → discovery scans NOTHING
+    val statsIdle = job.refreshManifest(lake)
+    assert(job.discoveryFiles(statsIdle).isEmpty,
+      "an up-to-date drain must not scan any file for discovery")
+
+    // wave 2 lands (spans a December→January boundary by construction:
+    // the wave starts at 1996-01, so w1's last file ends in 1995-12 —
+    // the month-sid stepping must not manufacture junk candidates like
+    // 199513 that would condemn boundary files to eternal rescans)
+    land(orders.filter(col("o_orderdate") >= lit("1996-01-01")), 3, "w2-")
+    val stats = job.refreshManifest(lake)
+    val scan = job.discoveryFiles(stats)
+    assert(scan.nonEmpty && scan.forall(_.contains("/w2-")),
+      s"discovery must scan only the new wave's files: $scan")
+    // identical result to the reference full-scan discovery
+    import spark.implicits._
+    val recorded = store.read().filter(_.tableName == "orders")
+      .map(_.primaryPartitionValue).toDF("month_sid")
+    val expect = ReferenceOps.discoverPendingPartitions(
+        spark.read.parquet(lake),
+        job.pidCol(spark.read.parquet(lake)), recorded, 0)
+      .as[Long].collect().sorted.toSeq
+    val got = job.discoverPruned(lake, stats)
+    assert(got == expect, s"pruned discovery $got != full-scan $expect")
+    // discoverPruned recorded them pending; drain completes and read-back
+    // matches the source
+    job.runPrunedIncremental(lake, maxParallel = 4)
+    assert(job.readBack().count() == orders.count())
+    assert(job.discoveryFiles(job.refreshManifest(lake)).isEmpty)
+  }
+
   test("PARTITIONED lake (ingest=N/ subdirs): append universe matches the read side, no live file evicted, drain equals the unpruned loop row-for-row") {
     val tmp = Files.createTempDirectory("graft-etlpart").toString
     val orders = Tables.orders(spark, sf)
