@@ -606,7 +606,9 @@ object ScaleBench {
     val pidxJson: String = if (!sections("pidx_drain")) "" else {
       val dir = "/root/testdata/sf0.1"
       val tmp = java.nio.file.Files.createTempDirectory("graft-pidxdrain").toString
-      val waves = sys.env.getOrElse("SPARK_GRAFT_IVF_WAVES", "50").toInt
+      // own knob (r8 ADVICE: this section reused SPARK_GRAFT_IVF_WAVES, so
+      // tuning the IVF drain silently changed the postings bench too)
+      val waves = sys.env.getOrElse("SPARK_GRAFT_PIDX_WAVES", "50").toInt
       val docs = Tables.documents(spark, dir).localCheckpoint()
       val terms = Seq("join", "order")
       def regime(compactEvery: Int): (Seq[Double], Seq[Int], Seq[Long], Double) = {
@@ -656,16 +658,22 @@ object ScaleBench {
       val dir = "/root/testdata/sf0.1"
       val tmp = java.nio.file.Files.createTempDirectory("graft-steady").toString
       // dev knob for smoke runs; the committed BENCH_MAINT uses the default
-      val cycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "24").toInt
+      val cyclesReq = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "24").toInt
       val orders = Tables.orders(spark, dir)
       val monthsDir = s"$tmp/months"
       orders
         .withColumn("m", graft.operators.ReferenceOps.monthSid(col("o_orderdate")))
         .repartition(2)
         .write.partitionBy("m").parquet(monthsDir)
-      val months = orders
+      val monthsAll = orders
         .select(graft.operators.ReferenceOps.monthSid(col("o_orderdate")).as("m"))
-        .distinct().orderBy("m").as[Long].collect().take(cycles)
+        .distinct().orderBy("m").as[Long].collect()
+      // clamp to the distinct months available (r8 ADVICE: an oversized
+      // SPARK_GRAFT_SOAK_CYCLES crashed partway on months(k))
+      val cycles = math.min(cyclesReq, monthsAll.length)
+      if (cycles < cyclesReq)
+        System.err.println(s"[scale] steady_drain clamped cycles $cyclesReq -> $cycles (distinct months available)")
+      val months = monthsAll.take(cycles)
       val lake = s"$tmp/lake"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
       def landMonth(m: Long, k: Int): Unit = {

@@ -94,6 +94,20 @@ object Compaction {
     recover(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Refuse a PARTITIONED root: reading it resolves `col=value` directory
+    // names into data columns, and the rewrite below carries no
+    // `partitionBy` — one wrong call on a store's root would silently
+    // flatten the partition layout (the index!) while preserving every row,
+    // so only probe latency would betray it (r8 verdict). Partitioned
+    // stores compact per leaf via [[compactPartitions]].
+    val partDirs = fs.listStatus(p).filter(st =>
+      st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_") &&
+        st.getPath.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"compact($path): directory has partition subdirs " +
+        s"(${partDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "a flat rewrite would destroy the partition layout; use compactPartitions")
     val dataFiles = fs.listStatus(p).filter { st =>
       st.isFile && !st.getPath.getName.startsWith("_")
     }
@@ -153,8 +167,20 @@ object Compaction {
           !st.getPath.getName.startsWith("_") &&
           st.getPath.getName.contains("="))
       parts.toSeq.flatMap { st =>
-        val hasData = fs.listStatus(st.getPath).exists(f =>
+        val children = fs.listStatus(st.getPath)
+        val hasData = children.exists(f =>
           f.isFile && !f.getPath.getName.startsWith("_"))
+        val hasDeeper = children.exists(f =>
+          f.isDirectory && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_") &&
+            f.getPath.getName.contains("="))
+        // a dir holding data files AND deeper `=` dirs is not a valid
+        // partitioned layout — treating it as a leaf would flatten the
+        // nested partitions into it (r8 verdict edge); fail loudly
+        if (hasData && hasDeeper)
+          throw new IllegalStateException(
+            s"compactPartitions: ${st.getPath} holds data files AND nested " +
+              "partition dirs — mixed layout, refusing to flatten")
         if (hasData) Seq(st.getPath)
         // no data files here: either deeper partition levels (recurse) or
         // an empty dir (contributes no leaves, hence zero stats)

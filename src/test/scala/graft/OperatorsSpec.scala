@@ -168,6 +168,40 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() == 4000)
   }
 
+  test("compact REFUSES a partitioned root (would silently flatten the layout)") {
+    val tmp = Files.createTempDirectory("graft-compact-guard").toString
+    val root = s"$tmp/store"
+    spark.range(100)
+      .select(col("id"), pmod(col("id"), lit(4)).as("q"))
+      .write.partitionBy("q").parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Compaction.compact(spark, root)
+    }
+    assert(e.getMessage.contains("compactPartitions"), e.getMessage)
+    // the store is untouched: same partition dirs, same rows
+    assert(spark.read.parquet(root).count() == 100)
+    assert(new java.io.File(root).listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("q=")) == 4)
+  }
+
+  test("compactPartitions throws LOUDLY on a mixed data+partition-dir layout") {
+    val tmp = Files.createTempDirectory("graft-compact-mixed").toString
+    val root = s"$tmp/store"
+    spark.range(100)
+      .select(col("id"), pmod(col("id"), lit(2)).as("q"),
+        pmod(col("id"), lit(3)).as("qb"))
+      .write.partitionBy("q", "qb").parquet(root)
+    // corrupt one q= dir: drop a stray data file beside its qb= children
+    val stray = new java.io.File(s"$root/q=0/stray.parquet")
+    val donor = new java.io.File(s"$root/q=0/qb=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(donor.toPath, stray.toPath)
+    val e = intercept[IllegalStateException] {
+      graft.sources.Compaction.compactPartitions(spark, root)
+    }
+    assert(e.getMessage.contains("mixed layout"), e.getMessage)
+  }
+
   test("swap renames fail LOUDLY (renameOrThrow), not silently") {
     val tmp = Files.createTempDirectory("graft-rename").toString
     val fs = new org.apache.hadoop.fs.Path(tmp)
