@@ -1428,13 +1428,25 @@ object QueryCatalog {
     * can't collide).
     */
   private def landWave(srcDir: String, lakeDir: String, prefix: String): Unit = {
+    landWaveListing(srcDir, lakeDir, prefix); ()
+  }
+
+  /** [[landWave]] returning the landed paths — what a journaling ingest
+    * hands to [[graft.sources.IngestLog.record]].
+    */
+  private def landWaveListing(srcDir: String, lakeDir: String,
+      prefix: String): Seq[String] = {
+    val landed = scala.collection.mutable.ArrayBuffer.empty[String]
     val stream = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
     try stream.forEach { p =>
       val n = p.getFileName.toString
-      if (n.endsWith(".parquet"))
-        java.nio.file.Files.copy(p,
-          java.nio.file.Paths.get(lakeDir, s"$prefix$n"))
+      if (n.endsWith(".parquet")) {
+        val dst = java.nio.file.Paths.get(lakeDir, s"$prefix$n")
+        java.nio.file.Files.copy(p, dst)
+        landed += dst.toString
+      }
     } finally stream.close()
+    landed.toSeq
   }
 
   /** The INCREMENTALLY-MAINTAINED-manifest twin of [[qEtlPruned]] (r6
@@ -1516,6 +1528,93 @@ object QueryCatalog {
         Exact.sumExact(col("o_totalprice")).as("total"))
       .orderBy("month_sid")
   }
+
+  /** The INGEST-JOURNALED twin of [[qEtlIncr]] (r9): each wave records the
+    * files it landed in the lake's `_ingest_log/` sidecar, so the second
+    * drain's manifest refresh consumes the journal and performs ZERO
+    * full-lake listings (spec-asserted via the listing counter in
+    * `EtlSpec`; here the result is pinned against the same oracle as every
+    * ETL twin). At 100 TB this is the difference between a per-drain
+    * multi-minute object-store LIST storm and an O(new waves) journal read.
+    */
+  private val qEtlJournal: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl-qj").toString
+    val waves = Fixtures.getOrBuild(s"etllake2:$dir") { f =>
+      Tables.orders(s, dir).filter(col("o_orderdate") < lit("1996-01-01"))
+        .repartitionByRange(6, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$f/w1")
+      Tables.orders(s, dir).filter(col("o_orderdate") >= lit("1996-01-01"))
+        .repartitionByRange(3, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$f/w2")
+    }
+    val lake = s"$tmp/lake"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
+    graft.sources.IngestLog.record(s, lake,
+      landWaveListing(s"$waves/w1", lake, "w1-"))
+    val cfg = etl.JobConfig(tableName = "orders", numMappers = 4)
+    val job = new etl.IncrementalBackup(
+      s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
+    job.runPrunedIncremental(lake, maxParallel = 4)
+    graft.sources.IngestLog.record(s, lake,
+      landWaveListing(s"$waves/w2", lake, "w2-"))
+    job.runPrunedIncremental(lake, maxParallel = 4)
+    job.readBack()
+      .groupBy(col("pid").cast("long").as("month_sid"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("month_sid")
+  }
+
+  /** The SKIP_LATEST_MONTHS twin (r9): the reference ships this knob on
+    * every fact table (`agg_geo_lucid_daily.yaml:10`, applied
+    * `sqoop_table.py:145`) — the newest N distinct months are not copied
+    * until newer ones arrive. Two drains with skip=2: drain 1 defers the
+    * newest two 1995 months, wave 2 slides the window and drain 2 promotes
+    * them, so the final read-back is everything except the newest two
+    * months of the FULL table — which is what the oracle states directly.
+    * Discovery stays manifest-pruned throughout (scan-free when up to
+    * date; spec-asserted in EtlSpec).
+    */
+  private val qEtlSkip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-etl-qk").toString
+    val waves = Fixtures.getOrBuild(s"etllake2:$dir") { f =>
+      Tables.orders(s, dir).filter(col("o_orderdate") < lit("1996-01-01"))
+        .repartitionByRange(6, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$f/w1")
+      Tables.orders(s, dir).filter(col("o_orderdate") >= lit("1996-01-01"))
+        .repartitionByRange(3, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(s"$f/w2")
+    }
+    val lake = s"$tmp/lake"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
+    landWave(s"$waves/w1", lake, "w1-")
+    val cfg = etl.JobConfig(tableName = "orders", numMappers = 4,
+      skipLatestMonths = 2)
+    val job = new etl.IncrementalBackup(
+      s, cfg, new etl.StatusStore(s, s"$tmp/status"), s"$tmp/dest")
+    job.runPrunedIncremental(lake, maxParallel = 4)
+    landWave(s"$waves/w2", lake, "w2-")
+    job.runPrunedIncremental(lake, maxParallel = 4)
+    job.readBack()
+      .groupBy(col("pid").cast("long").as("month_sid"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("month_sid")
+  }
+
+  private val etlSkipSql =
+    s"""SELECT month_sid, COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+       |FROM (SELECT $monthSidSql AS month_sid, o_totalprice FROM orders)
+       |WHERE month_sid <= (
+       |  SELECT DISTINCT month_sid
+       |  FROM (SELECT $monthSidSql AS month_sid FROM orders)
+       |  ORDER BY month_sid DESC LIMIT 1 OFFSET 2)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------ analytics (extended ops)
 
@@ -11289,7 +11388,7 @@ object QueryCatalog {
     * them).
     */
   val benchExcluded: Set[String] =
-    Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_etl_incr", "q_etl_incr_part", "q_events_hourly_stream",
+    Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_etl_incr", "q_etl_incr_part", "q_etl_journal", "q_etl_skip", "q_events_hourly_stream",
       "q_stream_dedup_hourly_rocksdb", "q_stream_attribution_outer_rocksdb", "q_stream_dedup", "q_stream_neardup",
       "q_stream_sessions", "q_stream_interp", "q_stream_upsert", "q_stream_attribution",
       "q_stream_attribution_outer", "q_stream_enrich", "q_stream_scd2",
@@ -11306,7 +11405,7 @@ object QueryCatalog {
     * composes harmlessly — innermost setting wins at stream start.)
     */
   val streamingDrains: Set[String] =
-    benchExcluded -- Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_etl_incr", "q_etl_incr_part")
+    benchExcluded -- Set("q_etl_backup", "q_etl_bulk", "q_etl_pruned", "q_etl_conc", "q_etl_incr", "q_etl_incr_part", "q_etl_journal", "q_etl_skip")
 
   /** Run `f` with the named state-store backend ("rocksdb" | "hdfs" |
     * "default"); the provider is a session conf read at stream start, so
@@ -11371,6 +11470,8 @@ object QueryCatalog {
     "q_etl_conc" -> qEtlConc,
     "q_etl_incr" -> qEtlIncr,
     "q_etl_incr_part" -> qEtlIncrPart,
+    "q_etl_journal" -> qEtlJournal,
+    "q_etl_skip" -> qEtlSkip,
     "q_partition_discovery" -> qPartitionDiscovery,
     "q_oldest_pending" -> qOldestPending,
     "q_partition_rowcount" -> qPartitionRowcount,
@@ -11676,6 +11777,8 @@ object QueryCatalog {
     "q_etl_conc" -> etlBackupSql,
     "q_etl_incr" -> etlBackupSql,
     "q_etl_incr_part" -> etlBackupSql,
+    "q_etl_journal" -> etlBackupSql,
+    "q_etl_skip" -> etlSkipSql,
     "q_partition_discovery" -> partitionDiscoverySql,
     "q_oldest_pending" -> (partitionDiscoverySql.replace("ORDER BY d.month_sid", "ORDER BY d.month_sid LIMIT 1")),
     "q_partition_rowcount" ->

@@ -83,6 +83,9 @@ object ScaleBench {
     "q_etl_incr" -> 2,
     "q_visidx_compaction" -> 2,
     "q_ivfidx_compaction" -> 2,
+    // r8-round maintenance pass promoted to decade coverage (r8 verdict
+    // task 6): the postings-store compaction joins its two siblings
+    "q_phraseidx_compaction" -> 2,
     "q_stream_attribution_outer" -> 1,
     // the RocksDB twin at 10x: the backend whose reason to exist IS scale —
     // measured beside the default store so the comparison rides the same
@@ -526,8 +529,39 @@ object ScaleBench {
       }
       val (t1, b1, rb1, rs1) = probe(s"$tmpRoot/h1")
       val (t10, b10, rb10, rs10) = probe(s"$tmpRoot/h10")
-      System.err.println(f"[scale] manifest_append h1=${t1}%.2fs/${b1 / 1e6}%.1fMB h10=${t10}%.2fs/${b10 / 1e6}%.1fMB (x${t10 / math.max(t1, 1e-9)}%.2f time, x${b10.toDouble / math.max(b1.toDouble, 1.0)}%.2f bytes); full rebuild h10=${rs10}%.2fs/${rb10 / 1e6}%.1fMB")
-      s""","manifest_append":{"wave_files":2,"h1_append_s":${s3(t1)},"h10_append_s":${s3(t10)},"append_time_ratio":${s3(t10 / math.max(t1, 1e-9))},"h1_append_read_mb":${s3(b1 / 1e6)},"h10_append_read_mb":${s3(b10 / 1e6)},"append_bytes_ratio":${s3(b10.toDouble / math.max(b1.toDouble, 1.0))},"h1_rebuild_s":${s3(rs1)},"h10_rebuild_s":${s3(rs10)},"h1_rebuild_read_mb":${s3(rb1 / 1e6)},"h10_rebuild_read_mb":${s3(rb10 / 1e6)}}"""
+      // WRITE bytes (r8 verdict's missing #1): with the log-structured
+      // manifest a drain WRITES only its delta (∝ the wave), never the
+      // full manifest (∝ history) — the checkpoint fold, ∝ history, is
+      // paid 1/k of the time and reported beside it for honesty
+      def du(dir: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!dfs.exists(p)) 0L else dfs.getContentSummary(p).getLength
+      }
+      def probeWrite(histDir: String, tag: String): (Double, Long, Long) = {
+        val cfg = graft.etl.JobConfig(tableName = s"wm$tag",
+          numMappers = 2, outputFileFormat = "parquet")
+        val job = new graft.etl.IncrementalBackup(spark, cfg,
+          new graft.etl.StatusStore(spark, s"$tmpRoot/wst-$tag"),
+          s"$tmpRoot/wdest-$tag")
+        job.refreshManifest(histDir) // initial full build + checkpoint
+        val ckptBytes = du(job.manifestPath)
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmpRoot/wave"))
+        try st.forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, java.nio.file.Paths.get(histDir,
+              s"wv2-${p.getFileName}"))
+        } finally st.close()
+        val before = du(job.manifestPath)
+        val t0 = System.nanoTime()
+        job.refreshManifest(histDir)
+        val t = (System.nanoTime() - t0) / 1e9
+        (t, du(job.manifestPath) - before, ckptBytes)
+      }
+      val (wt1, wb1, wc1) = probeWrite(s"$tmpRoot/h1", "1")
+      val (wt10, wb10, wc10) = probeWrite(s"$tmpRoot/h10", "10")
+      System.err.println(f"[scale] manifest_append h1=${t1}%.2fs/${b1 / 1e6}%.1fMB h10=${t10}%.2fs/${b10 / 1e6}%.1fMB (x${t10 / math.max(t1, 1e-9)}%.2f time, x${b10.toDouble / math.max(b1.toDouble, 1.0)}%.2f bytes); full rebuild h10=${rs10}%.2fs/${rb10 / 1e6}%.1fMB; delta write h1=${wb1 / 1e3}%.1fKB h10=${wb10 / 1e3}%.1fKB (x${wb10.toDouble / math.max(wb1.toDouble, 1.0)}%.2f) vs checkpoint h10=${wc10 / 1e3}%.1fKB")
+      s""","manifest_append":{"wave_files":2,"h1_append_s":${s3(t1)},"h10_append_s":${s3(t10)},"append_time_ratio":${s3(t10 / math.max(t1, 1e-9))},"h1_append_read_mb":${s3(b1 / 1e6)},"h10_append_read_mb":${s3(b10 / 1e6)},"append_bytes_ratio":${s3(b10.toDouble / math.max(b1.toDouble, 1.0))},"h1_rebuild_s":${s3(rs1)},"h10_rebuild_s":${s3(rs10)},"h1_rebuild_read_mb":${s3(rb1 / 1e6)},"h10_rebuild_read_mb":${s3(rb10 / 1e6)},"h1_delta_write_kb":${s3(wb1 / 1e3)},"h10_delta_write_kb":${s3(wb10 / 1e3)},"delta_write_ratio":${s3(wb10.toDouble / math.max(wb1.toDouble, 1.0))},"h1_refresh_s":${s3(wt1)},"h10_refresh_s":${s3(wt10)},"h1_checkpoint_kb":${s3(wc1 / 1e3)},"h10_checkpoint_kb":${s3(wc10 / 1e3)}}"""
     }
 
     tailParts :+= manifestJson; flush()
@@ -658,7 +692,7 @@ object ScaleBench {
       val dir = "/root/testdata/sf0.1"
       val tmp = java.nio.file.Files.createTempDirectory("graft-steady").toString
       // dev knob for smoke runs; the committed BENCH_MAINT uses the default
-      val cyclesReq = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "24").toInt
+      val cyclesReq = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "48").toInt
       val orders = Tables.orders(spark, dir)
       val monthsDir = s"$tmp/months"
       orders
@@ -677,13 +711,21 @@ object ScaleBench {
       val lake = s"$tmp/lake"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
       def landMonth(m: Long, k: Int): Unit = {
+        val landed = scala.collection.mutable.ArrayBuffer.empty[String]
         val st = java.nio.file.Files.list(
           java.nio.file.Paths.get(s"$monthsDir/m=$m"))
         try st.forEach { f =>
-          if (f.getFileName.toString.endsWith(".parquet"))
-            java.nio.file.Files.copy(f, java.nio.file.Paths.get(lake,
-              s"c$k-${f.getFileName}"))
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            val dst = java.nio.file.Paths.get(lake, s"c$k-${f.getFileName}")
+            java.nio.file.Files.copy(f, dst)
+            landed += dst.toString
+          }
         } finally st.close()
+        // journal the wave (r9): the production ingest shape — steady-state
+        // drains consume the journal and never list the lake; the every-8th
+        // drain reconciles against a real listing
+        graft.sources.IngestLog.record(spark, lake, landed.toSeq)
+        ()
       }
       val cfg = graft.etl.JobConfig(tableName = "orders", numMappers = 2,
         outputFileFormat = "parquet")
@@ -699,6 +741,14 @@ object ScaleBench {
       val ivfIdx = s"$tmp/ivf"
       graft.similarity.IvfStore.build(ivfBase, ivfIdx, ivfCents)
       val ivfQueries = emb.filter(col("vec_id") < 5).localCheckpoint()
+      // postings store (r9: the soak's third append-mode index): base
+      // index + one wave per cycle + phrase probe, compacted every 8
+      val docs = Tables.documents(spark, dir).localCheckpoint()
+      val pidxIdx = s"$tmp/pidx"
+      graft.functions.Bm25.writeIndex(
+        graft.functions.Bm25.buildPositionalIndex(
+          docs.filter(col("doc_id") < 1000)), pidxIdx)
+      val pidxTerms = Seq("join", "order")
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
@@ -722,21 +772,33 @@ object ScaleBench {
             .probe(ivfQueries, ivfIdx, k = 10, nprobe = 4).count(); ()
         }
         graft.similarity.IvfStore.append(wave, ivfIdx)
+        val pWave = docs.filter(col("doc_id") >= 1000 &&
+          pmod(col("doc_id"), lit(cycles.toLong)) === k)
+        val pidxS = timed {
+          graft.functions.Bm25.phraseSearch(
+            graft.functions.Bm25.probePositionalIndex(spark, pidxIdx, pidxTerms),
+            pidxTerms).count(); ()
+        }
+        graft.functions.Bm25.appendIndex(
+          graft.functions.Bm25.buildPositionalIndex(pWave), pidxIdx)
         val maintS =
           if ((k + 1) % 8 == 0) timed {
             graft.sources.Compaction.compactPartitions(spark, visIdx,
               targetBytes = 64L * 1024 * 1024, maxParallel = 8)
             graft.similarity.IvfStore.compact(spark, ivfIdx,
               targetBytes = 64L * 1024 * 1024, maxParallel = 8)
+            graft.sources.Compaction.compactPartitions(spark, pidxIdx,
+              targetBytes = 64L * 1024 * 1024, maxParallel = 8)
             ()
           } else 0.0
-        System.err.println(f"[scale] steady_drain cycle $k%2d etl=${etlS}%.2fs vis=${visS}%.2fs ivf=${ivfS}%.2fs maint=${maintS}%.2fs lake_files=${countParquetFiles(lake)}")
-        (etlS, visS, ivfS, maintS, countParquetFiles(lake))
+        System.err.println(f"[scale] steady_drain cycle $k%2d etl=${etlS}%.2fs vis=${visS}%.2fs ivf=${ivfS}%.2fs pidx=${pidxS}%.2fs maint=${maintS}%.2fs lake_files=${countParquetFiles(lake)}")
+        (etlS, visS, ivfS, pidxS, maintS, countParquetFiles(lake))
       }
-      val (etl, vis, ivf, maint, lakeF) =
-        (per.map(_._1), per.map(_._2), per.map(_._3), per.map(_._4), per.map(_._5))
-      System.err.println(f"[scale] steady_drain etl ${avgD(etl.take(5))}%.2f->${avgD(etl.takeRight(5))}%.2fs vis ${avgD(vis.take(5))}%.2f->${avgD(vis.takeRight(5))}%.2fs ivf ${avgD(ivf.take(5))}%.2f->${avgD(ivf.takeRight(5))}%.2fs months=$copiedTotal")
-      s""","steady_drain":{"cycles":$cycles,"months_copied":$copiedTotal,"etl_s":${s3arr(etl)},"vis_probe_s":${s3arr(vis)},"ivf_probe_s":${s3arr(ivf)},"maintenance_s":${s3arr(maint)},"lake_files":${iarr(lakeF)},"etl_first5_avg_s":${s3(avgD(etl.take(5)))},"etl_last5_avg_s":${s3(avgD(etl.takeRight(5)))},"vis_first5_avg_s":${s3(avgD(vis.take(5)))},"vis_last5_avg_s":${s3(avgD(vis.takeRight(5)))},"ivf_first5_avg_s":${s3(avgD(ivf.take(5)))},"ivf_last5_avg_s":${s3(avgD(ivf.takeRight(5)))}}"""
+      val (etl, vis, ivf, pidx, maint, lakeF) =
+        (per.map(_._1), per.map(_._2), per.map(_._3), per.map(_._4),
+          per.map(_._5), per.map(_._6))
+      System.err.println(f"[scale] steady_drain etl ${avgD(etl.take(5))}%.2f->${avgD(etl.takeRight(5))}%.2fs vis ${avgD(vis.take(5))}%.2f->${avgD(vis.takeRight(5))}%.2fs ivf ${avgD(ivf.take(5))}%.2f->${avgD(ivf.takeRight(5))}%.2fs pidx ${avgD(pidx.take(5))}%.2f->${avgD(pidx.takeRight(5))}%.2fs months=$copiedTotal")
+      s""","steady_drain":{"cycles":$cycles,"months_copied":$copiedTotal,"etl_s":${s3arr(etl)},"vis_probe_s":${s3arr(vis)},"ivf_probe_s":${s3arr(ivf)},"pidx_probe_s":${s3arr(pidx)},"maintenance_s":${s3arr(maint)},"lake_files":${iarr(lakeF)},"etl_first5_avg_s":${s3(avgD(etl.take(5)))},"etl_last5_avg_s":${s3(avgD(etl.takeRight(5)))},"vis_first5_avg_s":${s3(avgD(vis.take(5)))},"vis_last5_avg_s":${s3(avgD(vis.takeRight(5)))},"ivf_first5_avg_s":${s3(avgD(ivf.take(5)))},"ivf_last5_avg_s":${s3(avgD(ivf.takeRight(5)))},"pidx_first5_avg_s":${s3(avgD(pidx.take(5)))},"pidx_last5_avg_s":${s3(avgD(pidx.takeRight(5)))}}"""
     }
     tailParts :+= steadyJson; flush()
 

@@ -68,10 +68,13 @@ object EtlRunner {
     * jobs, `run_sqoop_job.sh:15-25`), within-table concurrency bounds that
     * widest table by its widest month. Total jobs in flight ≤
     * maxParallel × max(JobConfig.maxParallel) — both knobs are explicit,
-    * nothing multiplies silently.
+    * nothing multiplies silently — and an optional shared [[JobSlots]]
+    * budget (r9) caps the FLEET additively: at most `budget` copy jobs in
+    * flight across all tables, whatever the per-table pools would allow.
     */
   def runAllConcurrentFrom(spark: SparkSession, root: String,
-      jobs: Seq[(JobConfig, EtlSource)], maxParallel: Int)
+      jobs: Seq[(JobConfig, EtlSource)], maxParallel: Int,
+      slots: Option[JobSlots] = None)
       : Map[String, Option[Seq[Long]]] = {
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.max(1, maxParallel))
@@ -80,7 +83,7 @@ object EtlRunner {
       val tasks = jobs.map { case (cfg, source) =>
         new java.util.concurrent.Callable[(String, Option[Seq[Long]])] {
           override def call(): (String, Option[Seq[Long]]) =
-            runOne(spark, root, cfg, source)
+            runOne(spark, root, cfg, source, slots)
         }
       }
       // invokeAll: waits for all; a table's failure surfaces on .get()
@@ -89,7 +92,8 @@ object EtlRunner {
   }
 
   private def runOne(spark: SparkSession, root: String, cfg: JobConfig,
-      source: EtlSource): (String, Option[Seq[Long]]) = {
+      source: EtlSource, slots: Option[JobSlots] = None)
+      : (String, Option[Seq[Long]]) = {
     val lock = new JobLock(spark, s"$root/locks/${cfg.tableName}.lock")
     val result =
       if (!lock.acquire()) None // another runner owns this table (X1)
@@ -97,14 +101,14 @@ object EtlRunner {
         val store = new StatusStore(spark, s"$root/status/${cfg.tableName}")
         val backup = new IncrementalBackup(spark, cfg, store, s"$root/data")
         Some(source match {
-          case RelationSource(df) => backup.run(df)
+          case RelationSource(df) => backup.run(df, slots)
           case LakeSource(path) if cfg.pruned =>
             // the steady-state production drain: persisted manifest
             // refreshed from NEW files only, month copies overlapped up to
             // MAX_PARALLEL
-            backup.runPrunedIncremental(path, cfg.maxParallel)
+            backup.runPrunedIncremental(path, cfg.maxParallel, slots)
           case LakeSource(path) =>
-            backup.run(spark.read.parquet(path))
+            backup.run(spark.read.parquet(path), slots)
         })
       } finally lock.release()
     cfg.tableName -> result

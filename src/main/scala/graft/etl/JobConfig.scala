@@ -24,7 +24,11 @@ final case class JobConfig(
     // partitioning does the pruning; a lake-resident source needs these):
     lakePath: String = "",           // LAKE_PATH — source is this parquet dir
     pruned: Boolean = false,         // PRUNED — manifest-pruned incremental drain
-    maxParallel: Int = 1) {          // MAX_PARALLEL — within-table copy concurrency
+    maxParallel: Int = 1,            // MAX_PARALLEL — within-table copy concurrency
+    manifestCheckpointEvery: Int = 8) { // MANIFEST_CHECKPOINT_EVERY — fold the
+                                     // log-structured manifest's deltas into a
+                                     // checkpoint every k drains (also the
+                                     // ingest-journal reconciliation cadence)
 
   def isFullSnapshot: Boolean = primaryId.isEmpty
 }

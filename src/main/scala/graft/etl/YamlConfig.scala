@@ -119,7 +119,9 @@ object YamlConfig {
       // configs, which therefore keep their exact behavior):
       lakePath = m.getOrElse("LAKE_PATH", ""),
       pruned = m.getOrElse("PRUNED", "false").toBoolean,
-      maxParallel = m.getOrElse("MAX_PARALLEL", "1").toInt)
+      maxParallel = m.getOrElse("MAX_PARALLEL", "1").toInt,
+      manifestCheckpointEvery =
+        m.getOrElse("MANIFEST_CHECKPOINT_EVERY", "8").toInt)
     val env = m.get("ENV").map(Paths.get(_)) match {
       case Some(ep) if Files.isRegularFile(ep) =>
         EtlEnv(parseFlat(Files.readString(ep)))

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Ingest wave journal — the sidecar that lets steady-state manifest
+  * maintenance run with ZERO full-lake listings. File-level ingest (the
+  * `landWave` idiom: copy a wave's files into the lake dir) optionally
+  * records each wave as `_ingest_log/wave-N`, a small text file listing
+  * the paths it landed; the drain's manifest refresh then consumes waves
+  * past its watermark ([[ManifestLog.waveWatermark]]) instead of
+  * recursively listing the lake — at 100 TB / millions of files that
+  * listing is a multi-minute object-store LIST storm per drain, while the
+  * journal read is O(new waves).
+  *
+  * Contract: the journal records APPENDS only (real lakes' ingest is
+  * append-only; so is this repo's). Deletions and compactions are invisible
+  * to it, which is why the drain falls back to the full recursive listing
+  * (a) whenever no journal exists and (b) on every checkpoint-fold drain —
+  * a periodic reconciliation that bounds journal drift to
+  * `manifestCheckpointEvery` drains. Pruning stays a superset guarantee
+  * throughout, so a stale manifest row is never a wrong answer, only a
+  * wasted open.
+  *
+  * A wave file is staged dot-prefixed and published by one atomic rename;
+  * the `_`-prefixed dir is invisible to Spark's partition discovery and to
+  * [[StatsStore]]'s own listing.
+  */
+object IngestLog {
+
+  private def dir(lakePath: String) = new Path(lakePath, "_ingest_log")
+
+  private def fsOf(spark: SparkSession, lakePath: String) =
+    new Path(lakePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, lakePath: String): Boolean =
+    fsOf(spark, lakePath).exists(dir(lakePath))
+
+  def waves(spark: SparkSession, lakePath: String): Seq[Long] = {
+    val fs = fsOf(spark, lakePath)
+    val d = dir(lakePath)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName).collect {
+      case n if n.startsWith("wave-") => n.stripPrefix("wave-").toLong
+    }.toIndexedSeq.sorted
+  }
+
+  /** Record one landed wave; returns its seq. Call AFTER the wave's files
+    * are fully in place — the journal must never advertise a file a reader
+    * can't open. Idempotent retries are the caller's concern (re-recording
+    * the same files in a new wave is harmless: the manifest diff treats
+    * known files as an empty delta).
+    */
+  def record(spark: SparkSession, lakePath: String,
+      files: Seq[String]): Long = {
+    val fs = fsOf(spark, lakePath)
+    val d = dir(lakePath)
+    fs.mkdirs(d)
+    val seq = waves(spark, lakePath).maxOption.getOrElse(0L) + 1
+    val tmp = new Path(d, s".wave-$seq.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    Compaction.renameOrThrow(fs, tmp, new Path(d, s"wave-$seq"))
+    seq
+  }
+
+  /** Every file recorded by waves with seq > `watermark`, plus the journal
+    * head (the caller's next watermark). The read set is the NEW waves'
+    * listing files only — no lake directory traversal.
+    */
+  def filesSince(spark: SparkSession, lakePath: String,
+      watermark: Long): (Seq[String], Long) = {
+    val fs = fsOf(spark, lakePath)
+    val d = dir(lakePath)
+    val fresh = waves(spark, lakePath).filter(_ > watermark)
+    if (fresh.isEmpty) return (Seq.empty, watermark)
+    val files = fresh.flatMap { s =>
+      val in = fs.open(new Path(d, s"wave-$s"))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+    (files, fresh.max)
+  }
+}

@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object StatsStore {
 
+  /** The materialized refresh diff: stats rows for files that appeared
+    * (zero-row files seeded), stored paths of files that vanished, and the
+    * exact file set the diff SCANNED — exposed so specs can assert the
+    * read-set shape directly (history never re-read) instead of inferring
+    * it from lazy-plan input files.
+    */
+  final case class ManifestDiff(adds: DataFrame, dead: Seq[String],
+      scanned: Seq[String])
+
+  /** Test instrumentation: full recursive lake listings performed since
+    * process start. The ingest-journal drain path's contract is ZERO new
+    * full listings at steady state; specs assert this counter.
+    */
+  private[graft] val fullListings = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Recursively list the data files under `dir` the way
     * `spark.read.parquet(dir)`'s partition discovery sees them: descend
     * into subdirectories (partitioned layouts — `pid=…/`, `date=…/`) and
@@ -54,18 +69,22 @@ object StatsStore {
     */
   private def seedEmptyFiles(spark: SparkSession,
       listed: Seq[String], stats: DataFrame): DataFrame = {
-    val have = stats.select("file").collect().map(r => canon(r.getString(0))).toSet
+    // Collect the stats ONCE and return a localized relation: the earlier
+    // shape collected just the file column for the seed check and left the
+    // union lazy, so the caller's materialization executed the per-file
+    // aggregation a second time — a full double scan of the lake per
+    // manifest rebuild (r8 ADVICE). One row per file, driver-bounded by
+    // the same contract as survivingFiles' result list.
+    val schema = stats.schema
+    val rows = stats.collect().toIndexedSeq
+    val have = rows.map(r => canon(r.getString(0))).toSet
     val missing = listed.filterNot(f => have.contains(canon(f)))
-    if (missing.isEmpty) stats
-    else {
-      val schema = stats.schema
-      val rows = missing.map { f =>
-        org.apache.spark.sql.Row.fromSeq(f +: schema.fields.toSeq.tail.map(fd =>
-          if (fd.name == "n_rows") 0L else null))
-      }
-      import scala.jdk.CollectionConverters._
-      stats.unionByName(spark.createDataFrame(rows.asJava, schema))
+    val seeded = rows ++ missing.map { f =>
+      org.apache.spark.sql.Row.fromSeq(f +: schema.fields.toSeq.tail.map(fd =>
+        if (fd.name == "n_rows") 0L else null))
     }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(seeded.asJava, schema)
   }
 
   /** One stats row per data file: n_rows + min_c/max_c per column. */
@@ -98,6 +117,7 @@ object StatsStore {
       .agg(aggs.head, aggs.tail: _*)
     // seed zero-row files from the listing so the manifest's universe is
     // exactly the directory's (and [[collectExprAppend]] agrees with it)
+    fullListings.incrementAndGet()
     val root = new org.apache.hadoop.fs.Path(dataPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     seedEmptyFiles(spark, listDataFiles(fs, root).map(_.toString), stats)
@@ -137,33 +157,62 @@ object StatsStore {
   def collectExprAppend(spark: SparkSession, dataPath: String,
       derived: Seq[(String, org.apache.spark.sql.Column)],
       prior: DataFrame): DataFrame = {
+    val d = collectExprDiff(spark, dataPath, derived, prior, None)
+    val kept =
+      if (d.dead.isEmpty) prior
+      else prior.filter(!col("file").isin(d.dead.toIndexedSeq: _*))
+    if (d.scanned.isEmpty) kept else kept.unionByName(d.adds)
+  }
+
+  /** The DIFF underlying [[collectExprAppend]], as data the caller can
+    * journal: stats rows for files not in `prior` + prior paths that no
+    * longer exist. `candidates = Some(files)` supplies the new-file
+    * universe WITHOUT any lake listing (the [[IngestLog]] path — dead
+    * detection is skipped, per the journal's append-only contract);
+    * `None` performs the full recursive listing and detects deads.
+    */
+  def collectExprDiff(spark: SparkSession, dataPath: String,
+      derived: Seq[(String, org.apache.spark.sql.Column)],
+      prior: DataFrame,
+      candidates: Option[Seq[String]]): ManifestDiff = {
     // the manifest is one row per file — driver-bounded by the same
     // contract as survivingFiles' result list
     val known = prior.select("file").collect().map(_.getString(0))
     val knownCanon = known.map(canon).toSet
-    val fs = new org.apache.hadoop.fs.Path(dataPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = listDataFiles(fs, new org.apache.hadoop.fs.Path(dataPath))
-    val allCanon = all.map(p => canon(p.toString)).toSet
-    val fresh = all.filter(p => !knownCanon.contains(canon(p.toString)))
-      .map(_.toString)
-    val dead = known.filter(k => !allCanon.contains(canon(k)))
-    val kept =
-      if (dead.isEmpty) prior
-      else prior.filter(!col("file").isin(dead.toIndexedSeq: _*))
-    if (fresh.isEmpty) kept
-    else {
-      val df = spark.read.option("basePath", dataPath)
-        .parquet(fresh.toIndexedSeq: _*)
-      val aggs = Seq(count(lit(1)).as("n_rows")) ++
-        derived.flatMap { case (n, _) =>
-          Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n")) }
-      val add = df.select(input_file_name().as("file") +:
-          derived.map { case (n, e) => e.as(n) }: _*)
-        .groupBy(col("file"))
-        .agg(aggs.head, aggs.tail: _*)
-      kept.unionByName(seedEmptyFiles(spark, fresh.toIndexedSeq, add))
+    val (universe, detectDead) = candidates match {
+      case Some(c) => (c, false)
+      case None =>
+        fullListings.incrementAndGet()
+        val fs = new org.apache.hadoop.fs.Path(dataPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (listDataFiles(fs, new org.apache.hadoop.fs.Path(dataPath))
+          .map(_.toString), true)
     }
+    val fresh = universe.filter(p => !knownCanon.contains(canon(p)))
+    val dead =
+      if (!detectDead) Seq.empty[String]
+      else {
+        val uniCanon = universe.map(canon).toSet
+        known.filter(k => !uniCanon.contains(canon(k))).toIndexedSeq
+      }
+    val adds =
+      if (fresh.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          prior.schema)
+      else {
+        val df = spark.read.option("basePath", dataPath)
+          .parquet(fresh.toIndexedSeq: _*)
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++
+          derived.flatMap { case (n, _) =>
+            Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n")) }
+        val add = df.select(input_file_name().as("file") +:
+            derived.map { case (n, e) => e.as(n) }: _*)
+          .groupBy(col("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        seedEmptyFiles(spark, fresh.toIndexedSeq, add)
+      }
+    ManifestDiff(adds, dead, fresh.toIndexedSeq)
   }
 
   /** Data files whose [min_c, max_c] intersects [lo, hi]. */

@@ -187,24 +187,93 @@ class CrashConsistencySpec extends SparkSpec {
     fs.rename(p, old)
     Compaction.recover(spark, m)
     assert(spark.read.parquet(m).count() == 7, "roll-back to the displaced set")
-    // a refresh that died MID-WRITE (incomplete tmp, no _SUCCESS, no live
-    // manifest yet) must not be mistaken for a manifest: refreshManifest
-    // clears the debris and commits a fresh, correct build. (A crashed
-    // refresh whose tmp completed is the roll-forward case above — that
-    // tmp IS a valid manifest by construction.)
+    // a refresh that died MID-CHECKPOINT-WRITE (incomplete tmp inside the
+    // manifest log, no _SUCCESS, no live checkpoint yet) must not be
+    // mistaken for a checkpoint: refreshManifest clears the debris and
+    // commits a fresh, correct build. (A crashed checkpoint whose tmp
+    // completed is the roll-forward case above — swapIn's protocol is the
+    // same at the new location.)
     val lakeDf = Tables.orders(spark, sf).limit(500)
     lakeDf.repartition(2).write.parquet(s"$dir/lake")
     val cfg = graft.etl.JobConfig(tableName = "orders", numMappers = 2)
     val job = new graft.etl.IncrementalBackup(spark, cfg,
       new graft.etl.StatusStore(spark, s"$dir/status"), dir)
-    val mp = new Path(job.manifestPath)
-    val mtmp = new Path(mp.getParent, s".${mp.getName}.compact.tmp")
+    val mroot = new Path(job.manifestPath)
+    val mtmp = new Path(mroot, ".checkpoint.compact.tmp")
     fs.mkdirs(mtmp)
     val mj = fs.create(new Path(mtmp, "part-dead.parquet"), true)
     try mj.write(Array[Byte](2)) finally mj.close()
     val stats = job.refreshManifest(s"$dir/lake")
     assert(stats.count() == spark.read.parquet(s"$dir/lake").inputFiles.length)
     assert(!fs.exists(mtmp))
+  }
+
+  test("ManifestLog: delta-commit kill windows — staged-but-unpublished is invisible and re-derived; published twice folds to an empty diff; stale folded deltas are ignored") {
+    val dir = Files.createTempDirectory("graft-crash-mlog").toString
+    val orders = Tables.orders(spark, sf)
+    val lake = s"$dir/lake"
+    Files.createDirectories(java.nio.file.Paths.get(lake))
+    def land(df: org.apache.spark.sql.DataFrame, prefix: String): Unit = {
+      val stage = s"$dir/stage-$prefix"
+      df.repartitionByRange(2, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate").write.parquet(stage)
+      val st = Files.list(java.nio.file.Paths.get(stage))
+      try st.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, java.nio.file.Paths.get(lake, prefix + p.getFileName))
+      } finally st.close()
+    }
+    land(orders.filter(col("o_orderdate") < lit("1996-01-01")), "w1-")
+    val cfg = graft.etl.JobConfig(tableName = "orders", numMappers = 2)
+    val job = new graft.etl.IncrementalBackup(spark, cfg,
+      new graft.etl.StatusStore(spark, s"$dir/status"), dir)
+    val m1 = job.refreshManifest(lake)
+    val w1Count = m1.count()
+    assert(w1Count == spark.read.parquet(lake).inputFiles.length)
+
+    // wave 2 lands; CRASH (a): the delta is staged but never published —
+    // readers in the window still see the OLD complete manifest
+    land(orders.filter(col("o_orderdate") >= lit("1996-01-01")), "w2-")
+    val log = new graft.sources.ManifestLog(spark, job.manifestPath)
+    val prior = log.current().get
+    val pid = Seq("pid" -> job.pidCol(spark.read.parquet(lake)))
+    val diff = graft.sources.StatsStore
+      .collectExprDiff(spark, lake, pid, prior, None)
+    diff.adds.withColumn("tombstone", lit(false)).coalesce(1)
+      .write.parquet(s"${job.manifestPath}/.delta-1.tmp")
+    assert(log.current().get.count() == w1Count,
+      "a staged, unpublished delta must be invisible")
+    // retry converges: debris cleared, delta re-derived and committed
+    val m2 = job.refreshManifest(lake)
+    assert(m2.count() == spark.read.parquet(lake).inputFiles.length)
+    assert(!fs.listStatus(new Path(job.manifestPath))
+      .exists(_.getPath.getName.endsWith(".tmp")), "staging debris left")
+
+    // CRASH (b): the delta published but the drain died right after —
+    // a re-run derives an EMPTY diff and appends NOTHING (idempotent)
+    def deltaDirs() = fs.listStatus(new Path(job.manifestPath))
+      .count(_.getPath.getName.startsWith("delta-"))
+    val before = deltaDirs()
+    val m3 = job.refreshManifest(lake)
+    assert(m3.count() == m2.count())
+    assert(deltaDirs() == before, "an idle refresh must append no delta")
+
+    // CRASH (c): checkpoint swapped but folded-delta GC died — a stale
+    // delta with seq <= upto must be IGNORED by readers, then GC'd
+    val cfg2 = cfg.copy(manifestCheckpointEvery = 1) // fold every drain
+    val job2 = new graft.etl.IncrementalBackup(spark, cfg2,
+      new graft.etl.StatusStore(spark, s"$dir/status"), dir)
+    job2.refreshManifest(lake) // folds everything into the checkpoint
+    val expect = job2.readManifest().collect().map(_.toString).sorted.toSeq
+    // fabricate a stale folded delta: garbage rows at a low seq
+    val staleTmp = s"${job.manifestPath}/.delta-0.tmp"
+    diff.adds.withColumn("tombstone", lit(true)).coalesce(1)
+      .write.parquet(staleTmp)
+    fs.rename(new Path(staleTmp), new Path(s"${job.manifestPath}/delta-0"))
+    assert(job2.readManifest().collect().map(_.toString).sorted.toSeq == expect,
+      "a delta below the checkpoint's upto must be ignored")
+    job2.refreshManifest(lake) // gc() clears it
+    assert(!fs.exists(new Path(s"${job.manifestPath}/delta-0")))
   }
 
   test("IvfStore: a crashed cluster-leaf swap is recovered by compact; rows and probe results preserved") {

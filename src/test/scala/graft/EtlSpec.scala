@@ -149,7 +149,7 @@ class EtlSpec extends SparkSpec {
 
     // drain 1: full manifest build, persisted
     job.runPrunedIncremental(lake)
-    val m1 = spark.read.parquet(job.manifestPath)
+    val m1 = job.readManifest()
     val w1Files = spark.read.parquet(lake).inputFiles.toSet
     assert(m1.count() == w1Files.size)
 
@@ -185,7 +185,7 @@ class EtlSpec extends SparkSpec {
       .count().as[(Long, Long)].collect().toMap
     assert(got == want)
     // manifest persisted current: covers every lake file exactly once
-    val m2 = spark.read.parquet(job.manifestPath)
+    val m2 = job.readManifest()
     assert(m2.count() == spark.read.parquet(lake).inputFiles.length)
 
     // dead files are dropped: delete a wave-1 file, refresh, no dead path
@@ -271,7 +271,7 @@ class EtlSpec extends SparkSpec {
     val store = new StatusStore(spark, s"$tmp/status")
     val job = new IncrementalBackup(spark, cfg, store, s"$tmp/dest")
     job.runPrunedIncremental(lake, maxParallel = 2)
-    val m1 = spark.read.parquet(job.manifestPath)
+    val m1 = job.readManifest()
     assert(m1.count() == spark.read.parquet(lake).inputFiles.length,
       "manifest must cover every nested file after the first drain")
 
@@ -302,6 +302,175 @@ class EtlSpec extends SparkSpec {
       job2.readBack().schema.fieldNames.sorted))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "pruned drain over the partitioned lake diverged from the unpruned loop")
+  }
+
+  test("ingest wave journal: a steady-state drain performs ZERO full-lake listings; manifest and read-back identical to the listing path") {
+    val tmp = Files.createTempDirectory("graft-etljournal").toString
+    val orders = Tables.orders(spark, sf)
+    def stageWave(df: org.apache.spark.sql.DataFrame, parts: Int,
+        name: String): java.nio.file.Path = {
+      val stage = java.nio.file.Paths.get(s"$tmp/stage-$name")
+      df.repartitionByRange(parts, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate").write.parquet(stage.toString)
+      stage
+    }
+    val w1 = stageWave(orders.filter(col("o_orderdate") < lit("1996-01-01")), 4, "w1")
+    val w2 = stageWave(orders.filter(col("o_orderdate") >= lit("1996-01-01")), 2, "w2")
+    // two lakes with IDENTICAL content: one journaled, one listing-driven
+    val lakes = Seq("j", "l").map(m => m -> s"$tmp/lake-$m").toMap
+    lakes.values.foreach(l => Files.createDirectories(java.nio.file.Paths.get(l)))
+    def land(stage: java.nio.file.Path, lake: String, prefix: String): Seq[String] = {
+      val st = Files.list(stage)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      try st.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(lake, prefix + p.getFileName)
+          Files.copy(p, dst)
+          landed += dst.toString
+        }
+      } finally st.close()
+      landed.toSeq
+    }
+    val cfg = JobConfig(tableName = "orders", numMappers = 2)
+    val jobs = lakes.map { case (m, _) =>
+      m -> new IncrementalBackup(spark, cfg,
+        new StatusStore(spark, s"$tmp/status-$m"), s"$tmp/dest-$m")
+    }
+    // wave 1 + first drain (full manifest build — a listing is expected)
+    graft.sources.IngestLog.record(spark, lakes("j"),
+      land(w1, lakes("j"), "w1-"))
+    land(w1, lakes("l"), "w1-")
+    jobs("j").runPrunedIncremental(lakes("j"), maxParallel = 2)
+    jobs("l").runPrunedIncremental(lakes("l"), maxParallel = 2)
+    // wave 2 lands; the JOURNALED drain must not list the lake AT ALL
+    graft.sources.IngestLog.record(spark, lakes("j"),
+      land(w2, lakes("j"), "w2-"))
+    land(w2, lakes("l"), "w2-")
+    val listingsBefore = graft.sources.StatsStore.fullListings.get()
+    jobs("j").runPrunedIncremental(lakes("j"), maxParallel = 2)
+    assert(graft.sources.StatsStore.fullListings.get() == listingsBefore,
+      "a journaled steady-state drain must perform zero full-lake listings")
+    jobs("l").runPrunedIncremental(lakes("l"), maxParallel = 2)
+    // identical manifests either path (keyed by file NAME — the lakes'
+    // prefixes differ), identical read-backs, both matching the source
+    def manifestMap(m: String) = jobs(m).readManifest().collect().map { r =>
+      new org.apache.hadoop.fs.Path(r.getAs[String]("file")).getName ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_pid"), r.getAs[Long]("max_pid"))
+    }.toMap
+    assert(manifestMap("j") == manifestMap("l"),
+      "journal-maintained manifest diverged from the listing-maintained one")
+    import spark.implicits._
+    def back(m: String) = jobs(m).readBack()
+      .groupBy(col("pid").cast("long").as("p")).count()
+      .as[(Long, Long)].collect().toMap
+    val want = orders.groupBy(ReferenceOps.monthSid(col("o_orderdate")).as("p"))
+      .count().as[(Long, Long)].collect().toMap
+    assert(back("j") == want && back("l") == want)
+    // an idle journaled drain is also listing-free AND copies nothing
+    val idleBefore = graft.sources.StatsStore.fullListings.get()
+    assert(jobs("j").runPrunedIncremental(lakes("j"), maxParallel = 2).isEmpty)
+    assert(graft.sources.StatsStore.fullListings.get() == idleBefore)
+  }
+
+  test("journal reconciliation: deletions invisible to the append-only journal are tombstoned on the checkpoint drain") {
+    val tmp = Files.createTempDirectory("graft-etljrec").toString
+    val orders = Tables.orders(spark, sf).limit(4000)
+    val lake = s"$tmp/lake"
+    Files.createDirectories(java.nio.file.Paths.get(lake))
+    val stage = s"$tmp/stage"
+    orders.repartition(3).write.parquet(stage)
+    val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val st = Files.list(java.nio.file.Paths.get(stage))
+    try st.forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        val dst = java.nio.file.Paths.get(lake, s"w1-${p.getFileName}")
+        Files.copy(p, dst); landed += dst.toString
+      }
+    } finally st.close()
+    graft.sources.IngestLog.record(spark, lake, landed.toSeq)
+    // checkpoint every 2 deltas → reconciliation no later than 2 drains out
+    val cfg = JobConfig(tableName = "orders", numMappers = 2,
+      manifestCheckpointEvery = 2)
+    val job = new IncrementalBackup(spark, cfg,
+      new StatusStore(spark, s"$tmp/status"), s"$tmp/dest")
+    job.runPrunedIncremental(lake)
+    // a compaction-like mutation the journal cannot see
+    val victim = landed.head
+    new org.apache.hadoop.fs.Path(victim)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(victim), false)
+    // drain 1 after the delete: journal path, stale row may survive —
+    // harmless (superset guarantee). drain 2 hits the checkpoint cadence,
+    // reconciles against a real listing, and the dead row is gone.
+    job.runPrunedIncremental(lake)
+    job.runPrunedIncremental(lake)
+    val files = job.readManifest().select("file").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect()
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+    assert(!files.contains(new org.apache.hadoop.fs.Path(victim).toUri.getPath),
+      "reconciliation must tombstone a journal-invisible deletion")
+    assert(files.length == landed.size - 1)
+  }
+
+  test("skipLatestMonths: copies defer exactly the newest N distinct months, pruned discovery stays scan-free, paths agree across a year boundary") {
+    val tmp = Files.createTempDirectory("graft-etlskip").toString
+    val orders = Tables.orders(spark, sf)
+    val lake = s"$tmp/lake"
+    Files.createDirectories(java.nio.file.Paths.get(lake))
+    def land(df: org.apache.spark.sql.DataFrame, parts: Int, prefix: String): Unit = {
+      val stage = s"$tmp/stage-$prefix"
+      df.repartitionByRange(parts, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate").write.parquet(stage)
+      val st = Files.list(java.nio.file.Paths.get(stage))
+      try st.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, java.nio.file.Paths.get(lake, prefix + p.getFileName))
+      } finally st.close()
+    }
+    import spark.implicits._
+    def months(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .select(ReferenceOps.monthSid(col("o_orderdate")))
+      .distinct().as[Long].collect().sorted.toSeq
+    val w1 = orders.filter(col("o_orderdate") < lit("1996-01-01"))
+    val w2 = orders.filter(col("o_orderdate") >= lit("1996-01-01"))
+    land(w1, 4, "w1-")
+
+    val cfg = JobConfig(tableName = "orders", numMappers = 2,
+      skipLatestMonths = 2)
+    val job = new IncrementalBackup(spark, cfg,
+      new StatusStore(spark, s"$tmp/status"), s"$tmp/dest")
+    val copied1 = job.runPrunedIncremental(lake, maxParallel = 2)
+    val m1 = months(w1)
+    assert(copied1.sorted == m1.dropRight(2),
+      s"drain 1 must defer the newest 2 months: copied $copied1")
+    // up-to-date drain: the deferred months are RECORDED (deferral is
+    // copy-time), so the discovery scan set is EMPTY even with skip > 0 —
+    // the production configuration no longer rescans history every drain
+    val stats = job.refreshManifest(lake)
+    assert(job.discoveryFiles(stats).isEmpty,
+      "an up-to-date drain with skip>0 must not scan any file for discovery")
+
+    // wave 2 lands across the Dec→Jan boundary; the window slides and the
+    // previously-deferred 1995 months become copyable
+    land(w2, 2, "w2-")
+    val copied2 = job.runPrunedIncremental(lake, maxParallel = 2)
+    val all = months(orders)
+    assert((copied1 ++ copied2).sorted == all.dropRight(2),
+      "after the window slides, everything but the newest 2 overall is copied")
+    assert(m1.takeRight(2).forall(copied2.contains),
+      s"drain 2 must promote the months deferred by drain 1: $copied2")
+
+    // equivalence with the UNPRUNED reference loop driven wave-for-wave
+    val jobR = new IncrementalBackup(spark, cfg,
+      new StatusStore(spark, s"$tmp/status-r"), s"$tmp/dest-r")
+    val r1 = jobR.run(w1)
+    val r2 = jobR.run(spark.read.parquet(lake))
+    assert(r1.sorted == copied1.sorted && r2.sorted == copied2.sorted,
+      s"pruned ($copied1 / $copied2) != reference loop ($r1 / $r2)")
+    def back(j: IncrementalBackup) = j.readBack()
+      .groupBy(col("pid").cast("long").as("m")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(back(job) == back(jobR))
   }
 
   test("zero-row parquet files are seeded into the manifest: no perpetual re-scan, never opened by pruned reads") {
@@ -610,7 +779,8 @@ class EtlSpec extends SparkSpec {
       assert(out(t).map(_.toSet) == seq(t).map(_.toSet),
         s"$t: concurrent copied ${out(t)} vs sequential ${seq(t)}")
       // the pruned path really ran: a persisted manifest covering the lake
-      val manifest = spark.read.parquet(s"$dir/work/data/${t}_manifest")
+      val manifest = new graft.sources.ManifestLog(
+        spark, s"$dir/work/data/${t}_manifest").current().get
       assert(manifest.count() ==
         spark.read.parquet(s"$dir/lake/$t").inputFiles.length)
       // at-rest content identical between the two runners
@@ -624,6 +794,45 @@ class EtlSpec extends SparkSpec {
     val again = EtlRunner.runAllConcurrentFrom(spark, s"$dir/work", jobs,
       maxParallel = 2)
     assert(again.values.forall(_.exists(_.isEmpty)), again.toString)
+  }
+
+  test("fleet-wide job-slot budget: copy jobs in flight <= budget ACROSS tables (2 tables x maxParallel=4, budget 3); results unchanged") {
+    val dir = Files.createTempDirectory("graft-slots").toString
+    Tables.orders(spark, sf)
+      .withColumn("month_sid", ReferenceOps.monthSid(col("o_orderdate")))
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.parquet(s"$dir/lake/orders")
+    Tables.lineitem(spark, sf)
+      .withColumn("month_sid", ReferenceOps.monthSid(col("l_shipdate")))
+      .repartitionByRange(4, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.parquet(s"$dir/lake/lineitem")
+    import graft.etl.EtlRunner
+    def jobs = Seq("orders", "lineitem").map { t =>
+      JobConfig(tableName = t, numMappers = 2, pruned = true, maxParallel = 4,
+        outputFileFormat = "parquet", lakePath = s"$dir/lake/$t") ->
+        (EtlRunner.LakeSource(s"$dir/lake/$t"): EtlRunner.EtlSource)
+    }
+    // without a budget the bound is 2 tables x 4 = 8 jobs; the shared
+    // slot pool must cap the FLEET at 3 while both pools stay 4-wide
+    val slots = new graft.etl.JobSlots(3)
+    val out = EtlRunner.runAllConcurrentFrom(spark, s"$dir/work", jobs,
+      maxParallel = 2, Some(slots))
+    assert(slots.peak.get() <= 3,
+      s"budget exceeded: ${slots.peak.get()} copy jobs in flight")
+    assert(slots.peak.get() >= 2,
+      s"budget never shared across jobs (peak=${slots.peak.get()})")
+    // results identical to the unbudgeted sequential runner
+    val seq = EtlRunner.runAllFrom(spark, s"$dir/work-seq", jobs)
+    for (t <- Seq("orders", "lineitem")) {
+      assert(out(t).map(_.toSet) == seq(t).map(_.toSet))
+      val a = spark.read.parquet(s"$dir/work/data/$t")
+      val b = spark.read.parquet(s"$dir/work-seq/data/$t")
+        .select(a.columns.map(col).toIndexedSeq: _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t: budgeted drain diverged from sequential")
+    }
   }
 
   test("EtlRunner: multi-table LAKE_PATH + PRUNED + MAX_PARALLEL configs drain through the manifest-pruned concurrent path") {
@@ -663,7 +872,8 @@ class EtlSpec extends SparkSpec {
     // the pruned path really ran: both tables persisted a manifest whose
     // row count is the lake's file count
     for (t <- Seq("orders", "lineitem")) {
-      val manifest = spark.read.parquet(s"$root/data/${t}_manifest")
+      val manifest = new graft.sources.ManifestLog(
+        spark, s"$root/data/${t}_manifest").current().get
       assert(manifest.count() ==
         spark.read.parquet(s"$dir/lake/$t").inputFiles.length)
     }
