@@ -377,7 +377,17 @@ final class IncrementalBackup(
           .waves(spark, sourcePath).maxOption.getOrElse(-1L))
         log.checkpoint()
         log.current().get
-      case Some(prior) =>
+      case Some(prior0) =>
+        // fold ONCE: the manifest is one row per file (driver-bounded by
+        // the survivingFiles contract), so localize it — every later use
+        // (schema sample, diff, kept-rows union) is then driver-side or
+        // local-relation work instead of re-executing the log fold per
+        // action (~3 window jobs per drain otherwise)
+        val prior = {
+          val rows = prior0.collect().toIndexedSeq
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(rows.asJava, prior0.schema)
+        }
         // bind the derived expressions against ONE known file's schema —
         // no lake-root listing on the steady path
         val derived = Seq("pid" -> pidCol(schemaRelation(sourcePath, prior)))
@@ -387,23 +397,32 @@ final class IncrementalBackup(
         // lake skip reconciliation forever
         val due = log.bumpRefreshCount() >= cfg.manifestCheckpointEvery
         val reconcile = !journal || due
-        if (reconcile) {
-          val d = graft.sources.StatsStore
-            .collectExprDiff(spark, sourcePath, derived, prior, None)
-          log.commitDelta(d.adds, d.dead)
-          if (journal)
-            log.setWaveWatermark(graft.sources.IngestLog
-              .waves(spark, sourcePath).maxOption.getOrElse(-1L))
-        } else {
-          val (waveFiles, head) = graft.sources.IngestLog
-            .filesSince(spark, sourcePath, log.waveWatermark)
-          val d = graft.sources.StatsStore
-            .collectExprDiff(spark, sourcePath, derived, prior, Some(waveFiles))
-          log.commitDelta(d.adds, d.dead)
-          log.setWaveWatermark(head)
-        }
+        val d =
+          if (reconcile) {
+            val diff = graft.sources.StatsStore
+              .collectExprDiff(spark, sourcePath, derived, prior, None)
+            log.commitDelta(diff.adds, diff.dead)
+            if (journal)
+              log.setWaveWatermark(graft.sources.IngestLog
+                .waves(spark, sourcePath).maxOption.getOrElse(-1L))
+            diff
+          } else {
+            val (waveFiles, head) = graft.sources.IngestLog
+              .filesSince(spark, sourcePath, log.waveWatermark)
+            val diff = graft.sources.StatsStore
+              .collectExprDiff(spark, sourcePath, derived, prior, Some(waveFiles))
+            log.commitDelta(diff.adds, diff.dead)
+            log.setWaveWatermark(head)
+            diff
+          }
         if (due) { log.checkpoint(); log.resetRefreshCount() }
-        log.current().get
+        // the refreshed view computed directly from prior + diff (both
+        // local relations) — identical to the log fold by construction
+        // (fresh ∩ known = ∅), without re-executing the fold
+        val kept =
+          if (d.dead.isEmpty) prior
+          else prior.filter(!col("file").isin(d.dead.toIndexedSeq: _*))
+        if (d.scanned.isEmpty) kept else kept.unionByName(d.adds)
     }
   }
 
