@@ -132,6 +132,14 @@ final class IncrementalBackup(
     copied
   }
 
+  /** Checkpoint output files sized from the manifest's row count: ~2 M
+    * rows (one per lake file; ~50-100 MB parquet) per task, so the 1/k
+    * fold never degenerates into one giant write task at 100 TB scale.
+    * Always 1 at test scale — behavior unchanged below 2 M files.
+    */
+  private def checkpointShards(manifestRows: Long): Int =
+    math.max(1L, manifestRows / 2000000L).toInt
+
   /** Run `f` holding one fleet job slot, when a budget is in force. */
   private def slotted[T](slots: Option[JobSlots])(f: => T): T =
     slots.fold(f)(_.withSlot(f))
@@ -375,7 +383,7 @@ final class IncrementalBackup(
         // the full scan covered every journal wave landed so far
         log.setWaveWatermark(graft.sources.IngestLog
           .waves(spark, sourcePath).maxOption.getOrElse(-1L))
-        log.checkpoint()
+        log.checkpoint(checkpointShards(full.count()))
         log.current().get
       case Some(prior0) =>
         // fold ONCE: the manifest is one row per file (driver-bounded by
@@ -402,9 +410,14 @@ final class IncrementalBackup(
             val diff = graft.sources.StatsStore
               .collectExprDiff(spark, sourcePath, derived, prior, None)
             log.commitDelta(diff.adds, diff.dead)
-            if (journal)
-              log.setWaveWatermark(graft.sources.IngestLog
-                .waves(spark, sourcePath).maxOption.getOrElse(-1L))
+            if (journal) {
+              val head = graft.sources.IngestLog
+                .waves(spark, sourcePath).maxOption.getOrElse(-1L)
+              log.setWaveWatermark(head)
+              // this refresh listed the lake, so every recorded wave is
+              // covered — GC them to keep the journal dir bounded
+              graft.sources.IngestLog.gc(spark, sourcePath, head)
+            }
             diff
           } else {
             val (waveFiles, head) = graft.sources.IngestLog
@@ -415,13 +428,14 @@ final class IncrementalBackup(
             log.setWaveWatermark(head)
             diff
           }
-        if (due) { log.checkpoint(); log.resetRefreshCount() }
+        if (due) {
+          log.checkpoint(checkpointShards(prior.count()))
+          log.resetRefreshCount()
+        }
         // the refreshed view computed directly from prior + diff (both
         // local relations) — identical to the log fold by construction
         // (fresh ∩ known = ∅), without re-executing the fold
-        val kept =
-          if (d.dead.isEmpty) prior
-          else prior.filter(!col("file").isin(d.dead.toIndexedSeq: _*))
+        val kept = graft.sources.StatsStore.dropFiles(spark, prior, d.dead)
         if (d.scanned.isEmpty) kept else kept.unionByName(d.adds)
     }
   }

@@ -16,7 +16,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  final case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long)
+  /** `peakParallel`: highest number of leaf rewrites observed in flight
+    * during THIS invocation (1 for a plain [[compact]]) — the throttle
+    * contract as a per-call result rather than process-wide state, so
+    * overlapping maintenance passes (e.g. per-table maintenance under
+    * `runAllConcurrentFrom`) each report their own bound truthfully.
+    */
+  final case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long,
+      peakParallel: Int = 1)
 
   /** Rename that THROWS on failure. Hadoop's `FileSystem.rename` reports
     * failure as a boolean (src missing, dst occupied, FS refusal) — and a
@@ -132,19 +139,15 @@ object Compaction {
     * the partition columns from the directory names, and the per-directory
     * atomic-swap discipline of [[compact]] applies unchanged at any depth.
     */
-  /** Test instrumentation for the throttle contract: peak number of leaf
-    * rewrites in flight, across ALL nesting depths, since the last
-    * [[resetLeafGauge]]. A process-wide gauge — meaningful only when one
-    * compactPartitions runs at a time (how the specs use it).
-    */
-  private val activeLeaves = new java.util.concurrent.atomic.AtomicInteger(0)
-  private[graft] val peakLeaves = new java.util.concurrent.atomic.AtomicInteger(0)
-  private[graft] def resetLeafGauge(): Unit = { activeLeaves.set(0); peakLeaves.set(0) }
-
   def compactPartitions(spark: SparkSession, root: String,
       format: String = "parquet",
       targetBytes: Long = 256L * 1024 * 1024,
       maxParallel: Int = 1): Stats = {
+    // per-INVOCATION throttle gauge (r8 verdict nit: the earlier
+    // process-wide gauge lied when per-table maintenance passes
+    // legitimately overlapped in production) — reported in Stats
+    val activeLeaves = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peakLeaves = new java.util.concurrent.atomic.AtomicInteger(0)
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Collect the LEAF partition dirs first (depth-first, driver-side; the
@@ -218,6 +221,6 @@ object Compaction {
         } finally { pool.shutdown(); () }
       }
     Stats(all.map(_.filesBefore).sum, all.map(_.filesAfter).sum,
-      all.map(_.bytes).sum)
+      all.map(_.bytes).sum, math.max(1, peakLeaves.get()))
   }
 }

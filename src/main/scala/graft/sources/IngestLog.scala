@@ -65,6 +65,25 @@ object IngestLog {
     seq
   }
 
+  /** Drop waves at or below `upTo` — called by the drain once a
+    * reconciliation (full-listing) refresh has covered them, so the
+    * journal directory stays bounded by the checkpoint cadence instead of
+    * accumulating one marker file per drain forever (after years of
+    * drains, listing `_ingest_log/` would itself become an O(history)
+    * metadata op). Consumed-but-unGC'd waves are harmless: re-reading
+    * them yields known files, an empty diff.
+    */
+  def gc(spark: SparkSession, lakePath: String, upTo: Long): Unit = {
+    val fs = fsOf(spark, lakePath)
+    val d = dir(lakePath)
+    // keep the HIGHEST consumed wave as the sequence anchor: deleting it
+    // would reset [[record]]'s numbering below the manifest's watermark,
+    // and the journal fast path would skip the renumbered waves until the
+    // next reconciliation
+    waves(spark, lakePath).filter(_ <= upTo).dropRight(1)
+      .foreach(s => fs.delete(new Path(d, s"wave-$s"), false))
+  }
+
   /** Every file recorded by waves with seq > `watermark`, plus the journal
     * head (the caller's next watermark). The read set is the NEW waves'
     * listing files only — no lake directory traversal.

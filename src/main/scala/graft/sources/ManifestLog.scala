@@ -30,8 +30,7 @@ import org.apache.spark.sql.functions._
   * Single writer per table by contract (the ETL drain holds the table's
   * [[graft.operators.JobLock]]).
   */
-final class ManifestLog(spark: SparkSession, path: String,
-    checkpointFiles: Int = 1) {
+final class ManifestLog(spark: SparkSession, path: String) {
 
   private val root = new Path(path)
   private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -142,17 +141,19 @@ final class ManifestLog(spark: SparkSession, path: String,
   /** Fold checkpoint + live deltas into a NEW checkpoint (atomic two-rename
     * swap), then GC the folded deltas. No-op when no delta is live. The
     * fold is the only O(total-files) write left in manifest maintenance,
-    * paid once per `manifestCheckpointEvery` drains; `checkpointFiles`
-    * shards the snapshot for manifests too large for one task.
+    * paid once per `manifestCheckpointEvery` drains; `numFiles` shards
+    * the snapshot so a multi-million-row manifest (100 TB / millions of
+    * lake files) is not a single 100-400 MB write task — callers size it
+    * from the manifest's known row count.
     */
-  def checkpoint(): Unit = {
+  def checkpoint(numFiles: Int = 1): Unit = {
     val upto = ckptUpto
     val live = deltaSeqs.filter(_ > upto)
     if (live.isEmpty) return
     val target = live.max
     val folded = current().get
     Compaction.swapIn(spark, ckptPath.toString) { tmp =>
-      folded.coalesce(math.max(1, checkpointFiles)).write.parquet(tmp)
+      folded.coalesce(math.max(1, numFiles)).write.parquet(tmp)
       // marker AFTER the snapshot is complete, still before any rename —
       // a checkpoint is only ever visible with its coverage recorded
       fs.create(new Path(tmp, s"_upto-$target"), true).close()

@@ -158,11 +158,28 @@ object StatsStore {
       derived: Seq[(String, org.apache.spark.sql.Column)],
       prior: DataFrame): DataFrame = {
     val d = collectExprDiff(spark, dataPath, derived, prior, None)
-    val kept =
-      if (d.dead.isEmpty) prior
-      else prior.filter(!col("file").isin(d.dead.toIndexedSeq: _*))
+    val kept = dropFiles(spark, prior, d.dead)
     if (d.scanned.isEmpty) kept else kept.unionByName(d.adds)
   }
+
+  /** `prior` minus the rows for `dead` paths. Small dead sets inline as a
+    * NOT IN filter; large ones (a compaction or backfill that replaced
+    * much of the lake) would build a giant expression tree, so they go
+    * through a broadcast anti-join on the canonical path instead.
+    */
+  def dropFiles(spark: SparkSession, prior: DataFrame,
+      dead: Seq[String]): DataFrame =
+    if (dead.isEmpty) prior
+    else if (dead.size <= 1000)
+      prior.filter(!col("file").isin(dead.toIndexedSeq: _*))
+    else {
+      import spark.implicits._
+      val deadDf = dead.map(canon).toDF("__dead_key")
+      val keyed = prior.withColumn("__key",
+        regexp_replace(col("file"), "^[a-z][a-z0-9+.\\-]*:/+", "/"))
+      keyed.join(broadcast(deadDf), keyed("__key") === deadDf("__dead_key"),
+        "left_anti").drop("__key")
+    }
 
   /** The DIFF underlying [[collectExprAppend]], as data the caller can
     * journal: stats rows for files not in `prior` + prior paths that no

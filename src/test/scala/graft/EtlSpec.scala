@@ -410,6 +410,13 @@ class EtlSpec extends SparkSpec {
     assert(!files.contains(new org.apache.hadoop.fs.Path(victim).toUri.getPath),
       "reconciliation must tombstone a journal-invisible deletion")
     assert(files.length == landed.size - 1)
+    // the reconcile GC'd consumed waves down to the sequence anchor, and
+    // numbering stays monotonic past it (a renumbered wave below the
+    // watermark would be silently skipped by the journal fast path)
+    val wavesLeft = graft.sources.IngestLog.waves(spark, lake)
+    assert(wavesLeft.size <= 1, s"journal not GC'd: $wavesLeft")
+    val next = graft.sources.IngestLog.record(spark, lake, Seq("dummy"))
+    assert(wavesLeft.forall(next > _), "wave numbering must stay monotonic after GC")
   }
 
   test("skipLatestMonths: copies defer exactly the newest N distinct months, pruned discovery stays scan-free, paths agree across a year boundary") {
@@ -471,6 +478,46 @@ class EtlSpec extends SparkSpec {
       .groupBy(col("pid").cast("long").as("m")).count()
       .as[(Long, Long)].collect().toMap
     assert(back(job) == back(jobR))
+  }
+
+  test("journal + skipLatestMonths compose: steady drain stays listing-free AND defers the newest months") {
+    val tmp = Files.createTempDirectory("graft-etljskip").toString
+    val orders = Tables.orders(spark, sf)
+    val lake = s"$tmp/lake"
+    Files.createDirectories(java.nio.file.Paths.get(lake))
+    def land(df: org.apache.spark.sql.DataFrame, prefix: String): Seq[String] = {
+      val stage = s"$tmp/stage-$prefix"
+      df.repartitionByRange(3, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate").write.parquet(stage)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val st = Files.list(java.nio.file.Paths.get(stage))
+      try st.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(lake, prefix + p.getFileName)
+          Files.copy(p, dst); landed += dst.toString
+        }
+      } finally st.close()
+      landed.toSeq
+    }
+    import spark.implicits._
+    def months(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .select(ReferenceOps.monthSid(col("o_orderdate")))
+      .distinct().as[Long].collect().sorted.toSeq
+    val w1 = orders.filter(col("o_orderdate") < lit("1996-01-01"))
+    val w2 = orders.filter(col("o_orderdate") >= lit("1996-01-01"))
+    val cfg = JobConfig(tableName = "orders", numMappers = 2,
+      skipLatestMonths = 2)
+    val job = new IncrementalBackup(spark, cfg,
+      new StatusStore(spark, s"$tmp/status"), s"$tmp/dest")
+    graft.sources.IngestLog.record(spark, lake, land(w1, "w1-"))
+    val copied1 = job.runPrunedIncremental(lake, maxParallel = 2)
+    assert(copied1.sorted == months(w1).dropRight(2))
+    graft.sources.IngestLog.record(spark, lake, land(w2, "w2-"))
+    val before = graft.sources.StatsStore.fullListings.get()
+    val copied2 = job.runPrunedIncremental(lake, maxParallel = 2)
+    assert(graft.sources.StatsStore.fullListings.get() == before,
+      "journal + skip drain must not list the lake")
+    assert((copied1 ++ copied2).sorted == months(orders).dropRight(2))
   }
 
   test("zero-row parquet files are seeded into the manifest: no perpetual re-scan, never opened by pruned reads") {

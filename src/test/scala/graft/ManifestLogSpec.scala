@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.ManifestLog
+
+/** Unit semantics of the log-structured manifest store, independent of the
+  * ETL drain that drives it: fold ordering, tombstone shadowing across
+  * delta boundaries, scheme-normalized keys, watermark/counter markers.
+  */
+class ManifestLogSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("min_pid", LongType, nullable = true),
+    StructField("max_pid", LongType, nullable = true)))
+
+  private def rows(rs: (String, Long, Long, Long)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rs.map { case (f, n, lo, hi) =>
+        Row(f, n, java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))
+      }.asJava, schema)
+  }
+
+  private def files(log: ManifestLog): Set[String] =
+    log.current().get.select("file").collect().map(_.getString(0)).toSet
+
+  test("fold is last-writer-wins: a later delta's row replaces an earlier one; a tombstone kills an add across delta boundaries") {
+    val dir = Files.createTempDirectory("graft-mlog1").toString
+    val log = new ManifestLog(spark, s"$dir/m")
+    log.commitDelta(rows(("/a.parquet", 10L, 1L, 2L), ("/b.parquet", 5L, 3L, 4L)), Seq.empty)
+    log.commitDelta(rows(("/a.parquet", 99L, 1L, 9L)), Seq("/b.parquet"))
+    val cur = log.current().get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur == Map("/a.parquet" -> 99L),
+      s"expected the re-added /a row and no /b: $cur")
+  }
+
+  test("scheme-normalized fold key: a tombstone carrying file:/x kills an add recorded as file:///x") {
+    val dir = Files.createTempDirectory("graft-mlog2").toString
+    val log = new ManifestLog(spark, s"$dir/m")
+    log.commitDelta(rows((s"file://$dir/x.parquet", 7L, 1L, 1L),
+      (s"file://$dir/y.parquet", 8L, 2L, 2L)), Seq.empty)
+    log.commitDelta(rows(), Seq(s"file:$dir/x.parquet"))
+    assert(files(log) == Set(s"file://$dir/y.parquet"),
+      "the scheme variant must shadow the stored form")
+  }
+
+  test("empty diff commits nothing; checkpoint folds and ignores stale deltas; watermark and refresh counter are monotonic markers") {
+    val dir = Files.createTempDirectory("graft-mlog3").toString
+    val log = new ManifestLog(spark, s"$dir/m")
+    assert(log.commitDelta(rows(), Seq.empty).isEmpty)
+    assert(log.current().isEmpty)
+    log.commitDelta(rows(("/a.parquet", 1L, 1L, 1L)), Seq.empty)
+    log.commitDelta(rows(("/b.parquet", 2L, 2L, 2L)), Seq.empty)
+    assert(log.deltasSinceCheckpoint == 2)
+    log.checkpoint()
+    assert(log.deltasSinceCheckpoint == 0)
+    assert(files(log) == Set("/a.parquet", "/b.parquet"))
+    // markers
+    assert(log.waveWatermark == -1L)
+    log.setWaveWatermark(5L)
+    log.setWaveWatermark(3L) // lower: no-op
+    assert(log.waveWatermark == 5L)
+    assert(log.refreshCount == 0L)
+    assert(log.bumpRefreshCount() == 1L && log.bumpRefreshCount() == 2L)
+    log.resetRefreshCount()
+    assert(log.refreshCount == 0L)
+  }
+
+  test("legacy migration: a pre-r9 flat manifest becomes the first delta; re-entry after a partial migration completes it") {
+    val dir = Files.createTempDirectory("graft-mlog4").toString
+    val m = s"$dir/m"
+    rows(("/old1.parquet", 3L, 1L, 1L), ("/old2.parquet", 4L, 2L, 2L))
+      .coalesce(1).write.parquet(m) // the legacy layout: flat parquet + _SUCCESS
+    val log = new ManifestLog(spark, m)
+    log.migrateLegacy()
+    assert(files(log) == Set("/old1.parquet", "/old2.parquet"))
+    // no legacy parquet remains at the root; re-running is a no-op
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(m))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+    log.migrateLegacy()
+    assert(files(log) == Set("/old1.parquet", "/old2.parquet"))
+  }
+}

@@ -158,10 +158,9 @@ class OperatorsSpec extends SparkSpec {
         pmod(col("id"), lit(4)).as("q"), pmod(col("id") / 4, lit(8)).as("qb"))
       .repartition(4)
       .write.partitionBy("q", "qb").parquet(root)
-    graft.sources.Compaction.resetLeafGauge()
     val st = graft.sources.Compaction.compactPartitions(spark, root,
       targetBytes = 1L << 30, maxParallel = 4)
-    val peak = graft.sources.Compaction.peakLeaves.get()
+    val peak = st.peakParallel
     assert(peak <= 4, s"throttle exceeded: $peak concurrent leaf rewrites")
     assert(peak >= 2, s"pooling never overlapped leaves (peak=$peak)")
     assert(st.filesAfter == 32 && st.filesBefore > st.filesAfter, st.toString)
