@@ -81,6 +81,12 @@ object ScaleBench {
     // so the decade gate is the right check that neither hides a
     // history- or corpus-superlinear term.
     "q_etl_incr" -> 2,
+    // r9-round drain modes promoted to decade coverage (r9 verdict task 3):
+    // the ingest-journaled drain beside its listing-driven twin q_etl_incr
+    // (the ×100-history point is the journal-vs-listing crossover that
+    // justifies the journal), and the production SKIP_LATEST_MONTHS knob
+    "q_etl_journal" -> 2,
+    "q_etl_skip" -> 2,
     "q_visidx_compaction" -> 2,
     "q_ivfidx_compaction" -> 2,
     // r8-round maintenance pass promoted to decade coverage (r8 verdict
@@ -538,7 +544,7 @@ object ScaleBench {
         val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!dfs.exists(p)) 0L else dfs.getContentSummary(p).getLength
       }
-      def probeWrite(histDir: String, tag: String): (Double, Long, Long) = {
+      def probeWrite(histDir: String, tag: String): (Double, Long, Long, Long, Long) = {
         val cfg = graft.etl.JobConfig(tableName = s"wm$tag",
           numMappers = 2, outputFileFormat = "parquet")
         val job = new graft.etl.IncrementalBackup(spark, cfg,
@@ -556,12 +562,21 @@ object ScaleBench {
         val t0 = System.nanoTime()
         job.refreshManifest(histDir)
         val t = (System.nanoTime() - t0) / 1e9
-        (t, du(job.manifestPath) - before, ckptBytes)
+        // r9 verdict task 1's gauge: DRIVER-localized checkpoint rows for a
+        // one-month consumer (the per-month copy's read), vs the rows the
+        // checkpoint holds — localized must stay flat across ×10 history
+        // while the total grows with it
+        val m = orders01.agg(min(graft.operators.ReferenceOps
+          .monthSid(col("o_orderdate"))).as("m")).head().getLong(0)
+        val loc = new graft.sources.ManifestLog(spark, job.manifestPath)
+          .localizedPruned((mn, mx) => mx >= m && mn <= m)
+        (t, du(job.manifestPath) - before, ckptBytes,
+          loc.checkpointRowsRead, loc.checkpointRowsTotal)
       }
-      val (wt1, wb1, wc1) = probeWrite(s"$tmpRoot/h1", "1")
-      val (wt10, wb10, wc10) = probeWrite(s"$tmpRoot/h10", "10")
-      System.err.println(f"[scale] manifest_append h1=${t1}%.2fs/${b1 / 1e6}%.1fMB h10=${t10}%.2fs/${b10 / 1e6}%.1fMB (x${t10 / math.max(t1, 1e-9)}%.2f time, x${b10.toDouble / math.max(b1.toDouble, 1.0)}%.2f bytes); full rebuild h10=${rs10}%.2fs/${rb10 / 1e6}%.1fMB; delta write h1=${wb1 / 1e3}%.1fKB h10=${wb10 / 1e3}%.1fKB (x${wb10.toDouble / math.max(wb1.toDouble, 1.0)}%.2f) vs checkpoint h10=${wc10 / 1e3}%.1fKB")
-      s""","manifest_append":{"wave_files":2,"h1_append_s":${s3(t1)},"h10_append_s":${s3(t10)},"append_time_ratio":${s3(t10 / math.max(t1, 1e-9))},"h1_append_read_mb":${s3(b1 / 1e6)},"h10_append_read_mb":${s3(b10 / 1e6)},"append_bytes_ratio":${s3(b10.toDouble / math.max(b1.toDouble, 1.0))},"h1_rebuild_s":${s3(rs1)},"h10_rebuild_s":${s3(rs10)},"h1_rebuild_read_mb":${s3(rb1 / 1e6)},"h10_rebuild_read_mb":${s3(rb10 / 1e6)},"h1_delta_write_kb":${s3(wb1 / 1e3)},"h10_delta_write_kb":${s3(wb10 / 1e3)},"delta_write_ratio":${s3(wb10.toDouble / math.max(wb1.toDouble, 1.0))},"h1_refresh_s":${s3(wt1)},"h10_refresh_s":${s3(wt10)},"h1_checkpoint_kb":${s3(wc1 / 1e3)},"h10_checkpoint_kb":${s3(wc10 / 1e3)}}"""
+      val (wt1, wb1, wc1, wl1, wtot1) = probeWrite(s"$tmpRoot/h1", "1")
+      val (wt10, wb10, wc10, wl10, wtot10) = probeWrite(s"$tmpRoot/h10", "10")
+      System.err.println(f"[scale] manifest_append h1=${t1}%.2fs/${b1 / 1e6}%.1fMB h10=${t10}%.2fs/${b10 / 1e6}%.1fMB (x${t10 / math.max(t1, 1e-9)}%.2f time, x${b10.toDouble / math.max(b1.toDouble, 1.0)}%.2f bytes); full rebuild h10=${rs10}%.2fs/${rb10 / 1e6}%.1fMB; delta write h1=${wb1 / 1e3}%.1fKB h10=${wb10 / 1e3}%.1fKB (x${wb10.toDouble / math.max(wb1.toDouble, 1.0)}%.2f) vs checkpoint h10=${wc10 / 1e3}%.1fKB; localized rows h1=$wl1/$wtot1 h10=$wl10/$wtot10 (x${wl10.toDouble / math.max(wl1.toDouble, 1.0)}%.2f)")
+      s""","manifest_append":{"wave_files":2,"h1_append_s":${s3(t1)},"h10_append_s":${s3(t10)},"append_time_ratio":${s3(t10 / math.max(t1, 1e-9))},"h1_append_read_mb":${s3(b1 / 1e6)},"h10_append_read_mb":${s3(b10 / 1e6)},"append_bytes_ratio":${s3(b10.toDouble / math.max(b1.toDouble, 1.0))},"h1_rebuild_s":${s3(rs1)},"h10_rebuild_s":${s3(rs10)},"h1_rebuild_read_mb":${s3(rb1 / 1e6)},"h10_rebuild_read_mb":${s3(rb10 / 1e6)},"h1_delta_write_kb":${s3(wb1 / 1e3)},"h10_delta_write_kb":${s3(wb10 / 1e3)},"delta_write_ratio":${s3(wb10.toDouble / math.max(wb1.toDouble, 1.0))},"h1_refresh_s":${s3(wt1)},"h10_refresh_s":${s3(wt10)},"h1_checkpoint_kb":${s3(wc1 / 1e3)},"h10_checkpoint_kb":${s3(wc10 / 1e3)},"h1_localized_rows":$wl1,"h10_localized_rows":$wl10,"localized_ratio":${s3(wl10.toDouble / math.max(wl1.toDouble, 1.0))},"h1_ckpt_rows":$wtot1,"h10_ckpt_rows":$wtot10}"""
     }
 
     tailParts :+= manifestJson; flush()
@@ -752,12 +767,31 @@ object ScaleBench {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      // r9 verdict task 4: the soak also pins the BOUNDED-GROWTH invariant
+      // of every drain-side log — live deltas <= checkpoint cadence, journal
+      // waves <= cadence + 1 (the sequence anchor), refresh markers <= 1 —
+      // end-to-end across all cycles, not just per-call in specs
+      def refreshMarkers(): Int = {
+        val p = new org.apache.hadoop.fs.Path(job.manifestPath)
+        val mfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!mfs.exists(p)) 0
+        else mfs.listStatus(p).count(_.getPath.getName.startsWith("_refresh-"))
+      }
       var copiedTotal = 0
       val per = (0 until cycles).map { k =>
         landMonth(months(k), k)
         var copied = Seq.empty[Long]
         val etlS = timed { copied = job.runPrunedIncremental(lake, maxParallel = 4) }
         copiedTotal += copied.size
+        val deltasLive = new graft.sources.ManifestLog(spark, job.manifestPath)
+          .deltasSinceCheckpoint
+        val wavesLive = graft.sources.IngestLog.waves(spark, lake).size
+        val markers = refreshMarkers()
+        assert(deltasLive <= cfg.manifestCheckpointEvery,
+          s"cycle $k: $deltasLive live deltas > cadence ${cfg.manifestCheckpointEvery}")
+        assert(wavesLive <= cfg.manifestCheckpointEvery + 1,
+          s"cycle $k: $wavesLive journal waves > cadence + anchor")
+        assert(markers <= 1, s"cycle $k: $markers refresh markers")
         val batch = sigs.filter(col("doc_id") >= 250 &&
           pmod(col("doc_id"), lit(cycles.toLong)) === k)
         val visS = timed {
@@ -791,14 +825,16 @@ object ScaleBench {
               targetBytes = 64L * 1024 * 1024, maxParallel = 8)
             ()
           } else 0.0
-        System.err.println(f"[scale] steady_drain cycle $k%2d etl=${etlS}%.2fs vis=${visS}%.2fs ivf=${ivfS}%.2fs pidx=${pidxS}%.2fs maint=${maintS}%.2fs lake_files=${countParquetFiles(lake)}")
-        (etlS, visS, ivfS, pidxS, maintS, countParquetFiles(lake))
+        System.err.println(f"[scale] steady_drain cycle $k%2d etl=${etlS}%.2fs vis=${visS}%.2fs ivf=${ivfS}%.2fs pidx=${pidxS}%.2fs maint=${maintS}%.2fs lake_files=${countParquetFiles(lake)} deltas=$deltasLive waves=$wavesLive markers=$markers")
+        (etlS, visS, ivfS, pidxS, maintS, countParquetFiles(lake),
+          deltasLive, wavesLive, markers)
       }
       val (etl, vis, ivf, pidx, maint, lakeF) =
         (per.map(_._1), per.map(_._2), per.map(_._3), per.map(_._4),
           per.map(_._5), per.map(_._6))
-      System.err.println(f"[scale] steady_drain etl ${avgD(etl.take(5))}%.2f->${avgD(etl.takeRight(5))}%.2fs vis ${avgD(vis.take(5))}%.2f->${avgD(vis.takeRight(5))}%.2fs ivf ${avgD(ivf.take(5))}%.2f->${avgD(ivf.takeRight(5))}%.2fs pidx ${avgD(pidx.take(5))}%.2f->${avgD(pidx.takeRight(5))}%.2fs months=$copiedTotal")
-      s""","steady_drain":{"cycles":$cycles,"months_copied":$copiedTotal,"etl_s":${s3arr(etl)},"vis_probe_s":${s3arr(vis)},"ivf_probe_s":${s3arr(ivf)},"pidx_probe_s":${s3arr(pidx)},"maintenance_s":${s3arr(maint)},"lake_files":${iarr(lakeF)},"etl_first5_avg_s":${s3(avgD(etl.take(5)))},"etl_last5_avg_s":${s3(avgD(etl.takeRight(5)))},"vis_first5_avg_s":${s3(avgD(vis.take(5)))},"vis_last5_avg_s":${s3(avgD(vis.takeRight(5)))},"ivf_first5_avg_s":${s3(avgD(ivf.take(5)))},"ivf_last5_avg_s":${s3(avgD(ivf.takeRight(5)))},"pidx_first5_avg_s":${s3(avgD(pidx.take(5)))},"pidx_last5_avg_s":${s3(avgD(pidx.takeRight(5)))}}"""
+      val (dLive, wLive, mLive) = (per.map(_._7), per.map(_._8), per.map(_._9))
+      System.err.println(f"[scale] steady_drain etl ${avgD(etl.take(5))}%.2f->${avgD(etl.takeRight(5))}%.2fs vis ${avgD(vis.take(5))}%.2f->${avgD(vis.takeRight(5))}%.2fs ivf ${avgD(ivf.take(5))}%.2f->${avgD(ivf.takeRight(5))}%.2fs pidx ${avgD(pidx.take(5))}%.2f->${avgD(pidx.takeRight(5))}%.2fs months=$copiedTotal deltas_max=${dLive.max} waves_max=${wLive.max}")
+      s""","steady_drain":{"cycles":$cycles,"months_copied":$copiedTotal,"etl_s":${s3arr(etl)},"vis_probe_s":${s3arr(vis)},"ivf_probe_s":${s3arr(ivf)},"pidx_probe_s":${s3arr(pidx)},"maintenance_s":${s3arr(maint)},"lake_files":${iarr(lakeF)},"live_deltas":${iarr(dLive)},"journal_waves":${iarr(wLive)},"refresh_markers":${iarr(mLive)},"log_growth_bounded":true,"etl_first5_avg_s":${s3(avgD(etl.take(5)))},"etl_last5_avg_s":${s3(avgD(etl.takeRight(5)))},"vis_first5_avg_s":${s3(avgD(vis.take(5)))},"vis_last5_avg_s":${s3(avgD(vis.takeRight(5)))},"ivf_first5_avg_s":${s3(avgD(ivf.take(5)))},"ivf_last5_avg_s":${s3(avgD(ivf.takeRight(5)))},"pidx_first5_avg_s":${s3(avgD(pidx.take(5)))},"pidx_last5_avg_s":${s3(avgD(pidx.takeRight(5)))}}"""
     }
     tailParts :+= steadyJson; flush()
 

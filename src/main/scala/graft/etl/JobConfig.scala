@@ -25,10 +25,37 @@ final case class JobConfig(
     lakePath: String = "",           // LAKE_PATH — source is this parquet dir
     pruned: Boolean = false,         // PRUNED — manifest-pruned incremental drain
     maxParallel: Int = 1,            // MAX_PARALLEL — within-table copy concurrency
-    manifestCheckpointEvery: Int = 8) { // MANIFEST_CHECKPOINT_EVERY — fold the
+    manifestCheckpointEvery: Int = 8, // MANIFEST_CHECKPOINT_EVERY — fold the
                                      // log-structured manifest's deltas into a
                                      // checkpoint every k drains (also the
                                      // ingest-journal reconciliation cadence)
+    pidEncoding: String = "") {      // PID_ENCODING — how manifest-pruned
+                                     // discovery may enumerate candidate pid
+                                     // values inside a file's [min, max]
+                                     // interval: "yyyymm" steps calendar
+                                     // months, "generic" enumerates integers
+                                     // (bounded span), "" = auto (see
+                                     // [[pidIsYyyymm]])
 
   def isFullSnapshot: Boolean = primaryId.isEmpty
+
+  /** Whether discovery's candidate enumeration may step CALENDAR months.
+    * An explicit DECLARATION, not a value sniff (the r9 ADVICE hazard: a
+    * non-calendar encoding whose file bounds happen to end in 01..12 —
+    * e.g. a sequential counter spanning 2408..2503 — took the calendar
+    * branch and skipped real values in the 13..99 blocks, so files holding
+    * them were never discovered). The auto default maps the reference's
+    * own config language: `PRIMARY_ID: month_sid` means the Vertica
+    * calendar-month surrogate (`agg_geo_lucid_daily.yaml:4`,
+    * `sqoop_table.py:145` ranks it as a calendar month), so that NAME is
+    * the declaration; any other key enumerates generically. A table whose
+    * `month_sid` carries a different encoding sets `PID_ENCODING: generic`.
+    */
+  def pidIsYyyymm: Boolean = pidEncoding match {
+    case "yyyymm"  => true
+    case "generic" => false
+    case ""        => primaryId == "month_sid"
+    case other =>
+      throw new IllegalArgumentException(s"unknown PID_ENCODING: $other")
+  }
 }

@@ -121,7 +121,8 @@ object YamlConfig {
       pruned = m.getOrElse("PRUNED", "false").toBoolean,
       maxParallel = m.getOrElse("MAX_PARALLEL", "1").toInt,
       manifestCheckpointEvery =
-        m.getOrElse("MANIFEST_CHECKPOINT_EVERY", "8").toInt)
+        m.getOrElse("MANIFEST_CHECKPOINT_EVERY", "8").toInt,
+      pidEncoding = m.getOrElse("PID_ENCODING", "").toLowerCase)
     val env = m.get("ENV").map(Paths.get(_)) match {
       case Some(ep) if Files.isRegularFile(ep) =>
         EtlEnv(parseFlat(Files.readString(ep)))

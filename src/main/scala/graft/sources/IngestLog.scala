@@ -50,19 +50,38 @@ object IngestLog {
     * can't open. Idempotent retries are the caller's concern (re-recording
     * the same files in a new wave is harmless: the manifest diff treats
     * known files as an empty delta).
+    *
+    * Safe under CONCURRENT ingest processes (the r9 ADVICE hazard: the
+    * read-max-then-rename seq assignment is not atomic, and the loser of a
+    * race aborted an ingest whose files were already fully landed): each
+    * attempt stages under a process-unique name and publishes by atomic
+    * rename to `wave-N`; when the rename loses (N taken), the seq is
+    * recomputed and the publish retried — bounded by the number of
+    * concurrent recorders, since every loss implies someone else's win.
     */
   def record(spark: SparkSession, lakePath: String,
       files: Seq[String]): Long = {
     val fs = fsOf(spark, lakePath)
     val d = dir(lakePath)
     fs.mkdirs(d)
-    val seq = waves(spark, lakePath).maxOption.getOrElse(0L) + 1
-    val tmp = new Path(d, s".wave-$seq.tmp")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(d, s".wave-$nonce.tmp")
     val out = fs.create(tmp, true)
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    Compaction.renameOrThrow(fs, tmp, new Path(d, s"wave-$seq"))
-    seq
+    var attempt = 0
+    val maxAttempts = 64
+    while (true) {
+      val seq = waves(spark, lakePath).maxOption.getOrElse(0L) + 1
+      if (fs.rename(tmp, new Path(d, s"wave-$seq"))) return seq
+      attempt += 1
+      if (attempt >= maxAttempts) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"IngestLog.record: lost the wave-seq race $maxAttempts times at $d")
+      }
+    }
+    -1L // unreachable
   }
 
   /** Drop waves at or below `upTo` — called by the drain once a
@@ -82,6 +101,17 @@ object IngestLog {
     // next reconciliation
     waves(spark, lakePath).filter(_ <= upTo).dropRight(1)
       .foreach(s => fs.delete(new Path(d, s"wave-$s"), false))
+    // staging debris from a crashed record() (unique-named, never visible
+    // to readers) — cleared once stale, so the journal dir stays bounded.
+    // The age guard keeps this from racing a LIVE concurrent recorder
+    // mid-stage (deleting its tmp would fail a legitimate ingest).
+    val staleBefore = System.currentTimeMillis() - 3600L * 1000
+    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".wave-") && n.endsWith(".tmp") &&
+        st.getModificationTime < staleBefore)
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** Every file recorded by waves with seq > `watermark`, plus the journal

@@ -276,6 +276,109 @@ class CrashConsistencySpec extends SparkSpec {
     assert(!fs.exists(new Path(s"${job.manifestPath}/delta-0")))
   }
 
+  test("crash-fuzz: a journaled drain aborted at 20+ seeded random fault points converges on re-run to the never-crashed twin (r9 verdict task 6)") {
+    import graft.sources.{FaultPoints, IngestLog}
+    val root = Files.createTempDirectory("graft-fuzz").toString
+    // small synthetic month-keyed waves (month_sid carried as a column →
+    // cheap copies; ~8 copy jobs per drain keeps 20+ trials tractable)
+    def waveDf(months: Seq[Long]) = months.map(m =>
+        spark.range(40).select(lit(m).as("month_sid"), col("id").as("payload")))
+      .reduce(_ unionByName _)
+    def stage(name: String, months: Seq[Long]): String = {
+      val d = s"$root/stage-$name"
+      waveDf(months).repartitionByRange(2, col("month_sid"))
+        .sortWithinPartitions("month_sid").write.parquet(d)
+      d
+    }
+    val w1 = stage("w1", Seq(199501L, 199502L, 199503L))
+    val w2 = stage("w2", Seq(199504L, 199505L, 199506L, 199507L, 199508L))
+    def land(stageDir: String, lake: String, prefix: String): Seq[String] = {
+      Files.createDirectories(java.nio.file.Paths.get(lake))
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val st = Files.list(java.nio.file.Paths.get(stageDir))
+      try st.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(lake, prefix + p.getFileName)
+          Files.copy(p, dst); landed += dst.toString
+        }
+      } finally st.close()
+      landed.toSeq
+    }
+    val cfg = graft.etl.JobConfig(tableName = "t", numMappers = 1,
+      outputFileFormat = "parquet", manifestCheckpointEvery = 2)
+    def mkJob(tag: String) = new graft.etl.IncrementalBackup(spark, cfg,
+      new graft.etl.StatusStore(spark, s"$root/$tag/status"), s"$root/$tag/dest")
+    def runSetup(tag: String): graft.etl.IncrementalBackup = {
+      val lake = s"$root/$tag/lake"
+      val job = mkJob(tag)
+      IngestLog.record(spark, lake, land(w1, lake, "w1-"))
+      job.runPrunedIncremental(lake)
+      IngestLog.record(spark, lake, land(w2, lake, "w2-"))
+      job
+    }
+    // the never-crashed TWIN: the convergence target
+    val twin = runSetup("twin")
+    twin.runPrunedIncremental(s"$root/twin/lake")
+    import spark.implicits._
+    def backMap(j: graft.etl.IncrementalBackup) = j.readBack()
+      .groupBy(col("pid").cast("long").as("m")).count()
+      .as[(Long, Long)].collect().toMap
+    def manifestNames(j: graft.etl.IncrementalBackup) =
+      j.readManifest().select("file").as[String].collect()
+        .map(f => new Path(f).getName).toSet
+    val wantBack = backMap(twin)
+    val wantManifest = manifestNames(twin)
+    assert(wantBack.keySet == Set(199501L, 199502L, 199503L, 199504L,
+      199505L, 199506L, 199507L, 199508L))
+
+    // dry run to ENUMERATE the drain's fault-point occurrences — the fuzz
+    // domain is discovered, not hand-listed, so a newly added hit point
+    // automatically joins the domain
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dry = runSetup("dry") // setup OUTSIDE the count: trials fuzz drain 2 only
+    FaultPoints.install(name => { seen += name; () })
+    try dry.runPrunedIncremental(s"$root/dry/lake")
+    finally FaultPoints.clear()
+    val domain = seen.toIndexedSeq
+    assert(domain.size >= 10, s"too few fault occurrences to fuzz: $domain")
+    assert(backMap(mkJob("dry")) == wantBack) // counting handler is inert
+
+    // seeded, reproducible trials: >= 20 distinct occurrences (all of them
+    // when the domain is small), each aborting drain 2 mid-protocol
+    val rng = new scala.util.Random(42)
+    val picks =
+      if (domain.size <= 24) domain.indices.toIndexedSeq
+      else rng.shuffle(domain.indices.toIndexedSeq).take(24).sorted
+    assert(picks.size >= 10)
+    var aborted = 0
+    picks.foreach { target =>
+      val tag = s"trial-$target"
+      val job = runSetup(tag)
+      val lake = s"$root/$tag/lake"
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      FaultPoints.install { name =>
+        if (n.getAndIncrement() == target)
+          throw new RuntimeException(s"injected@$name#$target")
+      }
+      val crashed =
+        try { job.runPrunedIncremental(lake); false }
+        catch { case e: RuntimeException if e.getMessage.startsWith("injected@") => true }
+        finally FaultPoints.clear()
+      if (crashed) aborted += 1
+      // convergence: the plain re-run completes whatever the abort left
+      val again = job.runPrunedIncremental(lake)
+      assert(job.runPrunedIncremental(lake).isEmpty,
+        s"$tag: drain not quiescent after recovery (copied $again then more)")
+      assert(backMap(job) == wantBack, s"$tag: read-back diverged")
+      assert(manifestNames(job) == wantManifest, s"$tag: manifest diverged")
+      assert(new graft.etl.StatusStore(spark, s"$root/$tag/status")
+        .pending("t").isEmpty, s"$tag: pending units left")
+    }
+    // the fuzz must have actually aborted drains (occurrences within the
+    // drain being fuzzed), not just picked indices past the hit count
+    assert(aborted >= 10, s"only $aborted/${picks.size} trials aborted")
+  }
+
   test("IvfStore: a crashed cluster-leaf swap is recovered by compact; rows and probe results preserved") {
     val dir = Files.createTempDirectory("graft-crash-ivfc").toString
     val emb = Tables.embeddings(spark, sf)

@@ -90,4 +90,47 @@ class ManifestLogSpec extends SparkSpec {
     log.migrateLegacy()
     assert(files(log) == Set("/old1.parquet", "/old2.parquet"))
   }
+
+  test("bucketed checkpoint: localizedPruned reads only intersecting buckets, folds identically to current(), and tombstones/re-adds shadow inside the localized view") {
+    val dir = Files.createTempDirectory("graft-mlog5").toString
+    val log = new ManifestLog(spark, s"$dir/m")
+    // three year-buckets of month intervals (pb = floor(min/100))
+    log.commitDelta(rows(
+      ("/y95a.parquet", 10L, 199501L, 199506L),
+      ("/y95b.parquet", 10L, 199507L, 199512L),
+      ("/y96a.parquet", 10L, 199601L, 199606L),
+      ("/y96b.parquet", 10L, 199607L, 199612L),
+      ("/y97a.parquet", 10L, 199701L, 199706L)), Seq.empty)
+    log.checkpoint()
+    // a one-month consumer (the per-month copy): only 1996's bucket read
+    val loc = log.localizedPruned((mn, mx) => mx >= 199603L && mn <= 199603L)
+    assert(loc.totalBuckets == 3 && loc.selectedBuckets == 1,
+      s"expected 1 of 3 buckets, got ${loc.selectedBuckets}/${loc.totalBuckets}")
+    assert(loc.checkpointRowsRead == 2 && loc.checkpointRowsTotal == 5)
+    // the view's surviving set for the month equals the FULL fold's
+    def surv(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.StatsStore.survivingFiles(df, "pid", 199603L, 199603L).toSet
+    assert(surv(loc.view) == surv(log.current().get))
+    assert(surv(loc.view) == Set("/y96a.parquet"))
+    // keep-nothing selection: zero checkpoint rows reach the driver
+    val none = log.localizedPruned((_, _) => false)
+    assert(none.checkpointRowsRead == 0L && none.view.collect().isEmpty)
+    // a post-checkpoint delta: tombstone one 1996 file, re-add the other
+    // with new stats — the localized fold must honor both (deltas are
+    // always read; last-writer-wins inside the local fold)
+    log.commitDelta(rows(("/y96a.parquet", 99L, 199601L, 199606L)),
+      Seq("/y96b.parquet"))
+    val loc2 = log.localizedPruned((mn, mx) => mx >= 199601L && mn <= 199612L)
+    val got = loc2.view.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("/y96a.parquet" -> 99L),
+      s"localized fold diverged: $got")
+    assert(loc2.deltaRowsRead == 2L) // one re-add + one tombstone
+    // and the full fold agrees after a second checkpoint
+    log.checkpoint()
+    val cur = log.current().get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur == Map("/y95a.parquet" -> 10L, "/y95b.parquet" -> 10L,
+      "/y96a.parquet" -> 99L, "/y97a.parquet" -> 10L))
+  }
 }
