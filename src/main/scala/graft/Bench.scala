@@ -18,15 +18,48 @@ import org.apache.spark.sql.SparkSession
   *
   * Run counts are EQUAL across sections (3 timed runs, min reported) —
   * r6's mixed 3/2/1 counts made sections incomparable.
+  *
+  * BUDGETED since r11 (the r10 driver bench was rc=124/`parsed: null`: at
+  * full fidelity the suite is ~1 warmup + 3 timed runs × ~320 queries ≈
+  * 59 min of timed work alone, and a ×1.5–3 machine-drift epoch pushed it
+  * past the driver's wall budget — an artifact that only exists when the
+  * machine is fast fails exactly when evidence is needed). The parent
+  * carries a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default
+  * 1500) and allocates each child section a deadline proportional to its
+  * previous-round cost; each child re-plans before every query and
+  * degrades UNIFORMLY for the remaining tail — warmup pass first, then
+  * 3 → 2 → 1 timed runs — so the floor is one timed run per query and the
+  * artifact is always COMPLETE, never empty. A fixed noise-control subset
+  * (every 15th query) keeps 3 runs for cross-round floor comparability,
+  * and every query's actual run count is committed in its `runs` array.
   */
 object Bench {
 
-  /** Timed runs per query, identical for every section. The min of three
-    * is the steady-state cost with high probability: run 1 can absorb
-    * fixture builds + codegen, and a stray full GC or compile storm lands
-    * in at most one run.
+  /** MAX timed runs per query (the full-fidelity count; the budget planner
+    * degrades toward 1). The min of three is the steady-state cost with
+    * high probability: run 1 can absorb fixture builds + codegen, and a
+    * stray full GC or compile storm lands in at most one run.
     */
   private val runsPerQuery = 3
+
+  /** Every `controlEvery`-th query (sorted order) keeps [[runsPerQuery]]
+    * timed runs even under budget pressure — the fixed noise-control
+    * subset that anchors cross-round comparisons when the rest of the
+    * suite degrades to fewer runs.
+    */
+  private val controlEvery = 15
+
+  /** Previous committed per-query min seconds — the budget planner's cost
+    * model (keyed by detailName, so `q@rocksdb` rows cost the rocksdb
+    * axis). Missing file → empty map (planner falls back to its median).
+    */
+  private def previousMins(): Map[String, Double] = {
+    val p = java.nio.file.Paths.get("BENCH_DETAILS.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val text = java.nio.file.Files.readString(p)
+    """"([^"]+)":\{"min_s":([0-9.eE+-]+)""".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
 
   /** Max batch queries per child JVM. ~70 keeps each child's codegen well
     * under the code cache and its heap churn bounded; chunking is by
@@ -154,13 +187,72 @@ object Bench {
       (if (rocksNames(keep).nonEmpty) Seq("rocksdb") else Nil)
   }
 
+  /** Per-section budget plan, re-evaluated before every query: how many
+    * timed runs the remaining tail can afford inside `deadlineMs`.
+    * `None` deadline = unbudgeted full fidelity (warmup + 3 runs).
+    */
+  private final class BudgetPlanner(deadlineMs: Option[Long],
+      drift0: Double, exp: String => Double) {
+    private var obsSum = 0.0
+    private var expSum = 0.0
+    private var measured = 0
+    val runsHist = scala.collection.mutable.Map(1 -> 0, 2 -> 0, 3 -> 0)
+
+    /** Observed-over-expected cost ratio; the env-provided prior until
+      * three queries have been measured in this section.
+      */
+    def drift: Double =
+      if (measured >= 3 && expSum > 0)
+        math.min(20.0, math.max(0.3, obsSum / expSum))
+      else drift0
+
+    def observe(name: String, minSec: Double): Unit = {
+      obsSum += minSec; expSum += exp(name); measured += 1
+    }
+
+    private def remainingSec: Double = deadlineMs match {
+      case Some(d) => (d - System.currentTimeMillis()) / 1000.0
+      case None    => Double.PositiveInfinity
+    }
+
+    /** True when the whole section fits at full fidelity (the cross-query
+      * warmup pass ≈ one extra run per query) — decided once, up front.
+      */
+    def affordWarmup(allNames: Seq[String]): Boolean =
+      remainingSec > 1.2 * 4.0 * allNames.map(exp).sum * drift
+
+    /** Timed runs for the query at `idx`, given the un-measured tail:
+      * the highest uniform level the remaining budget covers (floor 1 —
+      * every query always runs; the budget can only trim repetition).
+      * Control queries keep 3 runs unless even 1-run pace is broken.
+      */
+    def runsFor(idx: Int, tailNames: Seq[String]): Int = {
+      val rest = tailNames.map(exp).sum * drift
+      val rem = remainingSec
+      val level =
+        if (rem > 3.0 * rest * 1.1) 3
+        else if (rem > 2.0 * rest * 1.1) 2
+        else 1
+      val n =
+        if (idx % controlEvery == 0 && rem > rest) runsPerQuery
+        else level
+      runsHist(n) += 1
+      n
+    }
+  }
+
   /** Run one section's queries in THIS JVM and return the measurements.
     * Shared by the child processes and the no-fork fallback.
     */
   private def runSection(spark: SparkSession, sfDir: String, section: String,
-      keep: String => Boolean): Seq[Result] = {
+      keep: String => Boolean, deadlineMs: Option[Long], drift0: Double,
+      diag: StringBuilder): Seq[Result] = {
     val stateMeter = new StateMeter
     spark.streams.addListener(stateMeter)
+    val prevMin = previousMins()
+    val fallbackCost =
+      if (prevMin.isEmpty) 1.0
+      else prevMin.values.toSeq.sorted.apply(prevMin.size / 2)
 
     def timeQueries(names: Iterable[String], executedFp: Boolean,
         backend: Option[String]): Seq[Result] = {
@@ -172,6 +264,10 @@ object Bench {
           case None    => base
         }
       }
+      val sorted = names.toSeq.sorted
+      def detailOf(n: String) = backend.map(b => s"$n@$b").getOrElse(n)
+      val planner = new BudgetPlanner(deadlineMs, drift0,
+        n => prevMin.getOrElse(detailOf(n), fallbackCost))
       // CROSS-QUERY warmup pass (untimed): one discarded run of every
       // query in the section BEFORE any timing. In the old single-JVM
       // bench a mid-suite query ran with hundreds of earlier queries'
@@ -181,17 +277,20 @@ object Bench {
       // chunk ran ×1.6–1.9 vs the old floor and the rest ×1.3, with
       // per-query min-of-3 unable to recover cross-query warmth. The
       // warmup pass also absorbs fixture builds, so the timed runs are
-      // uniform. Cost: one extra run per query, bought back many times
-      // over in floor comparability.
-      names.toSeq.sorted.foreach { name =>
+      // uniform. Cost: one extra run per query — SKIPPED when the budget
+      // planner says the section can't afford full fidelity (run 1 of each
+      // query then absorbs its own cold cost and min-of-N recovers what it
+      // can; the degraded mode is recorded in the section diag).
+      val doWarmup = planner.affordWarmup(sorted)
+      if (doWarmup) sorted.foreach { name =>
         val fn = resolve(name)
         spark.catalog.clearCache()
         org.apache.spark.sql.graftx.StateStoreHygiene.unloadAll()
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       }
-      names.toSeq.sorted.map { name =>
+      val results = sorted.zipWithIndex.map { case (name, idx) =>
         val fn = resolve(name)
-        val detailName = backend.map(b => s"$name@$b").getOrElse(name)
+        val detailName = detailOf(name)
         stateMeter.reset()
         // Between queries: drop cached/checkpointed blocks left by fixture
         // builds and let a GC reclaim them, OUTSIDE the timed region. With
@@ -209,12 +308,14 @@ object Bench {
         org.apache.spark.sql.graftx.StateStoreHygiene.unloadAll()
         System.gc()
         var lastDf: org.apache.spark.sql.DataFrame = null
-        val times = (1 to runsPerQuery).map { _ =>
+        val nRuns = planner.runsFor(idx, sorted.drop(idx))
+        val times = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
           try { lastDf = fn(spark, sfDir); lastDf.count() }
           catch { case _: Throwable => lastDf = null; -1L }
           (System.nanoTime() - t0) / 1e9
         }
+        planner.observe(name, times.min)
         // batch queries fingerprint a FRESH un-executed plan (stable across
         // rounds, matches the r1–r3 corpus of fingerprints); streaming
         // drains reuse the last timed result instead — a fresh fn() call
@@ -232,6 +333,11 @@ object Bench {
         Result(detailName, sectionLabel(section), backend.getOrElse("-"),
           times, fp, srows, smem)
       }
+      diag.append(s"warmup=${if (doWarmup) 1 else 0}")
+        .append(s" runs_hist=3:${planner.runsHist(3)}")
+        .append(s",2:${planner.runsHist(2)},1:${planner.runsHist(1)}")
+        .append(f" drift=${planner.drift}%.2f")
+      results
     }
 
     section match {
@@ -299,7 +405,13 @@ object Bench {
     // session init cost (flagship on the smallest SF touches the same
     // read/agg machinery)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = runSection(spark, sfDir, section, keep)
+    val deadlineMs = sys.env.get("SPARK_GRAFT_BENCH_SECTION_DEADLINE_MS")
+      .map(_.toLong)
+    val drift0 = sys.env.get("SPARK_GRAFT_BENCH_DRIFT")
+      .map(_.toDouble).getOrElse(2.0)
+    val planDiag = new StringBuilder
+    val results = runSection(spark, sfDir, section, keep, deadlineMs, drift0,
+      planDiag)
     val (ccUsed, ccMax) = codeCacheMb()
     val sb = new StringBuilder
     results.foreach { r =>
@@ -307,7 +419,7 @@ object Bench {
         r.stateRows.toString, r.stateMem.toString,
         r.times.map(s3).mkString(",")).mkString("\t")).append('\n')
     }
-    sb.append(s"#diag\t$section\tcode_cache_used_mb=${s3(ccUsed)}\tcode_cache_max_mb=${s3(ccMax)}\n")
+    sb.append(s"#diag\t$section\tcode_cache_used_mb=${s3(ccUsed)}\tcode_cache_max_mb=${s3(ccMax)}\t$planDiag\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     spark.stop()
   }
@@ -318,7 +430,8 @@ object Bench {
     * stderr so the parent's stdout stays exactly one contract line.
     * Returns true on a zero exit with the part file present.
     */
-  private def spawnChild(section: String, outPath: String): Boolean = {
+  private def spawnChild(section: String, outPath: String,
+      sectionDeadlineMs: Long, drift: Double): Boolean = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -331,6 +444,9 @@ object Bench {
     pb.environment().put("CLASSPATH", System.getProperty("java.class.path"))
     pb.environment().put("SPARK_GRAFT_BENCH_SECTION", section)
     pb.environment().put("SPARK_GRAFT_BENCH_PART_OUT", outPath)
+    pb.environment().put("SPARK_GRAFT_BENCH_SECTION_DEADLINE_MS",
+      sectionDeadlineMs.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_DRIFT", s3(drift))
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val pump = new Thread(() => {
@@ -375,10 +491,57 @@ object Bench {
     val partDir = java.nio.file.Files.createTempDirectory("graft-bench")
     val diags = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    val results: Seq[Result] = sectionPlan(keep).flatMap { section =>
+    // ---- wall-clock budget (r10 post-mortem: the driver bench timed out
+    // and the round's artifact was `parsed: null`). The budget is shared
+    // across sections proportionally to their previous-round cost; each
+    // child degrades run counts inside its slice (floor: 1 run per query).
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    val deadlineMs = System.currentTimeMillis() + (budgetSec * 1000).toLong
+    val prevMin = previousMins()
+    val fallbackCost =
+      if (prevMin.isEmpty) 1.0
+      else prevMin.values.toSeq.sorted.apply(prevMin.size / 2)
+    def sectionExp(section: String): Double = {
+      val detailNames = section match {
+        case s if s.startsWith("batch:") =>
+          val i = s.stripPrefix("batch:").toInt
+          batchNames(keep).slice(i * chunkSize, (i + 1) * chunkSize)
+        case "streaming" => streamingNames(keep)
+        case "rocksdb"   => rocksNames(keep).map(_ + "@rocksdb")
+        case other       => sys.error(s"unknown bench section: $other")
+      }
+      detailNames.map(n => prevMin.getOrElse(n, fallbackCost)).sum
+    }
+    // per-child fixed overhead (JVM + session init + flagship warmup),
+    // reserved off the allocatable pool so late sections aren't starved
+    // by earlier children's startup costs
+    val childOverheadMs = 40000L
+    // cross-section drift estimate: observed/previous min over everything
+    // measured so far, seeding each child's planner prior (first child
+    // gets the pessimistic default — cheap insurance on ~70 small queries)
+    var driftObs = 0.0
+    var driftPrev = 0.0
+    var driftN = 0
+    def driftEst: Double =
+      if (driftN >= 5 && driftPrev > 0)
+        math.min(20.0, math.max(0.3, driftObs / driftPrev))
+      else sys.env.get("SPARK_GRAFT_BENCH_DRIFT")
+        .map(_.toDouble).getOrElse(2.0)
+
+    val plan = sectionPlan(keep)
+    val results: Seq[Result] = plan.zipWithIndex.flatMap { case (section, i) =>
+      val remaining = plan.drop(i)
+      val wSum = remaining.map(sectionExp).sum
+      val share =
+        if (wSum > 0) sectionExp(section) / wSum else 1.0 / remaining.size
+      val now = System.currentTimeMillis()
+      val allocatable =
+        math.max(0L, deadlineMs - now - childOverheadMs * remaining.size)
+      val secDeadline = now + childOverheadMs + (allocatable * share).toLong
       val out = partDir.resolve(section.replace(':', '_') + ".tsv").toString
-      val ok = fork && spawnChild(section, out)
-      if (ok) {
+      val ok = fork && spawnChild(section, out, secDeadline, driftEst)
+      val rs: Seq[Result] = if (ok) {
         val lines = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get(out))
         import scala.jdk.CollectionConverters._
@@ -407,10 +570,18 @@ object Bench {
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-        val rs = runSection(spark, sfDir, section, keep)
-        diags += s"#diag\t$section\tIN_PROCESS_FALLBACK"
-        rs
+        val planDiag = new StringBuilder
+        val inProc = runSection(spark, sfDir, section, keep,
+          Some(secDeadline), driftEst, planDiag)
+        diags += s"#diag\t$section\tIN_PROCESS_FALLBACK\t$planDiag"
+        inProc
       }
+      rs.foreach { r =>
+        prevMin.get(r.detailName).foreach { p =>
+          driftObs += r.times.min; driftPrev += p; driftN += 1
+        }
+      }
+      rs
     }
 
     val batch = results.filter(_.section == "batch")
@@ -457,8 +628,9 @@ object Bench {
     val diagJson = diags.map { d =>
       "\"" + d.replace("#diag\t", "").replace("\t", " ").replace("\"", "'") + "\""
     }.mkString("[", ",", "]")
+    val degraded = results.count(_.times.size < runsPerQuery)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"streaming_total_s":${s3(streamingTotal)},"streaming_rocksdb_s":${s3(rocksTotal)},"runs_per_query":$runsPerQuery,"jvm_sections":$diagJson,"state_rows_mismatch":${stateMismatch.map("\"" + _ + "\"").mkString("[", ",", "]")},"plan_changes":${changed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail}""")
+      s"""{"sf":"$sfDir","cpus":$cpus,"total_s":${s3(total)},"streaming_total_s":${s3(streamingTotal)},"streaming_rocksdb_s":${s3(rocksTotal)},"runs_per_query":$runsPerQuery,"budget_sec":${s3(budgetSec)},"degraded_queries":$degraded,"jvm_sections":$diagJson,"state_rows_mismatch":${stateMismatch.map("\"" + _ + "\"").mkString("[", ",", "]")},"plan_changes":${changed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail}""")
     if (changed.nonEmpty)
       System.err.println(s"[bench] PLAN CHANGED vs previous round (${changed.size}): ${changed.mkString(", ")}")
     // the driver captures only a bounded stdout tail (~2.4 KB, shared with
@@ -471,7 +643,7 @@ object Bench {
     val entries = (batch ++ streaming).sortBy(-_.times.min)
       .map(r => s""""${r.detailName}":${s3(r.times.min)}""")
     def wrap(qs: Seq[String]): String =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","streaming_s":${s3(streamingTotal)},"plan_changes":${changed.size},"queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","streaming_s":${s3(streamingTotal)},"plan_changes":${changed.size},"degraded_queries":$degraded,"queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir","detail":"$detailPath"}"""
     var kept = entries
     while (wrap(kept).length > budget && kept.nonEmpty) kept = kept.dropRight(1)
     println(wrap(kept))

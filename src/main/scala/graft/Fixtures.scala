@@ -20,16 +20,36 @@ import scala.collection.concurrent.TrieMap
   */
 private[graft] object Fixtures {
   private val cache = TrieMap.empty[String, String]
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Build-once directory fixture: `build` populates a fresh temp dir the
     * first time `key` is seen in this JVM; later calls return the same dir.
+    * Per-key locked (r11: Verify runs queries through a thread pool):
+    * TrieMap's atomic getOrElseUpdate already returns one consistent
+    * winner, but it evaluates `build` in BOTH racers — wasted work for the
+    * heavy fixtures, and a loud collision for the few builds with external
+    * side effects (catalog table names). Distinct keys build concurrently;
+    * a nested build of a DIFFERENT fixture takes a different monitor, so
+    * the only deadlock shape is a cyclic fixture dependency, which would
+    * already be an infinite recursion single-threaded.
     */
   def getOrBuild(key: String)(build: String => Unit): String =
-    cache.getOrElseUpdate(key, {
-      val dir = Files.createTempDirectory("graft-fx").toString
-      build(dir)
-      dir
-    })
+    cache.get(key) match {
+      case Some(dir) => dir
+      case None =>
+        val lock = locks.computeIfAbsent(key, _ => new Object)
+        lock.synchronized {
+          cache.get(key) match {
+            case Some(dir) => dir
+            case None =>
+              val dir = Files.createTempDirectory("graft-fx").toString
+              build(dir)
+              cache.put(key, dir)
+              dir
+          }
+        }
+    }
 
   /** Fresh mutable copy of a fixture tree (for operators that rewrite or
     * swap files in place). Local file copy — no Spark job.

@@ -192,7 +192,22 @@ final class IncrementalBackup(
     v >= 100L && { val mm = v % 100; mm >= 1 && mm <= 12 }
 
   private def mayHoldUnrecorded(lo: Long, hi: Long, recorded: Set[Long]): Boolean =
-    if (cfg.pidIsYyyymm && looksLikeYyyymm(lo) && looksLikeYyyymm(hi)) {
+    mayHoldUnrecordedAt(lo, hi, recorded, calendarOk = true)
+
+  /** [[mayHoldUnrecorded]] with the calendar-stepping eligibility made
+    * explicit. At FILE grain `calendarOk = true` (the `looksLikeYyyymm`
+    * bound check below IS the per-file guard). At BUCKET grain the caller
+    * passes the checkpoint summary's `shapeOk` flag (r10 ADVICE: a bucket
+    * whose [min,max] summary looks yyyymm can still contain a file with
+    * non-yyyymm bounds; stepping the SUMMARY interval through calendar
+    * months would prune that file's bucket without the per-file check ever
+    * running). `calendarOk = false` routes to the generic conservative
+    * branch — enumerate small integer spans, otherwise scan.
+    */
+  private def mayHoldUnrecordedAt(lo: Long, hi: Long, recorded: Set[Long],
+      calendarOk: Boolean): Boolean =
+    if (cfg.pidIsYyyymm && calendarOk &&
+      looksLikeYyyymm(lo) && looksLikeYyyymm(hi)) {
       var m = lo
       var found = false
       while (!found && m <= hi) {
@@ -385,7 +400,27 @@ final class IncrementalBackup(
     * after the listing could cover a wave the listing never saw, a silent
     * backup gap for up to a reconciliation cadence).
     */
-  def refreshManifestLog(sourcePath: String): ManifestLog = {
+  def refreshManifestLog(sourcePath: String): ManifestLog =
+    // the log is single-writer; a direct refresh caller must contend on the
+    // same lock as a running drain (r10 ADVICE: refreshManifest could race
+    // runPrunedIncremental and silently skew markers/cadence)
+    withDrainLock { refreshManifestLogLocked(sourcePath) }
+
+  /** Run `f` holding [[drainLockPath]]; loud failure when another drain (or
+    * direct refresh) holds it. All manifest-log writers route through here.
+    */
+  private def withDrainLock[T](f: => T): T = {
+    val lock = new JobLock(spark, drainLockPath)
+    if (!lock.acquire())
+      throw new IllegalStateException(
+        s"another drain holds $drainLockPath (manifest log is " +
+          "single-writer); if no drain is live, the lock is stale from a " +
+          "kill — release it and re-run")
+    try f finally lock.release()
+  }
+
+  /** [[refreshManifestLog]] body — caller MUST hold [[drainLockPath]]. */
+  private def refreshManifestLogLocked(sourcePath: String): ManifestLog = {
     val log = new ManifestLog(spark, manifestPath)
     log.migrateLegacy()
     log.gc()
@@ -525,19 +560,13 @@ final class IncrementalBackup(
     * of skewing the log's markers.
     */
   def runPrunedIncremental(sourcePath: String, maxParallel: Int = 1,
-      slots: Option[JobSlots] = None): Seq[Long] = {
-    val lock = new JobLock(spark, drainLockPath)
-    if (!lock.acquire())
-      throw new IllegalStateException(
-        s"another drain holds $drainLockPath (manifest log is " +
-          "single-writer); if no drain is live, the lock is stale from a " +
-          "kill — release it and re-run")
-    try {
+      slots: Option[JobSlots] = None): Seq[Long] =
+    withDrainLock {
       gauges.reset()
       // manifest FIRST (append cost ∝ new files), then manifest-pruned
       // discovery (scan cost ∝ files holding unrecorded months) — with
       // this ordering NO step of the drain's fixed cost scans history
-      val log = refreshManifestLog(sourcePath)
+      val log = refreshManifestLogLocked(sourcePath)
       if (cfg.isFullSnapshot) {
         discover(spark.read.parquet(sourcePath))
       } else {
@@ -545,9 +574,12 @@ final class IncrementalBackup(
         val recorded = status.read().collect().filter(_.tableName == tbl)
           .map(_.primaryPartitionValue).toSet
         // discovery view: only buckets that may hold an unrecorded month —
-        // empty on an up-to-date drain, whatever the history size
-        val disc = log.localizedPruned((mn, mx) =>
-          mayHoldUnrecorded(mn, mx, recorded))
+        // empty on an up-to-date drain, whatever the history size. The
+        // bucket's shapeOk flag gates calendar stepping (see
+        // [[mayHoldUnrecordedAt]]): a mixed-shape bucket is judged by the
+        // conservative generic branch, never by yyyymm arithmetic.
+        val disc = log.localizedPruned((mn, mx, shapeOk) =>
+          mayHoldUnrecordedAt(mn, mx, recorded, calendarOk = shapeOk))
         gauges.discoveryCkptRowsRead = disc.checkpointRowsRead
         gauges.discoveryCkptRowsTotal = disc.checkpointRowsTotal
         gauges.discoveryDeltaRows = disc.deltaRowsRead
@@ -556,11 +588,23 @@ final class IncrementalBackup(
       val pending = copyablePending()
       if (pending.isEmpty) Seq.empty
       else {
-        // copy view: only buckets intersecting the pending months' range —
-        // ∝ pending data at steady state, not history
-        val lo = pending.head.primaryPartitionValue
-        val hi = pending.last.primaryPartitionValue
-        val cp = log.localizedPruned((mn, mx) => mx >= lo && mn <= hi)
+        // copy view: only buckets intersecting the pending months' SET —
+        // ∝ pending data at steady state, not history. Set, not [lo, hi]
+        // hull (r10 verdict nit): a sparse pending set (a reactivated old
+        // table leaving {199801, 202401} pending) must not localize every
+        // bucket in between. Exact per bucket: a file can feed a pending
+        // month's copy only if its interval contains that month, and every
+        // file interval in a bucket ⊆ the bucket's summary interval, so a
+        // bucket whose summary contains NO pending month holds nothing any
+        // pending copy reads.
+        val ps: Array[Long] =
+          pending.map(_.primaryPartitionValue).sorted.toArray
+        def hitsPending(mn: Long, mx: Long): Boolean = {
+          var i = java.util.Arrays.binarySearch(ps, mn)
+          if (i < 0) i = -i - 1
+          i < ps.length && ps(i) <= mx
+        }
+        val cp = log.localizedPruned((mn, mx) => hitsPending(mn, mx))
         gauges.copyCkptRowsRead = cp.checkpointRowsRead
         gauges.copyCkptRowsTotal = cp.checkpointRowsTotal
         gauges.copyDeltaRows = cp.deltaRowsRead
@@ -576,8 +620,7 @@ final class IncrementalBackup(
           copied
         } else drainConcurrent(sourcePath, stats, maxParallel, slots)
       }
-    } finally lock.release()
-  }
+    }
 
   /** [[runPruned]] with OVERLAPPING month copies: the sequential loop pays
     * (#pending × per-job latency) even when each copy uses a fraction of

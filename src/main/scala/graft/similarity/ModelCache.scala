@@ -15,9 +15,22 @@ import scala.collection.concurrent.TrieMap
   */
 private[graft] object ModelCache {
   private val cache = TrieMap.empty[String, AnyRef]
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Per-key locked like [[graft.Fixtures.getOrBuild]] (r11: Verify's query
+    * pool can race two queries onto one model key; the atomic TrieMap would
+    * fit twice — deterministic, merely wasted minutes on the big fits).
+    */
   def getOrFit[T <: AnyRef](key: String)(fit: => T): T =
-    cache.getOrElseUpdate(key, fit).asInstanceOf[T]
+    cache.get(key) match {
+      case Some(m) => m.asInstanceOf[T]
+      case None =>
+        val lock = locks.computeIfAbsent(key, _ => new Object)
+        lock.synchronized {
+          cache.getOrElseUpdate(key, fit).asInstanceOf[T]
+        }
+    }
 
   /** Test hook. */
   def clear(): Unit = cache.clear()

@@ -45,6 +45,32 @@ object IngestLog {
     }.toIndexedSeq.sorted
   }
 
+  /** Sequences already claimed by an in-flight (or crashed) recorder —
+    * `.claim-N` markers. A claimed-but-never-published seq is a harmless
+    * gap in the wave numbering; readers iterate the waves that exist.
+    */
+  private def claims(fs: org.apache.hadoop.fs.FileSystem,
+      d: Path): Seq[Long] =
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName).collect {
+      case n if n.startsWith(".claim-") => n.stripPrefix(".claim-").toLong
+    }.toIndexedSeq
+
+  /** Exclusive create of an empty marker. On a local filesystem this goes
+    * through `File.createNewFile` (atomic per POSIX — Hadoop's
+    * `create(path, overwrite=false)` is check-then-act there); on HDFS the
+    * namenode makes `create(overwrite=false)` atomic. Object stores without
+    * atomic create keep a small race window — documented on [[record]].
+    */
+  private def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean = {
+    val local = fs.getUri.getScheme == "file"
+    if (local) new java.io.File(p.toUri.getPath).createNewFile()
+    else
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
   /** Record one landed wave; returns its seq. Call AFTER the wave's files
     * are fully in place — the journal must never advertise a file a reader
     * can't open. Idempotent retries are the caller's concern (re-recording
@@ -53,11 +79,21 @@ object IngestLog {
     *
     * Safe under CONCURRENT ingest processes (the r9 ADVICE hazard: the
     * read-max-then-rename seq assignment is not atomic, and the loser of a
-    * race aborted an ingest whose files were already fully landed): each
-    * attempt stages under a process-unique name and publishes by atomic
-    * rename to `wave-N`; when the rename loses (N taken), the seq is
-    * recomputed and the publish retried — bounded by the number of
-    * concurrent recorders, since every loss implies someone else's win.
+    * race aborted an ingest whose files were already fully landed): the
+    * content is staged under a process-unique name, the SEQUENCE is claimed
+    * by an exclusive create of a `.claim-N` marker, and only the claim
+    * winner renames to `wave-N` — so the publish rename never has a
+    * competitor for its destination. Rename-loses-when-dest-exists was the
+    * r10 protocol and is NOT portable (r10 ADVICE: Hadoop's
+    * LocalFileSystem rename silently REPLACES an existing file — POSIX
+    * semantics — so two racers could both "win" and one wave's file list
+    * was silently lost until the next reconciliation). The claim create is
+    * atomic on POSIX-local (`File.createNewFile`) and on HDFS
+    * (namenode-arbitrated `create(overwrite=false)`); object stores without
+    * atomic create-if-absent keep a small check-then-act window, bounded as
+    * ever by the reconciliation cadence. A loser recomputes the seq over
+    * waves ∪ claims and retries — bounded, since every loss implies
+    * someone else's claim landed.
     */
   def record(spark: SparkSession, lakePath: String,
       files: Seq[String]): Long = {
@@ -72,8 +108,16 @@ object IngestLog {
     var attempt = 0
     val maxAttempts = 64
     while (true) {
-      val seq = waves(spark, lakePath).maxOption.getOrElse(0L) + 1
-      if (fs.rename(tmp, new Path(d, s"wave-$seq"))) return seq
+      val seq = (waves(spark, lakePath) ++ claims(fs, d))
+        .maxOption.getOrElse(0L) + 1
+      if (exclusiveCreate(fs, new Path(d, s".claim-$seq"))) {
+        val dst = new Path(d, s"wave-$seq")
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(
+            s"IngestLog.record: publish rename $tmp -> $dst failed after " +
+              "winning the seq claim")
+        return seq
+      }
       attempt += 1
       if (attempt >= maxAttempts) {
         fs.delete(tmp, false)
@@ -102,14 +146,21 @@ object IngestLog {
     waves(spark, lakePath).filter(_ <= upTo).dropRight(1)
       .foreach(s => fs.delete(new Path(d, s"wave-$s"), false))
     // staging debris from a crashed record() (unique-named, never visible
-    // to readers) — cleared once stale, so the journal dir stays bounded.
-    // The age guard keeps this from racing a LIVE concurrent recorder
-    // mid-stage (deleting its tmp would fail a legitimate ingest).
+    // to readers) and claim markers — cleared once stale, so the journal
+    // dir stays bounded. The age guard keeps this from racing a LIVE
+    // concurrent recorder mid-stage or mid-publish (deleting its tmp or
+    // claim would fail a legitimate ingest); a published claim (its wave
+    // exists) is droppable immediately since the wave itself anchors the
+    // sequence, but one uniform age rule keeps the GC simple. A stale
+    // UNpublished claim is a harmless numbering gap — record() never
+    // back-fills gaps (seq = max + 1), so freeing it cannot reuse a seq
+    // below anyone's watermark.
     val staleBefore = System.currentTimeMillis() - 3600L * 1000
     if (fs.exists(d)) fs.listStatus(d).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(".wave-") && n.endsWith(".tmp") &&
-        st.getModificationTime < staleBefore)
+      val debris = (n.startsWith(".wave-") && n.endsWith(".tmp")) ||
+        n.startsWith(".claim-")
+      if (debris && st.getModificationTime < staleBefore)
         fs.delete(st.getPath, false)
     }
   }

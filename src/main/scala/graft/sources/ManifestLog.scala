@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,8 +45,11 @@ import org.apache.spark.sql.functions._
   * already folded (seq <= upto) are ignored by readers, so the GC after a
   * checkpoint can die midway without consequence. A reader at ANY crash
   * instant sees a complete manifest (old or new), never a mix. Single
-  * writer per table by contract — enforced since r10 by the drain-side
-  * [[graft.operators.JobLock]] in `IncrementalBackup.runPrunedIncremental`.
+  * writer per table by contract — enforced by the drain-side
+  * [[graft.operators.JobLock]] that EVERY writing entry point acquires
+  * (`IncrementalBackup.withDrainLock`: both the drain and a direct
+  * `refreshManifestLog`/`refreshManifest` call contend on the same lock
+  * file since r11; before that a direct refresh could race a drain).
   */
 object ManifestLog {
 
@@ -62,8 +65,18 @@ object ManifestLog {
       totalBuckets: Int, checkpointRowsRead: Long, checkpointRowsTotal: Long,
       deltaRowsRead: Long)
 
+  /** Per-bucket summary line. `shapeOk` records whether EVERY file interval
+    * in the bucket has yyyymm-shaped bounds (r10 ADVICE: bucket-level
+    * pruning silently bypassed the per-file `looksLikeYyyymm` conservative
+    * guard — a bucket whose [min,max] looks calendar-shaped can still hold
+    * a file with a 13..99 month block under a wrong `pidIsYyyymm`
+    * declaration). Consumers that step candidates through CALENDAR months
+    * may only do so on buckets with `shapeOk = true`; summaries written
+    * before the flag existed parse as `false` (conservative: the generic
+    * integer-enumeration branch decides, never calendar stepping).
+    */
   private final case class BucketSum(pb: Option[Long], mn: Option[Long],
-      mx: Option[Long], rows: Long)
+      mx: Option[Long], rows: Long, shapeOk: Boolean)
 }
 
 final class ManifestLog(spark: SparkSession, path: String) {
@@ -185,7 +198,9 @@ final class ManifestLog(spark: SparkSession, path: String) {
         if (s == "null") None else Some(s.toLong)
       Some(text.split('\n').filter(_.nonEmpty).toIndexedSeq.map { line =>
         val f = line.split('\t')
-        BucketSum(opt(f(0)), opt(f(1)), opt(f(2)), f(3).toLong)
+        // pre-r11 summaries carry no shape field → conservative false
+        BucketSum(opt(f(0)), opt(f(1)), opt(f(2)), f(3).toLong,
+          shapeOk = f.length > 4 && f(4) == "1")
       })
     }
 
@@ -201,7 +216,16 @@ final class ManifestLog(spark: SparkSession, path: String) {
     * buckets + live deltas; a legacy (pre-r10, summary-less) checkpoint
     * degrades to a full read, reported honestly in the gauge.
     */
-  def localizedPruned(keep: (Long, Long) => Boolean): Localized = {
+  def localizedPruned(keep: (Long, Long) => Boolean): Localized =
+    localizedPruned((mn, mx, _) => keep(mn, mx))
+
+  /** [[localizedPruned]] with the bucket's `shapeOk` flag exposed to the
+    * predicate (third argument): true iff EVERY file interval in the bucket
+    * has yyyymm-shaped bounds, so calendar-stepping consumers can fall back
+    * to conservative integer semantics on mixed-shape buckets. Interval
+    * intersection consumers ignore it (interval logic is shape-free).
+    */
+  def localizedPruned(keep: (Long, Long, Boolean) => Boolean): Localized = {
     Compaction.recover(spark, ckptPath.toString)
     val upto = ckptUpto
     val live = deltaSeqs.filter(_ > upto).sorted
@@ -215,7 +239,7 @@ final class ManifestLog(spark: SparkSession, path: String) {
           totB = sums.size
           totR = sums.map(_.rows).sum
           val sel = sums.filter(b =>
-            b.mn.isDefined && b.mx.isDefined && keep(b.mn.get, b.mx.get))
+            b.mn.isDefined && b.mx.isDefined && keep(b.mn.get, b.mx.get, b.shapeOk))
           selB = sel.size
           selR = sel.map(_.rows).sum
           if (sel.isEmpty) Seq.empty
@@ -282,14 +306,21 @@ final class ManifestLog(spark: SparkSession, path: String) {
       .select("file").head(n - fromDeltas.size).map(_.getString(0))
   }
 
-  /** Of `candidates`, the paths already covered by a LIVE delta.
-    * Deliberately DELTA-scoped (never opens the checkpoint): its one job
-    * is making the commitDelta-then-crash replay derive an empty diff —
-    * the wave a crashed drain consumed sits in the delta it published. A
-    * candidate that is only in the CHECKPOINT (an ingest re-recording an
-    * old wave) is reported unknown and re-scanned, which the fold absorbs:
-    * last-writer-wins on the path key collapses the re-add onto identical
-    * recomputed stats. Cost ∝ live deltas, never manifest size.
+  /** Of `candidates`, the paths whose LAST writer among the LIVE deltas is
+    * a live (non-tombstone) row. Deliberately DELTA-scoped (never opens the
+    * checkpoint): its one job is making the commitDelta-then-crash replay
+    * derive an empty diff — the wave a crashed drain consumed sits in the
+    * delta it published. A candidate that is only in the CHECKPOINT (an
+    * ingest re-recording an old wave) is reported unknown and re-scanned,
+    * which the fold absorbs: last-writer-wins on the path key collapses the
+    * re-add onto identical recomputed stats. The fold here must be
+    * last-writer-wins too, not mere presence (r10 ADVICE): a path
+    * tombstoned by a reconcile (or whose re-add is itself shadowed by a
+    * later tombstone) is NOT covered — reporting it covered would let the
+    * steady drain skip its stats while the tombstone keeps the re-created
+    * file invisible until the next reconciliation. Re-scanning such a
+    * candidate is cheap, and its new add delta shadows the tombstone.
+    * Cost ∝ live deltas, never manifest size.
     */
   def coveredByLiveDeltas(candidates: Seq[String]): Set[String] = {
     val upto = ckptUpto
@@ -297,10 +328,18 @@ final class ManifestLog(spark: SparkSession, path: String) {
     if (live.isEmpty || candidates.isEmpty) Set.empty
     else {
       val cand = candidates.map(canonKey).toSet
-      live.flatMap { s =>
-        spark.read.parquet(deltaPath(s).toString).select("file").collect()
-          .map(r => canonKey(r.getString(0))).filter(cand)
-      }.toSet
+      val last = scala.collection.mutable.HashMap.empty[String, (Long, Boolean)]
+      live.foreach { s =>
+        spark.read.parquet(deltaPath(s).toString)
+          .select("file", "tombstone").collect().foreach { r =>
+            val k = canonKey(r.getString(0))
+            if (cand(k)) last.get(k) match {
+              case Some((s0, _)) if s0 >= s => ()
+              case _ => last.update(k, (s, r.getBoolean(1)))
+            }
+          }
+      }
+      last.collect { case (k, (_, tomb)) if !tomb => k }.toSet
     }
   }
 
@@ -321,11 +360,18 @@ final class ManifestLog(spark: SparkSession, path: String) {
     if (!hasAdds && dead.isEmpty) return None
     val withT = adds.withColumn("tombstone", lit(false))
     val schema = withT.schema
+    // tombstone rows are built BY FIELD NAME (r10 verdict: the positional
+    // `f +: tail` construction assumed `file` is physically first — true
+    // for every current producer, but a reordered stats projection would
+    // have silently put the path into the wrong column)
     val tombs = dead.map { f =>
-      Row.fromSeq(f +: schema.fields.toSeq.tail.map { fd =>
-        if (fd.name == "tombstone") java.lang.Boolean.TRUE
-        else if (fd.name == "n_rows") 0L
-        else null
+      Row.fromSeq(schema.fields.toSeq.map { fd =>
+        fd.name match {
+          case "file"      => f
+          case "tombstone" => java.lang.Boolean.TRUE
+          case "n_rows"    => 0L
+          case _           => null
+        }
       })
     }
     import scala.jdk.CollectionConverters._
@@ -379,24 +425,32 @@ final class ManifestLog(spark: SparkSession, path: String) {
     gc()
   }
 
-  /** One `pb \t min \t max \t rows` line per bucket, written inside the
-    * STAGED checkpoint dir (atomic with the snapshot). The row counts make
-    * [[localizedPruned]]'s gauge free; the intervals make bucket skipping
-    * sound (every file interval in a bucket ⊆ the bucket's summary
-    * interval, so an unselected bucket provably holds nothing the
-    * consumer's predicate can match).
+  /** One `pb \t min \t max \t rows \t shapeOk` line per bucket, written
+    * inside the STAGED checkpoint dir (atomic with the snapshot). The row
+    * counts make [[localizedPruned]]'s gauge free; the intervals make
+    * bucket skipping sound (every file interval in a bucket ⊆ the bucket's
+    * summary interval, so an unselected bucket provably holds nothing the
+    * consumer's predicate can match); the shape flag (1 iff EVERY interval
+    * in the bucket has yyyymm-shaped bounds) lets calendar-stepping
+    * consumers keep their per-file conservative guard at bucket grain.
     */
   private def writeBucketSummary(tmpDir: String, folded: DataFrame,
       minCol: String): Unit = {
     val maxCol = "max_" + minCol.stripPrefix("min_")
+    def yyyymm(c: Column): Column =
+      c >= 100L && (c % 100L).between(1L, 12L)
     val sums = folded
       .groupBy(floor(col(minCol) / bucketSpan).as("pb"))
       .agg(min(col(minCol)).as("mn"), max(col(maxCol)).as("mx"),
-        count(lit(1)).as("rows"))
+        count(lit(1)).as("rows"),
+        min(when(yyyymm(col(minCol)) && yyyymm(col(maxCol)), 1L)
+          .otherwise(0L)).as("shape_ok"))
       .collect()
     def str(r: Row, i: Int): String = if (r.isNullAt(i)) "null" else r.getLong(i).toString
-    val text = sums.map(r =>
-      s"${str(r, 0)}\t${str(r, 1)}\t${str(r, 2)}\t${r.getLong(3)}").mkString("\n")
+    val text = sums.map { r =>
+      val shape = if (!r.isNullAt(4) && r.getLong(4) == 1L) "1" else "0"
+      s"${str(r, 0)}\t${str(r, 1)}\t${str(r, 2)}\t${r.getLong(3)}\t$shape"
+    }.mkString("\n")
     val out = fs.create(new Path(tmpDir, "_buckets"), true)
     try out.write((text + "\n").getBytes("UTF-8")) finally out.close()
   }

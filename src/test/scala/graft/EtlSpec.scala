@@ -1103,4 +1103,150 @@ class EtlSpec extends SparkSpec {
     assert(again.contains(""""orders":0""") &&
       again.contains(""""lineitem":0"""))
   }
+
+  test("sparse pending set localizes by the SET, not its hull: {oldest, newest} pending across 10 years reads 2 year-buckets, not 10 (r10 verdict nit)") {
+    val tmp = Files.createTempDirectory("graft-etlsparse").toString
+    // 10 years of months, ~3 months per file → one pb bucket per year
+    val months = (1995 to 2004).flatMap(y => (1 to 12).map(m => y * 100L + m))
+    val df = months.map(m => spark.range(50)
+        .select(lit(m).as("month_sid"), col("id").as("payload")))
+      .reduce(_ unionByName _)
+    val lake = s"$tmp/lake"
+    df.repartitionByRange(40, col("month_sid"))
+      .sortWithinPartitions("month_sid").write.parquet(lake)
+    val cfg = JobConfig(tableName = "t", numMappers = 1,
+      outputFileFormat = "parquet")
+    val store = new StatusStore(spark, s"$tmp/status")
+    val job = new IncrementalBackup(spark, cfg, store, s"$tmp/dest")
+    job.refreshManifest(lake) // initial full build + bucketed checkpoint
+    // everything recorded; ONLY the endpoints stay pending — the
+    // reactivated-old-table shape whose [lo, hi] hull spans all history
+    val sparse = Set(months.head, months.last)
+    val t0 = new java.sql.Timestamp(0L)
+    store.append(months.map(m => BackupStatus("t", "db", t0,
+      if (sparse(m)) None else Some(t0), "month_sid", m,
+      isComplete = !sparse(m), 1)))
+    val copied = job.runPrunedIncremental(lake)
+    assert(copied.sorted == sparse.toSeq.sorted, s"copied $copied")
+    val g = job.gauges
+    // the hull predicate would select every bucket — measure it directly
+    val hullRows = new graft.sources.ManifestLog(spark, job.manifestPath)
+      .localizedPruned((mn, mx) => mx >= months.head && mn <= months.last)
+      .checkpointRowsRead
+    assert(g.copyCkptRowsRead > 0L && g.copyCkptRowsTotal == hullRows,
+      s"setup: the hull must cover the whole manifest " +
+        s"(${g.copyCkptRowsTotal} vs $hullRows)")
+    assert(g.copyCkptRowsRead * 3 <= hullRows,
+      s"sparse pending localized ${g.copyCkptRowsRead} of $hullRows rows — " +
+        "the set-based predicate must skip the buckets between the endpoints")
+    // the copies themselves are complete and correct
+    assert(job.readBack().filter(col("month_sid").isin(sparse.toSeq: _*))
+      .count() == 100L)
+  }
+
+  test("a tombstoned path re-created and re-recorded in a later wave is re-scanned, not reported covered (r10 ADVICE): its new months stay discoverable through the journal fast path") {
+    val tmp = Files.createTempDirectory("graft-etltombre").toString
+    val lake = s"$tmp/lake"
+    Files.createDirectories(java.nio.file.Paths.get(lake))
+    def onePart(m: Long, stage: String): java.nio.file.Path = {
+      spark.range(40).select(lit(m).as("month_sid"), col("id").as("payload"))
+        .coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+    }
+    def land(m: Long, name: String): String = {
+      val src = onePart(m, s"$tmp/stage-$name-$m")
+      val dst = java.nio.file.Paths.get(lake, name)
+      Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toString
+    }
+    land(199501L, "a.parquet"); land(199502L, "b.parquet")
+    val victim = land(199503L, "x.parquet")
+    // cadence far out: the tombstone delta must stay LIVE (unfolded) while
+    // the journal fast path later judges the re-created path
+    val cfg = JobConfig(tableName = "t", numMappers = 1,
+      outputFileFormat = "parquet", manifestCheckpointEvery = 8)
+    val job = new IncrementalBackup(spark, cfg,
+      new StatusStore(spark, s"$tmp/status"), s"$tmp/dest")
+    // drain 1: first build (full scan + checkpoint), no journal yet
+    assert(job.runPrunedIncremental(lake).sorted ==
+      Seq(199501L, 199502L, 199503L))
+    // the file vanishes (compaction/retention) …
+    Files.delete(java.nio.file.Paths.get(victim))
+    // … drain 2 reconciles (still no journal → every drain lists) and
+    // commits a LIVE tombstone delta for it (cadence not due → no fold)
+    assert(job.runPrunedIncremental(lake).isEmpty)
+    // the path is RE-CREATED with a brand-new month, and an ingest journal
+    // starts up, recording it as a wave
+    land(199912L, "x.parquet")
+    graft.sources.IngestLog.record(spark, lake, Seq(victim))
+    // drain 3 takes the journal fast path. The wave's one candidate is the
+    // tombstoned path: presence-based coverage would skip its stats and
+    // leave 199912 undiscoverable until the next reconciliation; the
+    // last-writer-wins coverage re-scans it and the add shadows the
+    // tombstone.
+    val copied = job.runPrunedIncremental(lake)
+    assert(job.gauges.fullListings == 0,
+      "drain 3 must be the journal fast path, not a reconciliation")
+    assert(copied == Seq(199912L),
+      s"the re-created file's month must be discovered and copied: $copied")
+    val files = job.readManifest().select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+    assert(files.contains(new org.apache.hadoop.fs.Path(victim).toUri.getPath),
+      "the re-created path must be live in the manifest again")
+    assert(job.readBack().filter(col("month_sid") === 199912L).count() == 40L)
+  }
+
+  test("IngestLog.record under concurrent recorders: exclusive claims give every wave a distinct seq and no file list is lost (r10 ADVICE: local rename silently replaces)") {
+    val tmp = Files.createTempDirectory("graft-ingrace").toString
+    val lake = s"$tmp/lake"
+    Files.createDirectories(java.nio.file.Paths.get(lake))
+    val n = 6
+    val seqs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        try {
+          start.await()
+          seqs.add(graft.sources.IngestLog.record(spark, lake,
+            (0 until 4).map(j => s"/w$i/f$j.parquet")))
+          ()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"recorders failed: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    val got = seqs.asScala.toSeq.sorted
+    assert(got == got.distinct, s"duplicate wave seqs handed out: $got")
+    assert(graft.sources.IngestLog.waves(spark, lake).size == n,
+      "a wave file was silently replaced by a racing recorder")
+    // every recorder's full file list is readable through the journal
+    val (files, head) = graft.sources.IngestLog.filesSince(spark, lake, -1L)
+    assert(head == got.max)
+    assert(files.toSet == (0 until n)
+      .flatMap(i => (0 until 4).map(j => s"/w$i/f$j.parquet")).toSet,
+      "a wave's file list was lost")
+  }
+
+  test("a direct refreshManifest call contends on the drain lock (r10 ADVICE): it fails loudly while a drain runs, and runs standalone otherwise") {
+    val tmp = Files.createTempDirectory("graft-refllock").toString
+    val lake = s"$tmp/lake"
+    Tables.orders(spark, sf).repartitionByRange(3, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate").write.parquet(lake)
+    val cfg = JobConfig(tableName = "orders", numMappers = 2,
+      outputFileFormat = "parquet")
+    val job = new IncrementalBackup(spark, cfg,
+      new StatusStore(spark, s"$tmp/status"), s"$tmp/dest")
+    // hold the drain lock the way a live drain does, then refresh directly
+    val lock = new graft.operators.JobLock(spark, job.drainLockPath)
+    assert(lock.acquire())
+    try intercept[IllegalStateException](job.refreshManifest(lake))
+    finally lock.release()
+    // standalone: acquires, refreshes, releases — and a drain can follow
+    assert(job.refreshManifest(lake).count() > 0)
+    assert(job.runPrunedIncremental(lake).nonEmpty)
+  }
 }
