@@ -495,8 +495,15 @@ object Bench {
     // and the round's artifact was `parsed: null`). The budget is shared
     // across sections proportionally to their previous-round cost; each
     // child degrades run counts inside its slice (floor: 1 run per query).
+    // default calibrated to the driver's observed tolerance: the r9 driver
+    // bench PASSED at 45:22 wall, the r10 one was killed past ~60 min —
+    // 2400 s of measurement plus ~5-7 min of sbt/JVM overhead lands ~40
+    // min, inside the proven-good envelope with margin. On today's machine
+    // the 1-run floor is ~33 min, so the ~7 min of headroom buys the
+    // noise-control subset its 3 runs (and, on a faster machine, restores
+    // full fidelity automatically).
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     val deadlineMs = System.currentTimeMillis() + (budgetSec * 1000).toLong
     val prevMin = previousMins()
     val fallbackCost =
