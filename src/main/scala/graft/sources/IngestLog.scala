@@ -105,17 +105,20 @@ object IngestLog {
     val out = fs.create(tmp, true)
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    FaultPoints.hit("ingest.wave.staged")
     var attempt = 0
     val maxAttempts = 64
     while (true) {
       val seq = (waves(spark, lakePath) ++ claims(fs, d))
         .maxOption.getOrElse(0L) + 1
       if (exclusiveCreate(fs, new Path(d, s".claim-$seq"))) {
+        FaultPoints.hit("ingest.claim.created")
         val dst = new Path(d, s"wave-$seq")
         if (!fs.rename(tmp, dst))
           throw new java.io.IOException(
             s"IngestLog.record: publish rename $tmp -> $dst failed after " +
               "winning the seq claim")
+        FaultPoints.hit("ingest.wave.published")
         return seq
       }
       attempt += 1

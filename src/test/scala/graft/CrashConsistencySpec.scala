@@ -276,6 +276,45 @@ class CrashConsistencySpec extends SparkSpec {
     assert(!fs.exists(new Path(s"${job.manifestPath}/delta-0")))
   }
 
+  test("a crashed IngestLog.record converges on the ingest's retry at every protocol point: staged, claim-created, published (r11: exclusive-claim protocol)") {
+    import graft.sources.{FaultPoints, IngestLog}
+    val root = Files.createTempDirectory("graft-crash-ing").toString
+    val files = Seq("/w/a.parquet", "/w/b.parquet")
+    for (point <- Seq("ingest.wave.staged", "ingest.claim.created",
+        "ingest.wave.published")) {
+      val lake = s"$root/lake-${point.replace('.', '-')}"
+      Files.createDirectories(java.nio.file.Paths.get(lake))
+      FaultPoints.install { n =>
+        if (n == point) throw new RuntimeException(s"injected@$n")
+      }
+      val crashed =
+        try { IngestLog.record(spark, lake, files); false }
+        catch { case e: RuntimeException
+          if e.getMessage.startsWith("injected@") => true }
+        finally FaultPoints.clear()
+      assert(crashed, s"$point: fault did not fire")
+      // the ingest's retry: the files are fully landed, so the recorder
+      // simply records again (the r9 contract — a loser/crasher never
+      // aborts a landed ingest)
+      val seq = IngestLog.record(spark, lake, files)
+      val (got, head) = IngestLog.filesSince(spark, lake, -1L)
+      assert(head == seq, s"$point: head $head != $seq")
+      if (point == "ingest.wave.published") {
+        // crash AFTER publish: wave 1 landed, the retry re-records the
+        // same files as wave 2 — a duplicate the manifest diff folds to
+        // an empty delta (idempotent by design)
+        assert(IngestLog.waves(spark, lake) == Seq(seq - 1, seq))
+        assert(got == files ++ files, s"$point: $got")
+      } else {
+        // crash BEFORE publish: nothing visible landed; the retry's wave
+        // is the only one (an aborted claim leaves a harmless seq gap —
+        // claim-created shows seq 2 with no wave-1)
+        assert(IngestLog.waves(spark, lake) == Seq(seq))
+        assert(got == files, s"$point: $got")
+      }
+    }
+  }
+
   test("crash-fuzz: a journaled drain aborted at 20+ seeded random fault points converges on re-run to the never-crashed twin (r9 verdict task 6)") {
     import graft.sources.{FaultPoints, IngestLog}
     val root = Files.createTempDirectory("graft-fuzz").toString
