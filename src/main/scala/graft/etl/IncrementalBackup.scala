@@ -84,7 +84,7 @@ final class IncrementalBackup(
     // ONE status read feeds recording, dedup, and the deferral window
     // (r9 verdict nit: the loop re-read the tiny store several times per
     // iteration — immaterial at month grain, quadratic at day grain)
-    val rows = status.read().collect().filter(_.tableName == tbl)
+    val rows = status.rows().filter(_.tableName == tbl)
     val recorded = rows.map(_.primaryPartitionValue).toIndexedSeq
     val pendingNew =
       if (cfg.isFullSnapshot) {
@@ -125,10 +125,10 @@ final class IncrementalBackup(
     * (loop, bulk, pruned, concurrent). One status read serves both the
     * pending set and the window.
     */
-  private def copyablePending(): Array[BackupStatus] = {
+  private def copyablePending(): IndexedSeq[BackupStatus] = {
     val tbl = cfg.tableName
-    val rows = status.read().collect().filter(_.tableName == tbl)
-    val deferred = deferredFrom(rows.map(_.primaryPartitionValue).toIndexedSeq)
+    val rows = status.rows().filter(_.tableName == tbl)
+    val deferred = deferredFrom(rows.map(_.primaryPartitionValue))
     rows.filter(s => !s.isComplete && !deferred.contains(s.primaryPartitionValue))
       .sortBy(_.primaryPartitionValue)
   }
@@ -240,8 +240,8 @@ final class IncrementalBackup(
     */
   def discoveryFiles(stats: DataFrame): Seq[String] = {
     val tbl = cfg.tableName
-    val recorded = status.read().filter(s => s.tableName == tbl)
-      .collect().map(_.primaryPartitionValue).toSet
+    val recorded = status.rows().filter(_.tableName == tbl)
+      .map(_.primaryPartitionValue).toSet
     discoveryFilesWith(stats, recorded)
   }
 
@@ -272,7 +272,7 @@ final class IncrementalBackup(
       return discover(spark.read.parquet(sourcePath))
     import spark.implicits._
     val tbl = cfg.tableName
-    val rows = status.read().collect().filter(_.tableName == tbl)
+    val rows = status.rows().filter(_.tableName == tbl)
     val recorded = rows.map(_.primaryPartitionValue).toSet
     val files = discoveryFilesWith(stats, recorded)
     val pendingNew =
@@ -571,7 +571,7 @@ final class IncrementalBackup(
         discover(spark.read.parquet(sourcePath))
       } else {
         val tbl = cfg.tableName
-        val recorded = status.read().collect().filter(_.tableName == tbl)
+        val recorded = status.rows().filter(_.tableName == tbl)
           .map(_.primaryPartitionValue).toSet
         // discovery view: only buckets that may hold an unrecorded month —
         // empty on an up-to-date drain, whatever the history size. The

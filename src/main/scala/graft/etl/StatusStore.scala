@@ -27,6 +27,23 @@ final case class BackupStatus(
   * The status set is partition-list sized (thousands of rows at most), so
   * full rewrite per update is cheap at any data scale — the fact data is
   * never touched here.
+  *
+  * DRIVER-SIDE IO since r11: the store used to round-trip every read and
+  * write through a Spark job (`spark.read.parquet(...).collect()` /
+  * `ds.coalesce(1).write.parquet(...)`), so a drain of N partitions paid
+  * ~3N distributed-job latencies on a table of a few KB — the dominant
+  * fixed cost of the sequential ETL loop at small scale and pure overhead
+  * at any scale (optimization guide §1.2: remove work the job doesn't
+  * need; §5: metadata belongs on the driver). Reads resolve the pointer
+  * and serve from an in-memory cache keyed by the generation name (an
+  * external writer lands a new generation, so the key check detects it);
+  * a cache miss still loads via Spark (any parquet encoding, e.g. the
+  * INT96 timestamps of Spark-written generations). Writes emit the
+  * parquet file directly on the driver (parquet-hadoop example API, a
+  * layout Spark reads back identically: one part file + `_SUCCESS`), so
+  * the swap protocol — temp generation dir, `_SUCCESS`, pointer swap,
+  * generation GC — is byte-compatible with the previous shape and the
+  * crash-recovery contract ([[latestCompleteGen]]) is unchanged.
   */
 final class StatusStore(spark: SparkSession, path: String) {
   import spark.implicits._
@@ -35,6 +52,14 @@ final class StatusStore(spark: SparkSession, path: String) {
     new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
   private val root = new org.apache.hadoop.fs.Path(path)
   private val pointer = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+
+  /** Last generation read or written by THIS instance: (gen dir name,
+    * rows). Serving reads from it skips all IO while the pointer still
+    * names that generation; any other writer necessarily creates a NEW
+    * generation dir (names embed time + nonce), so staleness is detected
+    * by the pointer resolve that every read still performs.
+    */
+  @volatile private var cache: (String, IndexedSeq[BackupStatus]) = null
 
   private def currentDir: Option[String] =
     if (!fs.exists(pointer)) None
@@ -65,20 +90,96 @@ final class StatusStore(spark: SparkSession, path: String) {
     })
   }
 
-  /** Read the current status set EAGERLY (collected to the driver, then
-    * re-lifted): [[write]] garbage-collects generations beyond
-    * current+previous, so a LAZY dataset held across two writes would fail
-    * at execution time on deleted parquet files. The status set is tiny by
-    * contract (one row per partition unit), so eager materialization is
-    * the same driver-side cost the reference pays for its status query
-    * (`sqoop_table.py:41`).
+  /** The current status set as a plain driver-side collection — the form
+    * every consumer actually wants (the set is partition-list sized by
+    * contract). Cache hit: no IO beyond the pointer read. Cache miss (first
+    * read, or a generation written by another instance): one Spark read of
+    * the tiny generation dir.
     */
-  def read(): Dataset[BackupStatus] = currentDir.orElse(latestCompleteGen) match {
-    case Some(dir) =>
-      val rows = spark.read.parquet(s"$path/$dir").as[BackupStatus]
-        .collect().toIndexedSeq
-      spark.createDataset(rows)
-    case None => spark.emptyDataset[BackupStatus]
+  def rows(): IndexedSeq[BackupStatus] =
+    currentDir.orElse(latestCompleteGen) match {
+      case Some(dir) =>
+        val c = cache
+        if (c != null && c._1 == dir) c._2
+        else {
+          val loaded = spark.read.parquet(s"$path/$dir").as[BackupStatus]
+            .collect().toIndexedSeq
+          cache = (dir, loaded)
+          loaded
+        }
+      case None => IndexedSeq.empty
+    }
+
+  /** Read the current status set EAGERLY (driver-resident, then re-lifted):
+    * [[write]] garbage-collects generations beyond current+previous, so a
+    * LAZY dataset held across two writes would fail at execution time on
+    * deleted parquet files. The status set is tiny by contract (one row per
+    * partition unit), so eager materialization is the same driver-side cost
+    * the reference pays for its status query (`sqoop_table.py:41`).
+    */
+  def read(): Dataset[BackupStatus] = spark.createDataset(rows())
+
+  /** Parquet schema of the status row, matching what Spark's own writer
+    * produced for `Dataset[BackupStatus]` (nullability per the product
+    * encoder; timestamps as INT64 micros, which Spark reads as
+    * TIMESTAMP — the pinned-UTC session makes the value identical to the
+    * previous INT96 encoding).
+    */
+  private def parquetSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => L, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    Types.buildMessage()
+      .optional(BINARY).as(L.stringType()).named("tableName")
+      .optional(BINARY).as(L.stringType()).named("hiveDb")
+      .optional(INT64).as(L.timestampType(true, TimeUnit.MICROS)).named("startDate")
+      .optional(INT64).as(L.timestampType(true, TimeUnit.MICROS)).named("endDate")
+      .optional(BINARY).as(L.stringType()).named("primaryPartitionColumn")
+      .required(INT64).named("primaryPartitionValue")
+      .required(BOOLEAN).named("isComplete")
+      .required(INT32).named("numMappers")
+      .named("spark_schema")
+  }
+
+  private def micros(t: Timestamp): Long =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+
+  /** Write `rows` as one parquet file + `_SUCCESS` under `gen` — the same
+    * at-rest layout `ds.coalesce(1).write.parquet` produced, minus the
+    * distributed job (the set is KBs; a Spark job here is pure scheduling
+    * latency). Any parquet reader (including [[rows]]' cache-miss path and
+    * external `spark.read.parquet`) sees the identical row set.
+    */
+  private def writeGen(gen: String, rows: Seq[BackupStatus]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val dir = new org.apache.hadoop.fs.Path(root, gen)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val file = new org.apache.hadoop.fs.Path(dir, s"part-00000-$gen.snappy.parquet")
+    val factory = new SimpleGroupFactory(parquetSchema)
+    val w = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          file, spark.sparkContext.hadoopConfiguration))
+      .withType(parquetSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { s =>
+      val g = factory.newGroup()
+      if (s.tableName != null) g.append("tableName", s.tableName)
+      if (s.hiveDb != null) g.append("hiveDb", s.hiveDb)
+      if (s.startDate != null) g.append("startDate", micros(s.startDate))
+      s.endDate.foreach(t => g.append("endDate", micros(t)))
+      if (s.primaryPartitionColumn != null)
+        g.append("primaryPartitionColumn", s.primaryPartitionColumn)
+      g.append("primaryPartitionValue", s.primaryPartitionValue)
+      g.append("isComplete", s.isComplete)
+      g.append("numMappers", s.numMappers)
+      w.write(g)
+    } finally w.close()
+    val ok = fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true)
+    ok.close()
   }
 
   /** Full-set overwrite with atomic pointer swap: readers see either the old
@@ -88,15 +189,16 @@ final class StatusStore(spark: SparkSession, path: String) {
     * keeping the current one plus the previous (for a reader that resolved
     * the pointer just before the swap).
     */
-  def write(ds: Dataset[BackupStatus]): Unit = {
+  def writeRows(rows: Seq[BackupStatus]): Unit = {
     val prev = currentDir
     val gen = s"gen-${System.currentTimeMillis()}-${scala.util.Random.nextInt(Int.MaxValue)}"
-    ds.coalesce(1).write.mode("overwrite").parquet(s"$path/$gen")
+    writeGen(gen, rows)
     val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.tmp.$gen")
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
     fs.delete(pointer, false)
     fs.rename(tmp, pointer)
+    cache = (gen, rows.toIndexedSeq)
     fs.listStatus(root).map(_.getPath).foreach { p =>
       val n = p.getName
       val stale = (n.startsWith("gen-") && n != gen && !prev.contains(n)) ||
@@ -105,28 +207,30 @@ final class StatusStore(spark: SparkSession, path: String) {
     }
   }
 
+  def write(ds: Dataset[BackupStatus]): Unit =
+    writeRows(ds.collect().toIndexedSeq)
+
   /** M2: `update sqoop_etl_status set is_complete='t', end_date=now() where
     * table=? and pid=?` (`sqoop_table.py:59-66`) as read-modify-write.
     */
-  def markComplete(table: String, pid: Long, at: Timestamp): Unit = {
-    val updated = read().map { s =>
+  def markComplete(table: String, pid: Long, at: Timestamp): Unit =
+    writeRows(rows().map { s =>
       if (s.tableName == table && s.primaryPartitionValue == pid)
         s.copy(isComplete = true, endDate = Some(at))
       else s
-    }
-    write(updated)
-  }
+    })
 
-  def append(rows: Seq[BackupStatus]): Unit =
-    write(read().union(spark.createDataset(rows)))
+  def append(newRows: Seq[BackupStatus]): Unit =
+    writeRows(rows() ++ newRows)
 
   /** M3: `delete from … where key=?` (`sqoop_table.py:68-73`) as
     * filter-and-rewrite (anti-join semantics on the tiny status set).
     */
   def delete(table: String, pid: Long): Unit =
-    write(read().filter(s => !(s.tableName == table && s.primaryPartitionValue == pid)))
+    writeRows(rows().filterNot(s =>
+      s.tableName == table && s.primaryPartitionValue == pid))
 
   /** P5 predicate: pending units for a table (`sqoop_table.py:41`,`:107`). */
   def pending(table: String): Dataset[BackupStatus] =
-    read().filter(s => s.tableName == table && !s.isComplete)
+    spark.createDataset(rows().filter(s => s.tableName == table && !s.isComplete))
 }
